@@ -1,0 +1,285 @@
+"""Core analytics queries — the reference's entire ``app.py`` surface.
+
+Covers (SURVEY.md §2): OP-SRC-03, OP-PRJ-01/02, OP-FLT-01/02, OP-AGG-01..06,
+OP-GAP-01, OP-TOPK-01/02, OP-DEDUP-01, OP-X-APPROX-01.
+
+All queries run over the driver's synthetic tables: ``events`` plays the
+role of the timestamped article stream (``app.py:84-110``), ``documents``
+the role of the crawled-article collection (``app.py:25-82``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..operators import timeline
+from ..sources import load_table
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# Flagship: publication timeline with dense date spine + zero fill
+# (app.py:84-110 — OP-AGG-03/04 + OP-GAP-01 + OP-FLT-02)
+# ---------------------------------------------------------------------------
+@register(
+    "timeline_gapfill",
+    ops=("OP-AGG-03", "OP-AGG-04", "OP-GAP-01", "OP-FLT-02"),
+    oracle="""
+        WITH counts AS (
+            SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ),
+        bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM counts),
+        spine AS (
+            SELECT CAST(unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+                                               INTERVAL 1 DAY)) AS DATE) AS day
+            FROM bounds
+        )
+        SELECT s.day AS day, COALESCE(c.cnt, 0) AS cnt
+        FROM spine s LEFT JOIN counts c ON s.day = c.day
+    """,
+)
+def timeline_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeline.timeline_gapfill(load_table(spark, sf_dir, "events"), "ts")
+
+
+@register(
+    "daily_counts",
+    ops=("OP-AGG-03",),
+    oracle="""
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    """,
+)
+def daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeline.daily_counts(load_table(spark, sf_dir, "events"), "ts")
+
+
+@register(
+    "date_range",
+    ops=("OP-AGG-04",),
+    oracle="""
+        SELECT MIN(CAST(ts AS DATE)) AS min_day, MAX(CAST(ts AS DATE)) AS max_day
+        FROM events WHERE ts IS NOT NULL
+    """,
+)
+def date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeline.date_range(load_table(spark, sf_dir, "events"), "ts")
+
+
+# ---------------------------------------------------------------------------
+# Source distribution with share-of-total (app.py:74-82 — OP-AGG-01/02,
+# OP-PRJ-02). pct = cnt*100.0/total: one multiply + one divide in IEEE
+# double on both engines -> bit-identical, then round(4).
+# ---------------------------------------------------------------------------
+@register(
+    "source_distribution",
+    ops=("OP-AGG-01", "OP-AGG-02", "OP-PRJ-02", "OP-SRC-03", "OP-PRJ-01"),
+    oracle="""
+        SELECT COALESCE(source, 'Unknown') AS source,
+               COUNT(*) AS cnt,
+               ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 4) AS pct
+        FROM documents GROUP BY 1
+    """,
+)
+def source_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.coalesce("source", F.lit("Unknown")).alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = Window.partitionBy()
+    return counts.select(
+        "source",
+        "cnt",
+        F.round(F.col("cnt") * 100.0 / F.sum("cnt").over(total), 4).alias("pct"),
+    )
+
+
+@register(
+    "event_type_distribution",
+    ops=("OP-AGG-01", "OP-AGG-02"),
+    oracle="""
+        SELECT event_type, COUNT(*) AS cnt,
+               ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 4) AS pct
+        FROM events GROUP BY 1
+    """,
+)
+def event_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.select(
+        "event_type",
+        "cnt",
+        F.round(
+            F.col("cnt") * 100.0 / F.sum("cnt").over(Window.partitionBy()), 4
+        ).alias("pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k recency queries (app.py:137, crawl.py:141 — OP-TOPK-01/02).
+# Spark plans orderBy().limit() as TakeOrderedAndProject (per-partition
+# top-k + driver merge — no global sort). Total order via event_id
+# tie-break keeps the hash deterministic.
+# ---------------------------------------------------------------------------
+@register(
+    "recent_events",
+    ops=("OP-TOPK-01",),
+    oracle="""
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        FROM events ORDER BY ts DESC, event_id DESC LIMIT 5
+    """,
+)
+def recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(5)
+    )
+
+
+@register(
+    "latest_ingested",
+    ops=("OP-TOPK-02",),
+    oracle="""
+        SELECT event_id, event_type, value
+        FROM events ORDER BY event_id DESC LIMIT 3
+    """,
+)
+def latest_ingested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # event_id is the monotonic ingestion key — the analogue of Mongo's
+    # _id ordering in crawl.py:141.
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .orderBy(F.desc("event_id"))
+        .limit(3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Counts and filters (app.py:142, app.py:26 — OP-AGG-05, OP-FLT-01)
+# ---------------------------------------------------------------------------
+@register(
+    "total_count",
+    ops=("OP-AGG-05",),
+    oracle="SELECT COUNT(*) AS cnt FROM documents",
+)
+def total_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "nonempty_content_count",
+    ops=("OP-FLT-01", "OP-AGG-05"),
+    oracle="""
+        SELECT COUNT(*) AS cnt FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> ''
+    """,
+)
+def nonempty_content_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "project_with_default",
+    ops=("OP-PRJ-01", "OP-PRJ-02", "OP-SRC-03"),
+    oracle="""
+        SELECT doc_id, COALESCE(source, 'Unknown') AS source, n_chars
+        FROM documents
+    """,
+)
+def project_with_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Column pruning pushes this 3-column read into the parquet scan —
+    # the direct analogue of Mongo projection {'title':1,'url':1,...}.
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("source", F.lit("Unknown")).alias("source"), "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct / approximate-distinct users (OP-X-APPROX-01)
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_users_by_type",
+    ops=("OP-AGG-01",),
+    oracle="""
+        SELECT event_type, COUNT(DISTINCT user_id) AS users
+        FROM events GROUP BY 1
+    """,
+)
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("users"))
+    )
+
+
+@register(
+    "approx_distinct_users",
+    ops=("OP-X-APPROX-01",),
+    oracle=None,  # approximate by construction — rows-only check
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HyperLogLog++ sketch: mergeable partial aggregates, no exact-distinct
+    # shuffle of the full key set — the 100 TB form of COUNT(DISTINCT).
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (crawl.py:73-75 — OP-DEDUP-01): batch-vs-store anti-join and
+# whole-table canonicalization. The reference probes the store once per
+# candidate URL (O(n*m) collection scans); here it is ONE hash anti-join.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_anti_join",
+    ops=("OP-DEDUP-01",),
+    oracle="""
+        SELECT b.doc_id, b.text FROM documents b
+        WHERE b.doc_id % 2 = 1
+          AND NOT EXISTS (
+              SELECT 1 FROM documents e
+              WHERE e.doc_id % 2 = 0 AND e.text = b.text
+          )
+    """,
+)
+def dedup_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Simulates a crawl round: even doc_ids are the already-ingested store,
+    # odd doc_ids the incoming batch; keep batch rows whose dedup key
+    # (text) is not already stored.
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.where(F.col("doc_id") % 2 == 0).select("text")
+    batch = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    return batch.join(existing, "text", "left_anti").select("doc_id", "text")
+
+
+@register(
+    "dedup_exact",
+    ops=("OP-DEDUP-01",),
+    oracle="""
+        SELECT MIN(doc_id) AS doc_id, text, COUNT(*) AS copies
+        FROM documents GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Canonical exact dedup: one representative (min id) per identical
+    # text. At scale: group by xxhash64(text) first to shuffle 8-byte
+    # keys instead of full documents, then resolve collisions.
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("copies"))
+        .select("doc_id", "text", "copies")
+    )
