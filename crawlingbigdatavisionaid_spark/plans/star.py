@@ -1,1 +1,363 @@
-"""(to be filled)"""
+"""Star-schema join/aggregation queries (TPC-H-style) over the driver's
+synthetic tables — the scale-exercising layer SURVEY.md §2.7 notes the
+reference lacks (its only join-shaped ops are one anti-join and one tiny
+outer join). These exercise broadcast hash joins (small dims), shuffled
+hash/sort-merge joins (fact-fact), partial aggregation, and top-k.
+
+Determinism strategy for money arithmetic: doubles are cast to
+DECIMAL(18,2) at the scan, all sums/products run in exact decimal, and
+only the final value is rounded and cast back to double — bit-identical
+between Spark and DuckDB regardless of partitioning/summation order.
+
+100 TB notes: dimension joins (region/nation/customer/supplier/part)
+are explicitly ``broadcast()`` — no shuffle of the fact table; the
+fact-fact join (orders⋈lineitem) shuffles on the join key, which AQE can
+re-plan (skew split / broadcast conversion) at runtime. Group-bys are
+partial-aggregated map-side so the shuffle carries group cardinality,
+not row cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources import load_table
+from .registry import register
+
+_DEC = "decimal(18,2)"
+
+
+def _li_money(df: DataFrame) -> DataFrame:
+    """lineitem with money columns lifted to exact decimals."""
+    return df.withColumns(
+        {
+            "qty_d": F.col("l_quantity").cast(_DEC),
+            "price_d": F.col("l_extendedprice").cast(_DEC),
+            "disc_d": F.col("l_discount").cast(_DEC),
+            "tax_d": F.col("l_tax").cast(_DEC),
+        }
+    )
+
+
+@register(
+    "q1_pricing_summary",
+    ops=("OP-AGG-01", "OP-AGG-05"),
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS sum_disc_price,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                     / COUNT(*), 4) AS avg_qty,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / COUNT(*), 4) AS avg_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with exact decimal sums.
+    Predicate pushes to the parquet scan; one shuffle of ~6 groups."""
+    li = _li_money(load_table(spark, sf_dir, "lineitem"))
+    agg = (
+        li.where(F.col("l_shipdate") <= F.lit("1998-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty_d").alias("sq"),
+            F.sum("price_d").alias("sp"),
+            F.sum(F.col("price_d") * (F.lit(1) - F.col("disc_d"))).alias("sdp"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sq").cast("double").alias("sum_qty"),
+        F.col("sp").cast("double").alias("sum_base_price"),
+        F.col("sdp").cast("double").alias("sum_disc_price"),
+        F.round(F.col("sq").cast("double") / F.col("count_order"), 4).alias("avg_qty"),
+        F.round(F.col("sp").cast("double") / F.col("count_order"), 4).alias(
+            "avg_price"
+        ),
+        "count_order",
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    ops=("OP-TOPK-01",),
+    oracle="""
+        SELECT l.l_orderkey AS o_orderkey,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS revenue,
+               CAST(o.o_orderdate AS DATE) AS o_orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: broadcast the filtered customer dim into orders,
+    shuffle-join lineitem, aggregate, top-10. Revenue in exact decimal."""
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = _li_money(
+        load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    ).select("l_orderkey", "price_d", "disc_d")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).join(
+        li, F.col("o_orderkey") == li.l_orderkey
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(F.col("price_d") * (F.lit(1) - F.col("disc_d"))).alias("rev_d")
+        )
+        .select(
+            "o_orderkey",
+            F.col("rev_d").cast("double").alias("revenue"),
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "region_revenue",
+    ops=("OP-AGG-01",),
+    oracle="""
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS revenue,
+               COUNT(*) AS line_count
+        FROM region r
+        JOIN nation n ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY r.r_name, n.n_name
+    """,
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake dimension chain broadcast into the fact
+    join. region⋈nation⋈customer collapses to one small broadcast side;
+    only orders⋈lineitem shuffles."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = _li_money(load_table(spark, sf_dir, "lineitem"))
+    dims = (
+        c.join(
+            F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey)),
+            c.c_nationkey == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "n_name", "r_name")
+    )
+    joined = (
+        o.join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .select("o_orderkey", "n_name", "r_name")
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+    )
+    return (
+        joined.groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("price_d") * (F.lit(1) - F.col("disc_d"))).alias("rev_d"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+        .select(
+            "region",
+            "nation",
+            F.col("rev_d").cast("double").alias("revenue"),
+            "line_count",
+        )
+    )
+
+
+@register(
+    "top_customers",
+    ops=("OP-TOPK-01",),
+    oracle="""
+        SELECT c.c_custkey, c.c_name,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_spent,
+               COUNT(*) AS order_count
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_name
+        ORDER BY total_spent DESC, c_custkey ASC
+        LIMIT 10
+    """,
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "price_d", F.col("o_totalprice").cast(_DEC)
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum("price_d").alias("spent_d"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("spent_d").cast("double").alias("total_spent"),
+            "order_count",
+        )
+        .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "customer_order_counts",
+    ops=("OP-GAP-01",),
+    oracle="""
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS order_count
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    """,
+)
+def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping zero-order customers (count(col) skips
+    nulls) — the reference's zero-fill idiom (OP-GAP-01) on a key join."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+
+
+@register(
+    "order_priority_monthly",
+    ops=("OP-AGG-03",),
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    """,
+)
+def order_priority_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            "o_orderpriority",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "part_type_stats",
+    ops=("OP-AGG-01",),
+    oracle="""
+        SELECT p_type, COUNT(*) AS cnt,
+               ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / COUNT(*), 4) AS avg_price,
+               MIN(p_size) AS min_size, MAX(p_size) AS max_size
+        FROM part GROUP BY p_type
+    """,
+)
+def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").withColumn(
+        "price_d", F.col("p_retailprice").cast(_DEC)
+    )
+    return (
+        p.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("price_d").alias("sp"),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+        )
+        .select(
+            "p_type",
+            "cnt",
+            F.round(F.col("sp").cast("double") / F.col("cnt"), 4).alias("avg_price"),
+            "min_size",
+            "max_size",
+        )
+    )
+
+
+@register(
+    "supplier_nation_balance",
+    ops=("OP-AGG-01",),
+    oracle="""
+        SELECT n.n_name AS nation,
+               CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_balance,
+               COUNT(*) AS suppliers
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+)
+def supplier_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier").withColumn(
+        "bal_d", F.col("s_acctbal").cast(_DEC)
+    )
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum("bal_d").alias("bd"),
+            F.count(F.lit(1)).alias("suppliers"),
+        )
+        .select(
+            "nation",
+            F.col("bd").cast("double").alias("total_balance"),
+            "suppliers",
+        )
+    )
+
+
+@register(
+    "mktsegment_share",
+    ops=("OP-AGG-01", "OP-AGG-02"),
+    oracle="""
+        SELECT c_mktsegment, COUNT(*) AS cnt,
+               ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 4) AS pct
+        FROM customer GROUP BY 1
+    """,
+)
+def mktsegment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    counts = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.select(
+        "c_mktsegment",
+        "cnt",
+        F.round(
+            F.col("cnt") * 100.0 / F.sum("cnt").over(Window.partitionBy()), 4
+        ).alias("pct"),
+    )
