@@ -1,1 +1,171 @@
-"""(to be filled)"""
+"""Event-time windows (OP-X-WIN-01) and JSON props extraction
+(OP-X-JSON-01) over ``events``.
+
+DuckDB oracle equivalences:
+- tumbling  = ``time_bucket(INTERVAL width, ts)`` (both align to epoch in
+  UTC);
+- sliding   = join against a generated spine of slide-aligned starts;
+- session   = gaps-and-islands (lag + running sum), end = max(ts) + gap;
+- JSON      = ``json_extract_string`` vs Spark ``get_json_object``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import windows as W
+from ..sources import load_table
+from .registry import register
+
+
+@register(
+    "window_tumbling_1h",
+    ops=("OP-X-WIN-01",),
+    oracle="""
+        SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+                   AS window_start,
+               time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+                   + INTERVAL '1 hour' AS window_end,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+)
+def window_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.tumbling(load_table(spark, sf_dir, "events"), "ts", "1 hour")
+
+
+@register(
+    "window_sliding_1h_30m",
+    ops=("OP-X-WIN-01",),
+    oracle="""
+        WITH bounds AS (
+            SELECT time_bucket(INTERVAL '30 minutes', MIN(CAST(ts AS TIMESTAMP)))
+                       - INTERVAL '30 minutes' AS lo,
+                   MAX(CAST(ts AS TIMESTAMP)) AS hi
+            FROM events
+        ), spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL '30 minutes'))
+                       AS window_start
+            FROM bounds
+        )
+        SELECT s.window_start,
+               s.window_start + INTERVAL '1 hour' AS window_end,
+               COUNT(*) AS cnt
+        FROM spine s
+        JOIN events e
+          ON CAST(e.ts AS TIMESTAMP) >= s.window_start
+         AND CAST(e.ts AS TIMESTAMP) < s.window_start + INTERVAL '1 hour'
+        GROUP BY 1, 2
+    """,
+)
+def window_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.sliding(
+        load_table(spark, sf_dir, "events"), "ts", "1 hour", "30 minutes"
+    )
+
+
+@register(
+    "session_windows_30m",
+    ops=("OP-X-WIN-01",),
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   CASE WHEN CAST(ts AS TIMESTAMP)
+                             - LAG(CAST(ts AS TIMESTAMP)) OVER
+                               (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), islands AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER
+                       (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL '30 minutes' AS session_end,
+               COUNT(*) AS n_events
+        FROM islands GROUP BY user_id, sid
+    """,
+)
+def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.session(load_table(spark, sf_dir, "events"), "user_id", "ts", "30 minutes")
+
+
+@register(
+    "json_extract_props",
+    ops=("OP-X-JSON-01",),
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column: path extraction stays JVM-side
+    (get_json_object); at scale prefer from_json once into a struct
+    column rather than N path extractions."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+@register(
+    "json_k_stats_by_type",
+    ops=("OP-X-JSON-01", "OP-AGG-01"),
+    oracle="""
+        SELECT event_type,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type
+    """,
+)
+def json_k_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@register(
+    "value_stats_by_type",
+    ops=("OP-AGG-01", "OP-AGG-04"),
+    oracle="""
+        SELECT event_type, COUNT(*) AS cnt,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+               MIN(value) AS min_value, MAX(value) AS max_value,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     / COUNT(*), 4) AS avg_value
+        FROM events GROUP BY event_type
+    """,
+)
+def value_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_d", F.col("value").cast("decimal(18,2)")
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value_d").alias("sv"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "event_type",
+            "cnt",
+            F.col("sv").cast("double").alias("sum_value"),
+            "min_value",
+            "max_value",
+            F.round(F.col("sv").cast("double") / F.col("cnt"), 4).alias("avg_value"),
+        )
+    )
