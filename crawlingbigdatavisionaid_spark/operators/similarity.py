@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns (OP-X-SIM-01).
+
+Two strategies:
+
+- :func:`brute_force_topk` — exact cosine top-k. The query set is
+  broadcast; the corpus is scanned once and ranked per query with a
+  bounded window. At 100 TB this is the correct baseline whenever the
+  query set is small (cost O(|Q| * N * d) in one pass, no index build).
+
+- :func:`lsh_topk` — random-hyperplane LSH: L independent signature
+  tables of ``n_planes`` bits each; vectors sharing a bucket in any table
+  are candidates; exact cosine ranks the candidates. At scale this turns
+  the all-pairs scan into a bucket-join (shuffle keyed by 16-bit
+  signatures), trading recall for a ~2^n_planes reduction in compared
+  pairs. Plane matrices are deterministic (seeded numpy) and shipped as
+  literal arrays into the plan — JVM-side evaluation, no UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..functions import vectors as V
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of ``queries`` against ``emb`` (self excluded).
+
+    Returns integer-only (query_id, rank, neighbor_id) — deterministic
+    under any partitioning because ranking ties break on neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), V.as_double(F.col(vec_col)).alias("qv")
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), V.as_double(F.col(vec_col)).alias("nv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            V.cosine(F.col("qv"), F.col("nv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def _plane_literals(n_tables: int, n_planes: int, dim: int, seed: int = 42) -> list:
+    """Deterministic hyperplane normals as nested python lists."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_tables, n_planes, dim)).tolist()
+
+
+def signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Bit-pack sign(plane . vec) for each plane into one integer."""
+    sig = F.lit(0)
+    for i, plane in enumerate(planes):
+        proj = V.dot(vec, F.array(*[F.lit(float(x)) for x in plane]))
+        sig = sig + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via multi-table random-hyperplane LSH."""
+    planes = _plane_literals(n_tables, n_planes, dim)
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), V.as_double(F.col(vec_col)).alias("nv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), V.as_double(F.col(vec_col)).alias("qv")
+    )
+    cand = None
+    for t in range(n_tables):
+        cb = c.select(
+            "neighbor_id", "nv", signature(F.col("nv"), planes[t]).alias("sig")
+        )
+        qb = q.select(
+            "query_id", "qv", signature(F.col("qv"), planes[t]).alias("sig")
+        )
+        hit = cb.join(F.broadcast(qb), "sig").select(
+            "query_id", "qv", "neighbor_id", "nv"
+        )
+        cand = hit if cand is None else cand.unionByName(hit)
+    cand = cand.where(F.col("neighbor_id") != F.col("query_id")).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", V.cosine(F.col("qv"), F.col("nv")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )

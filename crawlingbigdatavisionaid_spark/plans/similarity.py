@@ -1,1 +1,87 @@
-"""(to be filled)"""
+"""Similarity-search queries over ``embeddings`` (OP-X-SIM-01) and
+embedding-based near-dup pairs (OP-X-DEDUP-02 cosine variant).
+
+Outputs are integer-only (ids/ranks) so exact hashing never touches a
+float: ranking order is identical across engines for random embeddings
+(cosine gaps >> 1e-12 numerical divergence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import vectors as V
+from ..operators import similarity as S
+from ..sources import load_table
+from .registry import register
+
+_SQL_COS = """
+    list_inner_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))
+    / (sqrt(list_inner_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))
+       * sqrt(list_inner_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))
+"""
+
+
+@register(
+    "ann_brute_force_topk",
+    ops=("OP-X-SIM-01",),
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 10
+        ), scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   {_SQL_COS.format(a="q.qv", b="e.embedding")} AS cos
+            FROM q CROSS JOIN embeddings e
+            WHERE e.vec_id <> q.query_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for the first 10 vectors as queries — the
+    correctness baseline for any ANN variant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.brute_force_topk(emb, queries, k=10)
+
+
+@register(
+    "ann_lsh_topk",
+    ops=("OP-X-SIM-01",),
+    oracle=None,  # approximate by construction; recall asserted in pytest
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table random-hyperplane LSH top-10 — the 100 TB scale path
+    (bucket join instead of all-pairs scan)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.lsh_topk(emb, queries, k=10, n_tables=8, n_planes=4)
+
+
+@register(
+    "dedup_embedding_pairs",
+    ops=("OP-X-DEDUP-02", "OP-X-SIM-01"),
+    oracle=f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_SQL_COS.format(a="a.embedding", b="b.embedding")} >= 0.45
+    """,
+)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.45). All-pairs at
+    test scale; the LSH bucketing above is the same operator's scale
+    path. Integer-only output."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), V.as_double("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), V.as_double("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .where(V.cosine(F.col("va"), F.col("vb")) >= 0.45)
+        .select("vec_a", "vec_b")
+    )

@@ -1,0 +1,86 @@
+"""Quality/parity tests for the approximate (rows-only) operators: the
+driver only checks these ran, so pytest carries the correctness burden —
+MinHash and LSH outputs are validated against their exact counterparts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlingbigdatavisionaid_spark.operators import neardup as ND, similarity as S
+from crawlingbigdatavisionaid_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+def _pairs(df):
+    return {(r.doc_a, r.doc_b) for r in df.collect()}
+
+
+def test_minhash_subset_of_exact_with_high_recall(docs):
+    exact = _pairs(ND.jaccard_pairs(docs, threshold_tenths=8))
+    approx = _pairs(ND.minhash_pairs(docs, k=16, bands=4, threshold_tenths=8))
+    # precision 1.0: every verified candidate is a true >=0.8 pair
+    assert approx <= exact
+    # recall: the 4x4 banding must catch nearly all planted ~0.99 dups
+    assert len(approx) >= 0.85 * len(exact), (len(approx), len(exact))
+
+
+def test_simhash_catches_planted_neardups(docs):
+    exact = _pairs(ND.jaccard_pairs(docs, threshold_tenths=9))
+    sim = _pairs(
+        ND.simhash_pairs(docs, bits=32, maxd=3).select("doc_a", "doc_b")
+    )
+    if exact:
+        hit = len(exact & sim) / len(exact)
+        assert hit >= 0.5, f"simhash recall on >=0.9 jaccard pairs: {hit}"
+
+
+def test_simhash_banding_equals_naive_hamming(docs):
+    """Banding must not lose pairs within the distance bound (pigeonhole)."""
+    sigs = ND.simhash(docs.limit(100), bits=32).collect()
+    naive = set()
+    for i, a in enumerate(sigs):
+        for b in sigs[i + 1 :]:
+            x, y = sorted((a.doc_id, b.doc_id))
+            if bin(a.simhash ^ b.simhash).count("1") <= 3:
+                naive.add((x, y))
+    banded = _pairs(
+        ND.simhash_pairs(docs.limit(100), bits=32, maxd=3).select("doc_a", "doc_b")
+    )
+    assert banded == naive
+
+
+def test_lsh_topk_recall_vs_brute_force(emb):
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.lsh_topk(emb, queries, k=10, n_tables=8, n_planes=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall@10 = {recall}"
+
+
+def test_lsh_ranks_are_contiguous_per_query(emb):
+    queries = emb.where(F.col("vec_id") < 10)
+    rows = S.lsh_topk(emb, queries, k=10).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
