@@ -1,1 +1,98 @@
-"""(to be filled)"""
+"""Multimodal-column queries (OP-X-MM-01). The payload is synthesized
+from ``documents.text`` (UTF-8 bytes of ASCII text), so every byte-level
+feature has an exact SQL twin: octet/ascii arithmetic over the same text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..multimodal import binary as MM
+from ..sources import load_table
+from .registry import register
+
+
+@register(
+    "multimodal_metadata",
+    ops=("OP-X-MM-01",),
+    oracle="""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               'application/octet-stream' AS mime
+        FROM documents
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed metadata struct, flattened for checking.
+    (crc32 checksum exists in the struct but has no DuckDB twin, so the
+    checked projection is n_bytes + mime.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    wb = MM.attach_binary(docs)
+    return wb.select(
+        "doc_id",
+        F.col("meta.n_bytes").cast("long").alias("n_bytes"),
+        F.col("meta.mime").alias("mime"),
+    )
+
+
+@register(
+    "multimodal_features",
+    ops=("OP-X-MM-01",),
+    oracle="""
+        WITH b AS (
+            SELECT doc_id,
+                   list_transform(string_split(text, ''), c -> ascii(c)) AS bytes
+            FROM documents
+        )
+        SELECT doc_id,
+               len(bytes) AS n_bytes,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(bytes, x -> CAST(x AS BIGINT))),
+                           (a, b) -> a + b) AS sum_bytes,
+               CAST(list_reduce(bytes, (a, b) -> LEAST(a, b)) AS INTEGER)
+                   AS min_byte,
+               CAST(list_reduce(bytes, (a, b) -> GREATEST(a, b)) AS INTEGER)
+                   AS max_byte
+        FROM b WHERE len(bytes) > 0
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas "decode" producing exact integer
+    features — the real plumbing a media featurizer uses (text is ASCII,
+    so UTF-8 bytes == ascii codes and DuckDB can mirror it)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") > 0
+    )
+    return MM.fake_decode_features(MM.attach_binary(docs))
+
+
+@register(
+    "multimodal_frame_sample",
+    ops=("OP-X-MM-01",),
+    oracle=f"""
+        WITH b AS (
+            SELECT doc_id, text, octet_length(encode(text)) AS n
+            FROM documents
+        ), frames AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(0, CAST(n // {MM.FRAME_BYTES} AS BIGINT) - 1),
+                       i -> i)) AS frame_idx,
+                   text
+            FROM b WHERE n >= {MM.FRAME_BYTES}
+        )
+        SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(
+                       string_split(substring(text, frame_idx * {MM.FRAME_BYTES} + 1,
+                                              {MM.FRAME_BYTES}), ''),
+                       c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> a + b) AS frame_sum
+        FROM frames WHERE frame_idx % {MM.FRAME_STRIDE} = 0
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simulated video frame sampling (1 row -> N frames) through
+    mapInPandas — row-expansion plumbing with an exact integer digest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.sample_frames(MM.attach_binary(docs))
