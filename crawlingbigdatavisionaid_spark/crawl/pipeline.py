@@ -1,0 +1,127 @@
+"""The crawl ingestion pipeline — the reference's ``crawl.py`` flow
+rebuilt as one declarative Spark job:
+
+    seeds -> fetch listing (mapInPandas)       OP-SRC-01
+          -> block/link cascade (pandas UDF)   OP-EXT-01..03
+          -> within-batch URL dedup            OP-DEDUP-01
+          -> anti-join vs store                OP-DEDUP-01
+          -> fetch articles (mapInPandas)      OP-SRC-02
+          -> field extraction (pandas UDF)     OP-EXT-04..06
+          -> record assembly + ingest stamp    OP-EXT-07
+          -> append to the store               OP-SNK-01
+          -> batch accounting                  OP-AGG-06
+
+The reference probes the store once per candidate URL
+(``crawl.py:73`` — O(candidates) round-trips against an unindexed
+field); here the whole batch dedups with ONE hash anti-join. Failures
+isolate per row (null + filter, OP-STR-02), never failing the batch.
+
+Fetching is pluggable: tests use :class:`DictFetcher` (deterministic,
+no network); production would use an HTTP fetcher inside the same
+mapInPandas stage, or skip live fetch entirely and read pre-crawled
+WARC/binaryFile at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..extraction import udfs as U
+
+STORE_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("source", StringType()),
+        StructField("title", StringType()),
+        StructField("content", StringType()),
+        StructField("published_at", StringType()),
+    ]
+)
+
+
+class DictFetcher:
+    """Deterministic in-memory fetcher (url -> html); unknown URLs return
+    None, exercising the per-item error-isolation path."""
+
+    def __init__(self, pages: dict[str, str]):
+        self.pages = dict(pages)
+
+    def __call__(self, url: str) -> str | None:
+        return self.pages.get(url)
+
+
+def http_fetcher(url: str) -> str:  # pragma: no cover - network stub
+    """Live HTTP fetch — intentionally not implemented here (tests never
+    touch the network; the reference's requests.get with a 10 s timeout,
+    crawl.py:32-36, would slot in at scale)."""
+    raise NotImplementedError("network fetch is disabled in this environment")
+
+
+def _fetch_stage(df: DataFrame, url_col: str, fetcher) -> DataFrame:
+    """Generic fetch stage: adds an ``html`` column via mapInPandas —
+    IO-bound work batched per partition, the Spark-native fetch shape."""
+    schema = StructType(list(df.schema.fields) + [StructField("html", StringType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            html = []
+            for u in pdf[url_col]:
+                try:
+                    html.append(fetcher(u))
+                except Exception:  # noqa: BLE001 — OP-STR-02 isolation
+                    html.append(None)
+            out = pdf.copy()
+            out["html"] = html
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+def read_store(spark: SparkSession, store_path: str) -> DataFrame:
+    if os.path.isdir(store_path) and any(
+        f.endswith(".parquet") for f in os.listdir(store_path)
+    ):
+        return spark.read.parquet(store_path)
+    return spark.createDataFrame([], STORE_SCHEMA)
+
+
+def crawl_batch(
+    spark: SparkSession,
+    seeds: list[tuple[str, str]],
+    fetcher,
+    store_path: str,
+) -> dict[str, int]:
+    """One scheduled crawl round (the body of the reference's 6-hourly
+    loop). Returns the accounting counters the reference prints
+    (``crawl.py:133-136``)."""
+    seed_df = spark.createDataFrame(
+        seeds, "source string, base_url string"
+    ).coalesce(1)
+    pages = _fetch_stage(seed_df, "base_url", fetcher).where(
+        F.col("html").isNotNull()
+    )
+    listing = U.extract_listing(pages).dropDuplicates(["url"])
+
+    existing = read_store(spark, store_path).select("url")
+    fresh_urls = listing.join(existing, "url", "left_anti")
+
+    articles = _fetch_stage(fresh_urls, "url", fetcher).where(
+        F.col("html").isNotNull()
+    )
+    extracted = U.extract_articles(
+        articles.select("url", "source"), articles.select("url", "html")
+    )
+    batch = extracted.select(
+        "url", "source", "title", "content", "published_at"
+    ).cache()
+
+    n_new = batch.count()
+    batch.write.mode("append").parquet(store_path)
+    n_total = spark.read.parquet(store_path).count()
+    batch.unpersist()
+    return {"new_rows": n_new, "store_rows": n_total}

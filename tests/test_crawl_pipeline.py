@@ -1,0 +1,49 @@
+"""End-to-end crawl pipeline tests: fetch (fake) -> extract -> dedup ->
+append, including the idempotence property (run twice adds nothing —
+SURVEY.md §5.4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from crawlingbigdatavisionaid_spark.crawl.pipeline import (
+    DictFetcher,
+    crawl_batch,
+    read_store,
+)
+from crawlingbigdatavisionaid_spark.extraction import fixtures as FX
+
+SEEDS = [(s, b) for s, b, _ in FX.LISTING_PAGES]
+PAGES = {b: h for _, b, h in FX.LISTING_PAGES} | dict(FX.ARTICLE_PAGES)
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return str(tmp_path / "store")
+
+
+def test_first_crawl_ingests_all_unique_articles(spark, store):
+    stats = crawl_batch(spark, SEEDS, DictFetcher(PAGES), store)
+    assert stats == {"new_rows": 4, "store_rows": 4}
+    rows = {r.url: r for r in read_store(spark, store).collect()}
+    assert set(rows) == {u for u, _ in FX.ARTICLE_PAGES}
+    assert rows["https://bloga.example/posts/1"].title == "Alpha"
+    assert rows["https://blogb.example/base/p/9"].title == "No Title Found"
+
+
+def test_recrawl_is_idempotent(spark, store):
+    crawl_batch(spark, SEEDS, DictFetcher(PAGES), store)
+    stats2 = crawl_batch(spark, SEEDS, DictFetcher(PAGES), store)
+    assert stats2 == {"new_rows": 0, "store_rows": 4}
+
+
+def test_failed_fetches_isolate_per_item(spark, store):
+    # article pages for blogA missing -> those rows drop, others ingest
+    partial = {b: h for _, b, h in FX.LISTING_PAGES} | {
+        u: h for u, h in FX.ARTICLE_PAGES if "bloga" not in u
+    }
+    stats = crawl_batch(spark, SEEDS, DictFetcher(partial), store)
+    assert stats["new_rows"] == 2
+    # the missing articles arrive on a later round once fetchable
+    stats2 = crawl_batch(spark, SEEDS, DictFetcher(PAGES), store)
+    assert stats2 == {"new_rows": 2, "store_rows": 4}
