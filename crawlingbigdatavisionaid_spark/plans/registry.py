@@ -76,6 +76,7 @@ def _load_all() -> None:
         dedup,
         extraction,
         multimodal,
+        observability,
         similarity,
         star,
         streaming,
