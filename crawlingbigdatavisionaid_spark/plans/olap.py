@@ -1,0 +1,309 @@
+"""OLAP surface the reference lacks entirely (SURVEY.md §2.7 flags each
+family as "not present"): multi-level aggregation (ROLLUP / CUBE /
+GROUPING SETS), set operations (UNION / INTERSECT / EXCEPT), analytic
+window functions (row_number / lag), exact percentiles, and
+EXISTS-shaped semi joins.
+
+All pure built-ins — Catalyst expands rollup/cube to a single Expand +
+hash aggregate (one shuffle), set ops to hash aggregates/joins, and
+ranked-window top-k per group to a single shuffle+sort per partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources import load_table
+from .registry import register
+
+_DEC = "decimal(18,2)"
+
+
+# ---------------------------------------------------------------------------
+# Multi-level aggregation
+# ---------------------------------------------------------------------------
+@register(
+    "revenue_rollup_region_nation",
+    ops=("OP-AGG-01",),
+    oracle="""
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(GROUPING(r.r_name, n.n_name) AS INT) AS gid,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue,
+               COUNT(*) AS orders
+        FROM region r
+        JOIN nation n ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def revenue_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP region → nation → grand total in ONE pass: Catalyst Expand
+    emits each input row once per grouping level into a single hash
+    aggregate — no three separate scans at 100 TB."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "price_d", F.col("o_totalprice").cast(_DEC)
+    )
+    dims = c.join(
+        F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey)),
+        c.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+    joined = o.join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+    return (
+        joined.rollup("region", "nation")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.sum("price_d").alias("rev_d"),
+            F.count(F.lit(1)).alias("orders"),
+        )
+        .select(
+            "region",
+            "nation",
+            "gid",
+            F.col("rev_d").cast("double").alias("revenue"),
+            "orders",
+        )
+    )
+
+
+@register(
+    "priority_year_cube",
+    ops=("OP-AGG-01", "OP-AGG-03"),
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               CAST(EXTRACT(year FROM o_orderdate) AS INT) AS year,
+               CAST(GROUPING(o_orderpriority,
+                             CAST(EXTRACT(year FROM o_orderdate) AS INT))
+                    AS INT) AS gid,
+               COUNT(*) AS cnt
+        FROM orders
+        GROUP BY CUBE(o_orderpriority,
+                      CAST(EXTRACT(year FROM o_orderdate) AS INT))
+    """,
+)
+def priority_year_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, year): all four grouping levels from one
+    Expand + aggregate."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").cast("int").alias("year"),
+    )
+    return (
+        o.cube("priority", "year")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select("priority", "year", "gid", "cnt")
+    )
+
+
+@register(
+    "segment_nation_grouping_sets",
+    ops=("OP-AGG-01",),
+    oracle="""
+        SELECT c_mktsegment AS segment, n.n_name AS nation, COUNT(*) AS cnt
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (n.n_name))
+    """,
+)
+def segment_nation_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two independent breakdowns (by segment, by nation) in one pass via
+    GROUPING SETS — the scan and the shuffle are shared."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        F.col("c_mktsegment").alias("segment"), F.col("n_name").alias("nation")
+    )
+    return j.groupingSets([["segment"], ["nation"]], "segment", "nation").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+@register(
+    "event_buyer_intersect",
+    ops=("OP-DEDUP-01",),
+    oracle="""
+        SELECT user_id FROM events
+        INTERSECT
+        SELECT o_custkey AS user_id FROM orders
+    """,
+)
+def event_buyer_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics) — planned as aggregate + semi join."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id")
+    )
+    return ev.intersect(o)
+
+
+@register(
+    "users_without_orders_except",
+    ops=("OP-DEDUP-01",),
+    oracle="""
+        SELECT user_id FROM events
+        EXCEPT
+        SELECT o_custkey AS user_id FROM orders
+    """,
+)
+def users_without_orders_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics ⇒ ``subtract``, not the multiset
+    ``exceptAll``) — aggregate + anti join under the hood."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id")
+    )
+    return ev.subtract(o)
+
+
+@register(
+    "party_union_all",
+    ops=("OP-AGG-01",),
+    oracle="""
+        SELECT kind, COUNT(*) AS cnt, COUNT(DISTINCT nationkey) AS nations
+        FROM (
+            SELECT 'customer' AS kind, c_nationkey AS nationkey FROM customer
+            UNION ALL
+            SELECT 'supplier' AS kind, s_nationkey AS nationkey FROM supplier
+        ) GROUP BY kind
+    """,
+)
+def party_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two heterogeneous entity tables onto one schema
+    (``unionByName``) — the reference's per-source crawl loop
+    (``crawl.py:128-133``) is this union, done declaratively."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("kind"), F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"), F.col("s_nationkey").alias("nationkey")
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("nationkey").alias("nations"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi join (EXISTS)
+# ---------------------------------------------------------------------------
+@register(
+    "orders_with_returns_semi",
+    ops=("OP-DEDUP-01",),
+    oracle="""
+        SELECT o_orderkey, o_orderpriority
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+    """,
+)
+def orders_with_returns_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join: no duplication of the left side, the
+    right side reduced to its join key before shuffling."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Analytic window functions
+# ---------------------------------------------------------------------------
+@register(
+    "top3_orders_per_customer",
+    ops=("OP-TOPK-01",),
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey)
+                       AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ranked window — one shuffle on the partition
+    key; AQE handles skewed customers. (Global top-k uses limit/
+    TakeOrderedAndProject instead — see ``top_customers``.)"""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "user_event_gaps",
+    ops=("OP-X-WIN-01",),
+    oracle="""
+        SELECT event_id, user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts,
+               DATE_DIFF('microsecond',
+                         LAG(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id),
+                         ts) AS gap_us
+        FROM events
+    """,
+)
+def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap per user via LAG — exact integer microseconds so
+    the hash comparison is bit-stable."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        prev.alias("prev_ts"),
+        (F.unix_micros("ts") - F.unix_micros(prev)).alias("gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percentiles
+# ---------------------------------------------------------------------------
+@register(
+    "value_percentiles_by_type",
+    ops=("OP-AGG-01",),
+    oracle="""
+        SELECT event_type,
+               ROUND(QUANTILE_CONT(value, 0.5), 4) AS p50,
+               ROUND(QUANTILE_CONT(value, 0.95), 4) AS p95,
+               COUNT(*) AS cnt
+        FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``), rounded to absorb IEEE interpolation jitter. At
+    100 TB swap to ``approx_percentile`` (t-digest sketch, mergeable
+    map-side) — exact percentile keeps all values per group."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.count(F.lit(1)).alias("cnt"),
+    )

@@ -73,10 +73,12 @@ def _load_all() -> None:
         return
     from . import (  # noqa: F401
         analytics,
+        asof,
         dedup,
         extraction,
         multimodal,
         observability,
+        olap,
         similarity,
         star,
         streaming,
