@@ -39,6 +39,10 @@ HEADLINE = [
     "corpus_tfidf",
     "quality_score",
     "multimodal_features",
+    "asof_click_purchase",
+    "range_join_clicks_before_purchase",
+    "revenue_rollup_region_nation",
+    "top3_orders_per_customer",
 ]
 
 

@@ -223,6 +223,38 @@ def orders_with_returns_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Skew-mitigated join
+# ---------------------------------------------------------------------------
+@register(
+    "salted_segment_event_counts",
+    ops=("OP-AGG-01",),
+    oracle="""
+        SELECT c.c_mktsegment AS segment,
+               COUNT(*) AS events,
+               COUNT(DISTINCT e.user_id) AS users
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+)
+def salted_segment_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dim join through the salted-join operator
+    (``operators/skew.py``): hot user_ids split across 8 sub-keys, the
+    dim replicated 8x. Row-identical to the plain join — the oracle IS
+    the plain join."""
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    joined = salted_join(ev, c, on="user_id", n_salts=8)
+    return joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("events"),
+        F.countDistinct("user_id").alias("users"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Analytic window functions
 # ---------------------------------------------------------------------------
 @register(

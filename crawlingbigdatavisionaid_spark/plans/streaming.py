@@ -33,6 +33,40 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_user_sessions",
+    ops=("OP-STR-01", "OP-X-WIN-01"),
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+            FROM events
+        ), flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN prev_ts IS NULL
+                             OR ts - prev_ts >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM ordered
+        ), numbered AS (
+            SELECT user_id, ts,
+                   CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                            ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS sess_no
+            FROM flagged
+        )
+        SELECT user_id, sess_no,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events
+        FROM numbered GROUP BY user_id, sess_no
+    """,
+)
+def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: per-user 30-minute-gap sessionization
+    with explicit open-session state (``streaming/stateful.py``) — the
+    semantics ``session_window`` can't express incrementally."""
+    return SP.user_sessions(spark, sf_dir, gap_s=1800)
+
+
+@register(
     "stream_dedup_count",
     ops=("OP-STR-01", "OP-DEDUP-01"),
     oracle="SELECT COUNT(*) AS distinct_events FROM events",

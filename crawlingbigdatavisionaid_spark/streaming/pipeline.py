@@ -80,6 +80,15 @@ def hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
+def user_sessions(spark: SparkSession, sf_dir: str, gap_s: int = 1800) -> DataFrame:
+    """Custom stateful sessionization (applyInPandasWithState) drained
+    with availableNow — equals the batch lag/gap sessionization."""
+    from . import stateful
+
+    ev = _events_stream(spark, sf_dir)
+    return _run_to_memory(stateful.user_sessions_stream(ev, gap_s), "update")
+
+
 def dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once dedup: each event arrives duplicated
     (explode x2) and ``dropDuplicates`` on the key keeps state across
