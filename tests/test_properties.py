@@ -1,0 +1,74 @@
+"""Property-based tests (SURVEY.md §5.4): tokenizer vs a Python ``re``
+oracle, and gap-fill invariants. Each hypothesis example ships a whole
+batch of rows through one Spark job to keep wall time sane.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from crawlingbigdatavisionaid_spark.functions.text import TOKEN_PATTERN, tokens
+from crawlingbigdatavisionaid_spark.operators.timeline import timeline_gapfill
+
+# stable under both Java's and Python's lower(): ascii + punct + digits +
+# a few case-stable non-ascii chars (no Turkish İ / sigma edge cases)
+_ALPHABET = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    " \t\n.,;:!?'\"()[]{}<>-_/\\@#$%^&*+=~`|éñüß中文а"
+)
+
+_slow = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_slow
+@given(
+    texts=st.lists(
+        st.text(alphabet=_ALPHABET, max_size=200), min_size=1, max_size=40
+    )
+)
+def test_tokenizer_matches_python_re_oracle(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    got = {
+        r["id"]: r["toks"]
+        for r in df.select("id", tokens("text").alias("toks")).collect()
+    }
+    pat = re.compile(TOKEN_PATTERN)
+    for i, t in enumerate(texts):
+        assert got[i] == pat.findall(t.lower()), repr(t)
+
+
+@_slow
+@given(
+    days=st.lists(
+        st.dates(
+            min_value=dt.date(2020, 1, 1), max_value=dt.date(2021, 12, 31)
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    n_nulls=st.integers(min_value=0, max_value=5),
+)
+def test_gapfill_invariants(spark, days, n_nulls):
+    rows = [(dt.datetime.combine(d, dt.time(12, 0)),) for d in days]
+    rows += [(None,)] * n_nulls
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = {r["day"]: r["cnt"] for r in timeline_gapfill(df, "ts").collect()}
+
+    lo, hi = min(days), max(days)
+    # dense: every day between min and max present exactly once
+    assert len(out) == (hi - lo).days + 1
+    assert set(out) == {lo + dt.timedelta(days=i) for i in range((hi - lo).days + 1)}
+    # counts preserved; nulls dropped; absent days zero-filled
+    assert sum(out.values()) == len(days)
+    for d in set(out) - set(days):
+        assert out[d] == 0
+    for d in set(days):
+        assert out[d] == days.count(d)
