@@ -1,0 +1,89 @@
+"""Physical-plan regression tests: the plans that make these queries
+scale must not silently degrade (lost pushdown, dropped broadcast, a
+top-k becoming a global sort). These assert the *shape* Catalyst picks
+on the real test data.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from crawlingbigdatavisionaid_spark.plans import query_map
+
+
+def _plan(spark, sf_dir, name: str, executed: bool = False) -> str:
+    """Physical plan text; ``executed=True`` runs the query first so the
+    AQE-final plan (with WholeStageCodegen stages) is what prints."""
+    df = query_map()[name](spark, sf_dir)
+    if executed:
+        # collect() (not a write) so THIS DataFrame's QueryExecution is
+        # the one AQE finalizes
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _read_schema(spark, sf_dir, name: str, table: str) -> str:
+    """The full pushed-down reader schema for ``table``'s scan (the plan
+    string truncates ReadSchema, so pull it from the formatted form)."""
+    df = query_map()[name](spark, sf_dir)
+    txt = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    for block in txt.split("\n\n"):
+        if f"{table}.parquet" in block and "ReadSchema" in block:
+            return block[block.index("ReadSchema") :].splitlines()[0]
+    raise AssertionError(f"no scan of {table} found in formatted plan")
+
+
+def test_q1_filter_pushed_to_parquet_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_scan_prunes_columns(spark, sf_dir):
+    # only the 6 needed columns of lineitem's 16 reach the reader
+    scan = _read_schema(spark, sf_dir, "q1_pricing_summary", "lineitem")
+    for col in ("l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"):
+        assert col in scan
+    for col in ("l_comment", "l_partkey", "l_receiptdate"):
+        assert col not in scan
+
+
+def test_region_revenue_dims_broadcast_not_shuffled(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "region_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # AQE/broadcast keeps fact unshuffled here
+
+
+def test_topk_plans_as_take_ordered_not_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "top_customers")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_word_topk_aggregates_before_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "word_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "HashAggregate" in plan
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "orders_with_returns_semi")
+    assert "LeftSemi" in plan
+
+
+def test_rollup_is_one_expand_one_aggregate_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "revenue_rollup_region_nation")
+    assert plan.count("Expand") >= 1
+    # one shuffle for the (grouped) aggregate; dims broadcast
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q1_pricing_summary", "region_revenue", "top_customers", "word_topk"],
+)
+def test_hot_queries_run_in_whole_stage_codegen(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name, executed=True)
+    assert "isFinalPlan=true" in plan
+    # '*(n)' prefixes mark operators fused into WholeStageCodegen stages
+    assert "*(" in plan
