@@ -65,6 +65,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk",
+    ops=("OP-X-SIM-01",),
+    oracle=None,  # approximate by construction; recall asserted in pytest
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans coarse quantizer + nprobe cell search) top-10 — the
+    other standard ANN scale path beside LSH: one corpus shuffle keyed by
+    cell, queries broadcast into their nprobe nearest cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.ivf_topk(emb, queries, k=10, n_cells=10, nprobe=4)
+
+
+@register(
     "dedup_embedding_pairs",
     ops=("OP-X-DEDUP-02", "OP-X-SIM-01"),
     oracle=f"""

@@ -84,3 +84,26 @@ def test_lsh_ranks_are_contiguous_per_query(emb):
         by_q.setdefault(r.query_id, []).append(r.rank)
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ivf_topk_recall_vs_brute_force(emb):
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(emb, queries, k=10, n_cells=10, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # the test embeddings have 10 planted label clusters; probing 4 of 10
+    # KMeans cells must recover most exact neighbors
+    assert recall >= 0.65, f"IVF recall@10 = {recall}"
+
+
+def test_ivf_is_deterministic_across_runs(emb):
+    queries = emb.where(F.col("vec_id") < 3)
+    a = sorted(map(tuple, S.ivf_topk(emb, queries, k=5).collect()))
+    b = sorted(map(tuple, S.ivf_topk(emb, queries, k=5).collect()))
+    assert a == b
