@@ -57,15 +57,27 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qmap = query_map()
 
-    # warmup: JIT + parquet footer caches, not part of the measurement
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # warmup: JIT + parquet footer caches + the nanos-timestamp read path,
+    # not part of the measurement
+    from crawlingbigdatavisionaid_spark.sources import load_table
 
+    for t in ("lineitem", "events", "documents", "embeddings"):
+        load_table(spark, sf_dir, t).count()
+
+    # each query runs twice: the first (cold) run carries one-time
+    # whole-stage-codegen compilation (~0.5-1s/query shape — constant,
+    # irrelevant at scale); the second (warm) run is the steady-state
+    # execution cost that actually scales with data volume.
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         fn = qmap[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warm[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -75,6 +87,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "warm_total": round(sum(warm.values()), 3),
                 "sf": float(sf),
             }
         )
