@@ -39,6 +39,8 @@ HEADLINE = [
     "corpus_tfidf",
     "quality_score",
     "multimodal_features",
+    "q6_forecast_revenue",
+    "q14_promo_revenue_share",
     "asof_click_purchase",
     "range_join_clicks_before_purchase",
     "revenue_rollup_region_nation",

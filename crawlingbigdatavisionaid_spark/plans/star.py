@@ -361,3 +361,155 @@ def mktsegment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt") * 100.0 / F.sum("cnt").over(Window.partitionBy()), 4
         ).alias("pct"),
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    ops=("OP-AGG-05",),
+    oracle="""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.02 AND 0.09
+          AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate — every predicate
+    reaches the parquet reader (PushedFilters), zero joins, one 1-row
+    result; the canonical test that filter pushdown works end-to-end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.09)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(_DEC) * F.col("l_discount").cast(_DEC)
+            ).alias("rev_d"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(F.col("rev_d").cast("double").alias("revenue"), "n_lines")
+    )
+
+
+@register(
+    "q12_linestatus_priority",
+    ops=("OP-AGG-01",),
+    oracle="""
+        SELECT l.l_linestatus,
+               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l.l_linestatus
+    """,
+)
+def q12_linestatus_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted to the synthetic schema, which has no
+    shipmode/receiptdate): join + CONDITIONAL aggregation (pivot-style
+    CASE-WHEN counts) — one join shuffle, integer-only output."""
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .select("l_orderkey", "l_linestatus")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    ops=("OP-AGG-02",),
+    oracle="""
+        SELECT ROUND(
+                 100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%%'
+                        THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE),
+                 4) AS promo_pct
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: broadcast dim join + ratio of conditional sums.
+    Both sums run exact-decimal in ONE aggregate; the single double
+    division then rounds — deterministic cross-engine."""
+    lo = F.lit("1997-09-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-10-01 00:00:00").cast("timestamp")
+    li = _li_money(
+        load_table(spark, sf_dir, "lineitem").where(
+            (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+        )
+    ).select("l_partkey", "price_d", "disc_d")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("price_d") * (F.lit(1) - F.col("disc_d"))
+    zero = F.lit(0).cast(_DEC)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(zero)).alias("pr"),
+            F.sum(rev).alias("tr"),
+        )
+        .select(
+            F.round(
+                100.0 * F.col("pr").cast("double") / F.col("tr").cast("double"), 4
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "parts_above_type_average",
+    ops=("OP-AGG-01",),
+    oracle="""
+        SELECT p_partkey, p_type, p_retailprice
+        FROM (
+            SELECT p_partkey, p_type, p_retailprice,
+                   AVG(p_retailprice) OVER (PARTITION BY p_type) AS type_avg
+            FROM part
+        ) WHERE p_retailprice > type_avg
+    """,
+)
+def parts_above_type_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (price > group average), planned as a
+    single window aggregate — one shuffle on the group key instead of
+    the naive aggregate-then-rejoin double scan. The comparison uses the
+    raw double column, no derived float in the output."""
+    from pyspark.sql.window import Window
+
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type")
+    return (
+        p.withColumn("type_avg", F.avg("p_retailprice").over(w))
+        .where(F.col("p_retailprice") > F.col("type_avg"))
+        .select("p_partkey", "p_type", "p_retailprice")
+    )
