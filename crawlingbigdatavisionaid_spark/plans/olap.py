@@ -339,3 +339,32 @@ def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
         F.count(F.lit(1)).alias("cnt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark SQL API surface
+# ---------------------------------------------------------------------------
+_SQL_NATION_ACTIVITY = """
+    SELECT n.n_name AS nation,
+           COUNT(DISTINCT c.c_custkey) AS customers,
+           COUNT(o.o_orderkey) AS orders
+    FROM nation n
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY n.n_name
+"""
+
+
+@register(
+    "sql_api_nation_activity",
+    ops=("OP-AGG-01", "OP-GAP-01"),
+    oracle=_SQL_NATION_ACTIVITY,
+)
+def sql_api_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's ANSI-SQL entry point: the SAME SQL text the DuckDB
+    oracle runs is executed by Spark SQL over registered temp views —
+    identical Catalyst plan to the DataFrame form, zero-cost API parity."""
+    from ..sources.views import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_NATION_ACTIVITY)

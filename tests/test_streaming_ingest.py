@@ -1,0 +1,67 @@
+"""Streaming ingestion: cross-batch store dedup, incremental drains, and
+replay safety via the checkpoint."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from crawlingbigdatavisionaid_spark.crawl.pipeline import read_store
+from crawlingbigdatavisionaid_spark.streaming.ingest import ingest_stream
+
+
+def _doc(u: str) -> tuple:
+    return (u, "https://s.example", f"title {u}", f"content {u}", None)
+
+
+SCHEMA = "url string, source string, title string, content string, published_at string"
+
+
+@pytest.fixture()
+def paths(tmp_path):
+    return str(tmp_path / "in"), str(tmp_path / "store"), str(tmp_path / "ckpt")
+
+
+def _land(spark, input_path: str, name: str, urls: list[str], mtime: int) -> None:
+    spark.createDataFrame([_doc(u) for u in urls], SCHEMA).coalesce(1).write.parquet(
+        f"{input_path}/{name}"
+    )
+    for f in os.listdir(f"{input_path}/{name}"):
+        os.utime(f"{input_path}/{name}/{f}", (mtime, mtime))
+
+
+def test_overlapping_batches_dedup_against_store(spark, paths):
+    input_path, store, ckpt = paths
+    t = 1_700_000_000
+    _land(spark, input_path, "b1", ["u1", "u2"], t)
+    _land(spark, input_path, "b2", ["u2", "u3"], t + 60)
+
+    appended = ingest_stream(spark, input_path, store, ckpt, max_files_per_trigger=1)
+    assert [n for _, n in appended] == [2, 1]  # u2 deduped in batch 2
+    urls = sorted(r.url for r in read_store(spark, store).collect())
+    assert urls == ["u1", "u2", "u3"]
+
+
+def test_incremental_drain_skips_processed_files(spark, paths):
+    input_path, store, ckpt = paths
+    t = 1_700_000_000
+    _land(spark, input_path, "b1", ["u1", "u2"], t)
+    ingest_stream(spark, input_path, store, ckpt)
+
+    # next scheduled run: one new file, one duplicate URL inside it;
+    # the checkpoint skips b1 entirely, the store-dedup drops u1
+    _land(spark, input_path, "b2", ["u1", "u4"], t + 60)
+    appended = ingest_stream(spark, input_path, store, ckpt)
+    assert sum(n for _, n in appended) == 1
+    urls = sorted(r.url for r in read_store(spark, store).collect())
+    assert urls == ["u1", "u2", "u4"]
+
+
+def test_rerun_with_no_new_input_appends_nothing(spark, paths):
+    input_path, store, ckpt = paths
+    _land(spark, input_path, "b1", ["u1"], 1_700_000_000)
+    ingest_stream(spark, input_path, store, ckpt)
+    appended = ingest_stream(spark, input_path, store, ckpt)
+    assert sum(n for _, n in appended) == 0
+    assert read_store(spark, store).count() == 1
