@@ -368,3 +368,51 @@ def sql_api_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_NATION_ACTIVITY)
+
+
+# ---------------------------------------------------------------------------
+# Pivot and sketches
+# ---------------------------------------------------------------------------
+@register(
+    "daily_event_type_pivot",
+    ops=("OP-AGG-01", "OP-AGG-03"),
+    oracle="""
+        SELECT CAST(ts AS DATE) AS day,
+               SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
+               SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+               SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
+               SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+        FROM events GROUP BY 1
+    """,
+)
+def daily_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot with EXPLICIT pivot values — one aggregation pass.
+    (Without the value list Spark runs an extra distinct job to discover
+    columns, and the output schema becomes data-dependent — never do
+    that at 100 TB.)"""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
+        .fillna(0, subset=types)
+    )
+
+
+@register(
+    "approx_value_percentiles",
+    ops=("OP-X-APPROX-01",),
+    oracle=None,  # sketch-based; tolerance asserted in pytest vs exact
+)
+def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (mergeable quantile sketch): the 100 TB form of
+    value_percentiles_by_type — map-side partial sketches merge in one
+    shuffle of O(groups x sketch), never holding a group's values."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, array(0.5, 0.95), 10000)").alias("pcts"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
