@@ -169,3 +169,29 @@ def value_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("sv").cast("double") / F.col("cnt"), 4).alias("avg_value"),
         )
     )
+
+
+@register(
+    "json_props_typed_struct",
+    ops=("OP-X-JSON-01",),
+    oracle="""
+        SELECT event_type,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS bad_json
+        FROM events GROUP BY event_type
+    """,
+)
+def json_props_typed_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``from_json`` with a DECLARED schema — parse the JSON column ONCE
+    into a typed struct, then aggregate struct fields. At 100 TB this
+    beats per-path ``get_json_object`` (which re-parses the string per
+    extraction) and keeps malformed JSON observable (null struct)
+    instead of silently zero."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k BIGINT").alias("p")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.col("p.k")).alias("sum_k"),
+        F.sum(F.col("p").isNull().cast("long")).alias("bad_json"),
+    )
