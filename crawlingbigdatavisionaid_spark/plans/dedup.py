@@ -77,3 +77,100 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pigeonhole)."""
     docs = load_table(spark, sf_dir, "documents")
     return ND.simhash_pairs(docs, bits=32, maxd=3)
+
+
+_SQL_JACCARD_PAIRS = f"""
+    WITH t AS (
+        SELECT doc_id, {_SQL_SHINGLES} AS sh
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+              FROM documents)
+    ), nz AS (
+        SELECT doc_id, sh FROM t WHERE len(sh) > 0
+    ), e AS (
+        SELECT doc_id, unnest(sh) AS s FROM nz
+    ), prs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), sizes AS (
+        SELECT doc_id, len(sh) AS n_sh FROM nz
+    ), dup_pairs AS (
+        SELECT p.doc_a, p.doc_b
+        FROM prs p
+        JOIN sizes sa ON p.doc_a = sa.doc_id
+        JOIN sizes sb ON p.doc_b = sb.doc_id
+        WHERE 10 * p.inter >= 8 * (sa.n_sh + sb.n_sh - p.inter)
+    )
+"""
+
+
+@register(
+    "dedup_components",
+    ops=("OP-X-DEDUP-02",),
+    oracle=_SQL_JACCARD_PAIRS.replace("WITH", "WITH RECURSIVE", 1)
+    + """
+    , edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM dup_pairs
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS node, LEAST(src, MIN(dst)) AS component
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup groups: iterative min-label propagation
+    (``operators/components.py``) over the exact-Jaccard pair graph —
+    component id = min doc_id reachable. The DuckDB oracle computes the
+    same property with a recursive CTE."""
+    from ..operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ND.jaccard_pairs(docs, threshold_tenths=8, n=3)
+    return connected_components(pairs)
+
+
+@register(
+    "dedup_canonical_docs",
+    ops=("OP-X-DEDUP-02", "OP-DEDUP-01"),
+    oracle=_SQL_JACCARD_PAIRS.replace("WITH", "WITH RECURSIVE", 1)
+    + """
+    , edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM dup_pairs
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), cc AS (
+        SELECT src AS node, LEAST(src, MIN(dst)) AS component
+        FROM reach GROUP BY src
+    )
+    SELECT d.doc_id
+    FROM documents d
+    LEFT JOIN cc ON d.doc_id = cc.node
+    WHERE cc.node IS NULL OR cc.component = d.doc_id
+    """,
+)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION: keep the minimum doc_id of each near-dup
+    component plus every unpaired doc — the surviving training set."""
+    from ..operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = ND.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold_tenths=8, n=3
+    )
+    cc = connected_components(pairs)
+    from pyspark.sql import functions as F
+
+    return (
+        docs.join(cc, docs.doc_id == cc.node, "left")
+        .where(F.col("node").isNull() | (F.col("component") == F.col("doc_id")))
+        .select("doc_id")
+    )
