@@ -416,3 +416,37 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(value, array(0.5, 0.95), 10000)").alias("pcts"),
         F.count(F.lit(1)).alias("cnt"),
     )
+
+
+@register(
+    "running_revenue_by_customer",
+    ops=("OP-AGG-01",),
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS running_spend
+        FROM orders
+    """,
+)
+def running_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window frame (ROWS UNBOUNDED PRECEDING → CURRENT):
+    running spend per customer in event order. Exact decimal inside the
+    frame, one cast out — the frame sum is order-dependent, so the
+    total ORDER (date + key tiebreak) must be deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(_DEC))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
