@@ -290,3 +290,145 @@ def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("bigram"))
         .limit(50)
     )
+
+
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+_PHONE_RE = "[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+
+
+@register(
+    "pii_redaction",
+    ops=("OP-X-TXT-04",),
+    oracle=f"""
+        WITH salted AS (
+            SELECT doc_id,
+                   text || ' contact user' || doc_id
+                        || '@mail.example or 555-01' || doc_id % 10
+                        || '-4567 now' AS t
+            FROM documents
+        ), red AS (
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+            FROM salted
+        )
+        SELECT r.doc_id,
+               LENGTH(s.t) - LENGTH(r.redacted) AS chars_removed,
+               LENGTH(r.redacted)
+                 - LENGTH(REPLACE(r.redacted, '<EMAIL>', '' )) AS email_hits_x7,
+               LENGTH(r.redacted)
+                 - LENGTH(REPLACE(r.redacted, '<PHONE>', '' )) AS phone_hits_x7
+        FROM red r JOIN salted s ON r.doc_id = s.doc_id
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails/phones → placeholder tokens), a standard
+    training-data hygiene pass. The corpus text contains no PII, so the
+    query SALTS each doc with a deterministic fake email+phone first —
+    the redaction path is then actually exercised, and both engines run
+    the identical regex (patterns chosen to mean the same thing in Java
+    regex and RE2: no lookaround, no word-boundary escapes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example or 555-01"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit("-4567 now"),
+        ).alias("t"),
+    )
+    red = salted.select(
+        "doc_id",
+        "t",
+        F.regexp_replace(
+            F.regexp_replace("t", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("redacted"),
+    )
+    return red.select(
+        "doc_id",
+        (F.length("t") - F.length("redacted")).alias("chars_removed"),
+        (
+            F.length("redacted")
+            - F.length(F.regexp_replace("redacted", "<EMAIL>", ""))
+        ).alias("email_hits_x7"),
+        (
+            F.length("redacted")
+            - F.length(F.regexp_replace("redacted", "<PHONE>", ""))
+        ).alias("phone_hits_x7"),
+    )
+
+
+@register(
+    "repetition_signals",
+    ops=("OP-X-TXT-04", "OP-X-DEDUP-02"),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '{{TOKEN}}') AS toks
+            FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 0)),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   ) AS grams
+            FROM t
+        ), e AS (
+            SELECT t.doc_id, unnest(t.toks) AS w FROM t
+        ), tf AS (
+            SELECT doc_id, w, COUNT(*) AS c FROM e GROUP BY 1, 2
+        ), top AS (
+            SELECT doc_id, MAX(c) AS max_tf, SUM(c) AS n_tok FROM tf GROUP BY 1
+        )
+        SELECT g.doc_id,
+               top.n_tok AS n_tokens,
+               ROUND(1.0 - CAST(len(list_distinct(g.grams)) AS DOUBLE)
+                         / NULLIF(len(g.grams), 0), 4) AS dup_trigram_frac,
+               ROUND(CAST(top.max_tf AS DOUBLE) / top.n_tok, 4)
+                   AS top_token_frac
+        FROM g JOIN top ON g.doc_id = top.doc_id
+        WHERE top.n_tok > 0
+    """.replace("{TOKEN}", "[a-z]+"),
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate
+    trigram fraction and top-token mass. High values flag boilerplate /
+    degenerate text for filtering before training. One explode+agg for
+    term frequencies; trigram distinctness computed array-side in the
+    same pass shape as the dedup shingles."""
+    from ..functions.text import TOKEN_PATTERN, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("toks"))
+    grams = t.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, greatest(size(toks) - 2, 0)),"
+            " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+        ).alias("grams"),
+    )
+    tf = (
+        t.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_tf"), F.sum("c").alias("n_tok"))
+        .where(F.col("n_tok") > 0)
+    )
+    return grams.join(tf, "doc_id").select(
+        "doc_id",
+        F.col("n_tok").alias("n_tokens"),
+        F.round(
+            1.0
+            - F.size(F.array_distinct("grams")).cast("double")
+            / F.nullif(F.size("grams"), F.lit(0)),
+            4,
+        ).alias("dup_trigram_frac"),
+        F.round(F.col("max_tf").cast("double") / F.col("n_tok"), 4).alias(
+            "top_token_frac"
+        ),
+    )
