@@ -42,7 +42,7 @@ def connected_components(
         .cache()
     )
     try:
-        for _ in range(max_iter):
+        for i in range(max_iter):
             neighbor_min = (
                 edges.join(labels, edges.dst == labels.node)
                 .groupBy("src")
@@ -58,6 +58,10 @@ def connected_components(
                 )
                 .cache()
             )
+            if i and i % 5 == 0:
+                # truncate the join-upon-join lineage: long CC runs
+                # otherwise re-plan an ever-deeper tree each round
+                new_labels = new_labels.localCheckpoint(eager=True)
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "node")
