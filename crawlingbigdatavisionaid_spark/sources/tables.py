@@ -14,6 +14,7 @@ At 100 TB the same call reads a partitioned table (partition columns e.g.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -42,7 +43,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # the driver's parquet stores TIMESTAMP(NANOS), surfaced as raw
+        # nanos by the legacy conf; re-written copies are already proper
+        # timestamps and must not be converted again
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 

@@ -1,0 +1,118 @@
+"""Scale smoke: run the headline join/agg queries on ~Kx the bench data.
+
+Replicates the fact tables K times with REMAPPED keys (order keys get an
+offset per replica, so join fan-out stays realistic instead of K-times
+duplicate matches), writes a temporary sf-dir layout, and runs the SAME
+``queries()`` callables against it. The point is evidence, not a score:
+per-query wall time should grow ~linearly with K while plans keep their
+shape (broadcast dims, single agg shuffle) — run tools/plan_report.py
+against the scaled dir to confirm.
+
+Usage: python tools/scale_smoke.py [K] [base_sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "region_revenue",
+    "top_customers",
+    "revenue_rollup_region_nation",
+    "asof_click_purchase",
+    "range_join_clicks_before_purchase",
+    "window_tumbling_1h",
+    "word_topk",
+]
+
+
+def build_scaled(spark, base: str, out: str, k: int) -> None:
+    from pyspark.sql import functions as F
+
+    from crawlingbigdatavisionaid_spark.sources import TABLES, load_table
+
+    os.makedirs(out, exist_ok=True)
+    orders = load_table(spark, base, "orders")
+    lineitem = load_table(spark, base, "lineitem")
+    events = load_table(spark, base, "events")
+    ok_span = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    ev_span = events.agg(F.max("event_id")).first()[0] + 1
+
+    def rep(df, col, span):
+        parts = [
+            df.withColumn(col, F.col(col) + F.lit(i * span)) for i in range(k)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u
+
+    rep(orders, "o_orderkey", ok_span).write.mode("overwrite").parquet(
+        f"{out}/orders.parquet"
+    )
+    rep(lineitem, "l_orderkey", ok_span).write.mode("overwrite").parquet(
+        f"{out}/lineitem.parquet"
+    )
+    rep(events, "event_id", ev_span).write.mode("overwrite").parquet(
+        f"{out}/events.parquet"
+    )
+    for t in TABLES:
+        if t in ("orders", "lineitem", "events"):
+            continue
+        load_table(spark, base, t).write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    from crawlingbigdatavisionaid_spark.plans import query_map
+    from crawlingbigdatavisionaid_spark.session import get_spark
+
+    spark = get_spark("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = tempfile.mkdtemp(prefix=f"scale_{k}x_")
+    try:
+        t0 = time.perf_counter()
+        build_scaled(spark, base, out, k)
+        build_s = round(time.perf_counter() - t0, 1)
+
+        qmap = query_map()
+        li_rows = spark.read.parquet(f"{out}/lineitem.parquet").count()
+        timings = {}
+        for name in QUERIES:
+            fn = qmap[name]
+            fn(spark, out).write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.perf_counter()
+            fn(spark, out).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        print(
+            json.dumps(
+                {
+                    "k": k,
+                    "base": base,
+                    "lineitem_rows": li_rows,
+                    "build_s": build_s,
+                    "queries": timings,
+                    "total": round(sum(timings.values()), 3),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
