@@ -75,3 +75,56 @@ def stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming stateful dedup: doubled input, dropDuplicates state on
     event_id, complete-mode count == exact distinct count."""
     return SP.dedup_count(spark, sf_dir)
+
+
+@register(
+    "stream_session_windows",
+    ops=("OP-STR-01", "OP-X-WIN-01"),
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+            FROM events
+        ), flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN prev_ts IS NULL
+                             OR ts - prev_ts >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM ordered
+        ), numbered AS (
+            SELECT user_id, ts,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sess
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM numbered GROUP BY user_id, sess
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in session_window running in a REAL streaming query (state
+    store + watermark), drained availableNow; session end = last event +
+    gap, matching the lag-based batch sessionization in SQL."""
+    return SP.session_windows(spark, sf_dir, "30 minutes")
+
+
+@register(
+    "stream_interval_join",
+    ops=("OP-STR-01", "OP-X-WIN-01"),
+    oracle="""
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+               p.user_id AS user_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND c.ts > p.ts - INTERVAL 10 MINUTE
+         AND c.ts <= p.ts
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join with watermarked state purge on both
+    sides — drained availableNow it equals the batch range join."""
+    return SP.interval_join_clicks_purchases(spark, sf_dir)

@@ -100,3 +100,59 @@ def dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = doubled.dropDuplicates(["event_id"])
     agg = deduped.agg(F.count(F.lit(1)).alias("distinct_events"))
     return _run_to_memory(agg, "complete")
+
+
+def session_windows(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
+    """Built-in session_window aggregation in streaming mode, drained
+    with availableNow => equals the batch session_window aggregate."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+def interval_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join: clicks joined to purchases of the
+    same user within the preceding 10 minutes, both sides watermarked.
+
+    The event-time bound is what makes this feasible: each side's join
+    state is purged once the watermark passes the interval, so state
+    stays O(window x rate) instead of growing forever. Drained with
+    availableNow, the result equals the batch range join (the oracle).
+    """
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+    return _run_to_memory(joined, "append")
