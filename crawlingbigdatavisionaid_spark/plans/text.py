@@ -432,3 +432,51 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_token_frac"
         ),
     )
+
+
+@register(
+    "deterministic_doc_split",
+    ops=("OP-FLT-01",),
+    oracle="""
+        SELECT
+            SUM(CASE WHEN doc_id % 100 < 80 THEN 1 ELSE 0 END) AS train_docs,
+            SUM(CASE WHEN doc_id % 100 >= 80 AND doc_id % 100 < 90
+                     THEN 1 ELSE 0 END) AS val_docs,
+            SUM(CASE WHEN doc_id % 100 >= 90 THEN 1 ELSE 0 END) AS test_docs,
+            SUM(CASE WHEN doc_id % 100 < 80 THEN n_chars ELSE 0 END)
+                AS train_chars
+        FROM documents
+    """,
+)
+def deterministic_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-based train/val/test split (80/10/10 on ``doc_id % 100``) —
+    the reproducible alternative to ``randomSplit`` for training
+    pipelines: assignment is a pure function of the stable key, so the
+    split survives reshuffles, re-reads, and engine changes (which is
+    exactly why it is oracle-checkable and a seeded sampler is not)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.col("doc_id") % 100
+    return docs.agg(
+        F.sum((bucket < 80).cast("long")).alias("train_docs"),
+        F.sum(((bucket >= 80) & (bucket < 90)).cast("long")).alias("val_docs"),
+        F.sum((bucket >= 90).cast("long")).alias("test_docs"),
+        F.sum(F.when(bucket < 80, F.col("n_chars")).otherwise(0)).alias(
+            "train_chars"
+        ),
+    )
+
+
+@register(
+    "stratified_sample_by_lang",
+    ops=("OP-FLT-01",),
+    oracle=None,  # sampler RNG is Spark-internal; proportions pytest-checked
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (``sampleBy``, fixed seed): downsample the
+    dominant language to balance a corpus — per-stratum Bernoulli
+    sampling in ONE scan, no shuffle. Deterministic for a given seed and
+    partitioning; proportions are asserted in pytest."""
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
+    sampled = docs.sampleBy("lang", fractions, seed=42)
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))

@@ -31,3 +31,34 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
     exact = ev.select(F.countDistinct("user_id")).first()[0]
     approx = ev.select(F.approx_count_distinct("user_id", rsd=0.05)).first()[0]
     assert abs(approx - exact) / exact < 0.15
+
+
+def test_stratified_sample_proportions(spark, sf_dir):
+    from crawlingbigdatavisionaid_spark.plans import query_map
+
+    full = {
+        r["lang"]: r["cnt"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    sampled = {
+        r["lang"]: r["cnt"]
+        for r in query_map()["stratified_sample_by_lang"](spark, sf_dir).collect()
+    }
+    # non-downsampled strata survive whole; 'en' lands near 50%
+    for lang, n in full.items():
+        if lang == "en":
+            assert 0.3 <= sampled[lang] / n <= 0.7, (sampled[lang], n)
+        else:
+            assert sampled[lang] == n
+
+
+def test_stratified_sample_is_deterministic(spark, sf_dir):
+    from crawlingbigdatavisionaid_spark.plans import query_map
+
+    fn = query_map()["stratified_sample_by_lang"]
+    a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert a == b
