@@ -450,3 +450,30 @@ def running_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("running_spend"),
     )
+
+
+@register(
+    "latest_event_per_user",
+    ops=("OP-TOPK-01", "OP-DEDUP-01"),
+    oracle="""
+        SELECT user_id,
+               arg_max(event_id, ts) AS last_event_id,
+               arg_max(event_type, ts) AS last_event_type,
+               MAX(ts) AS last_ts,
+               COUNT(*) AS n_events
+        FROM events GROUP BY user_id
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-collapse / keep-latest-per-key via ``max_by`` — ONE hash
+    aggregate (partial max_by per task), no window sort, no self-join.
+    This is the 100 TB way to reduce a changelog to current state.
+    Precondition: (user_id, ts) unique — holds for this data; with ties,
+    maximize a composed (ts, id) key instead."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.expr("max_by(event_id, ts)").alias("last_event_id"),
+        F.expr("max_by(event_type, ts)").alias("last_event_type"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
