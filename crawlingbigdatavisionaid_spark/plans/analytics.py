@@ -283,3 +283,79 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("copies"))
         .select("doc_id", "text", "copies")
     )
+
+
+@register(
+    "events_calendar_profile",
+    ops=("OP-AGG-03",),
+    oracle="""
+        SELECT CAST(EXTRACT(dow FROM ts) AS INT) AS dow,
+               CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    """,
+)
+def events_calendar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile (day-of-week x hour). Engine alignment:
+    Spark ``dayofweek`` is 1=Sunday, DuckDB ``EXTRACT(dow)`` 0=Sunday —
+    normalized by subtracting 1 here."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "profile_documents",
+    ops=("OP-AGG-05", "OP-FLT-01"),
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+               SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS null_lang,
+               COUNT(DISTINCT lang) AS distinct_lang,
+               COUNT(DISTINCT source) AS distinct_source,
+               MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+    """,
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile in ONE pass: null counts, distincts, ranges —
+    the pre-flight check any ingest runs before training. (Multiple
+    COUNT(DISTINCT) columns expand to one aggregate with Expand in
+    Spark — still a single scan.)"""
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("text").isNull().cast("long")).alias("null_text"),
+        F.sum(F.col("lang").isNull().cast("long")).alias("null_lang"),
+        F.countDistinct("lang").alias("distinct_lang"),
+        F.countDistinct("source").alias("distinct_source"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@register(
+    "value_histogram",
+    ops=("OP-AGG-01",),
+    oracle="""
+        SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+               COUNT(*) AS cnt
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via floor arithmetic — a single hash
+    aggregate keyed by bin; works identically at any scale (contrast
+    with rank-based quantile binning, which needs a sort)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return (
+        ev.groupBy(F.floor(F.col("value") / 25.0).cast("bigint").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
