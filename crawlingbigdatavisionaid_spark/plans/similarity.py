@@ -99,3 +99,33 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(V.cosine(F.col("va"), F.col("vb")) >= 0.45)
         .select("vec_a", "vec_b")
     )
+
+
+@register(
+    "embedding_centroids_by_label",
+    ops=("OP-X-SIM-01",),
+    oracle="""
+        WITH e AS (
+            SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        ), x AS (
+            SELECT label, emb, unnest(generate_series(1, len(emb))) AS i FROM e
+        )
+        SELECT label, CAST(i - 1 AS INT) AS dim,
+               ROUND(SUM(emb[i]) / COUNT(*), 4) AS centroid_v,
+               COUNT(*) AS n
+        FROM x GROUP BY label, i
+    """,
+)
+def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean pooling per label (class centroids): posexplode the vector,
+    one hash aggregate keyed by (label, dim) — the distributed form of
+    np.mean(axis=0), no driver collect, no UDF. Rounded once after a
+    single division so both engines agree bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(V.as_double("embedding")).alias("dim", "v")
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.round(F.sum("v") / F.count(F.lit(1)), 4).alias("centroid_v"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -67,3 +67,59 @@ def test_session_spans_micro_batch_boundary(spark, two_batch_dir):
     assert s["n_events"] == 3
     assert s["session_start"] == _min(0)
     assert s["session_end"] == _min(15)
+
+
+def test_state_survives_query_restart(spark, tmp_path):
+    """The open session persists in the STATE STORE across separate
+    query runs sharing a checkpoint — the 6-hourly availableNow cadence
+    relies on exactly this."""
+    d = str(tmp_path / "in")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_restart_")
+    schema = "user_id long, ts timestamp"
+
+    def run_drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(d)
+        )
+        sessions = user_sessions_stream(stream, gap_s=1800, final_flush=False)
+        # the memory sink cannot recover from a checkpoint; foreachBatch can
+        emitted: list = []
+
+        def sink(batch_df, _bid):
+            emitted.extend(batch_df.collect())
+
+        q = (
+            sessions.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return emitted
+
+    import os
+
+    spark.createDataFrame(
+        [(1, _min(0)), (1, _min(10))], schema
+    ).coalesce(1).write.parquet(f"{d}/b1")
+    for f in os.listdir(f"{d}/b1"):
+        os.utime(f"{d}/b1/{f}", (1_700_000_000, 1_700_000_000))
+    out1 = run_drain()
+    assert out1 == []  # session still open, nothing emitted
+
+    # SECOND query run (fresh stream): the +60min event must close the
+    # session using state reloaded from the checkpoint's state store
+    spark.createDataFrame([(1, _min(60))], schema).coalesce(1).write.parquet(
+        f"{d}/b2"
+    )
+    for f in os.listdir(f"{d}/b2"):
+        os.utime(f"{d}/b2/{f}", (1_700_000_060, 1_700_000_060))
+    out2 = run_drain()
+    assert len(out2) == 1
+    s = out2[0]
+    assert (s["user_id"], s["sess_no"], s["n_events"]) == (1, 1, 2)
+    assert s["session_start"] == _min(0)
+    assert s["session_end"] == _min(10)
