@@ -480,3 +480,49 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
     sampled = docs.sampleBy("lang", fractions, seed=42)
     return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "text_normalize",
+    ops=("OP-EXT-05",),
+    oracle="""
+        SELECT doc_id,
+               LENGTH(text) AS raw_len,
+               LENGTH(TRIM(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')))
+                   AS norm_len
+        FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace normalization (collapse runs, trim) — the cleaning
+    pass before tokenization/dedup; emitted as before/after lengths so
+    the transform is value-checked without shipping whole documents
+    through the hash compare."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace("text", "[ \t\r\n]+", " "))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("raw_len"),
+        F.length(norm).alias("norm_len"),
+    )
+
+
+@register(
+    "pseudonymize_users",
+    ops=("OP-PRJ-02",),
+    oracle="""
+        SELECT sha256(CAST(user_id AS VARCHAR)) AS user_hash,
+               COUNT(*) AS events
+        FROM events GROUP BY 1
+    """,
+)
+def pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy pass: replace the user key with its SHA-256 — joinable
+    pseudonymous id, original unrecoverable (add a keyed salt in
+    production). Pure JVM-side hash, no shuffle beyond the aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.sha2(F.col("user_id").cast("string"), 256).alias("user_hash"))
+        .groupBy("user_hash")
+        .agg(F.count(F.lit(1)).alias("events"))
+    )
