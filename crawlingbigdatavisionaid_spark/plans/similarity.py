@@ -111,7 +111,8 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT label, emb, unnest(generate_series(1, len(emb))) AS i FROM e
         )
         SELECT label, CAST(i - 1 AS INT) AS dim,
-               ROUND(SUM(emb[i]) / COUNT(*), 4) AS centroid_v,
+               SUM(CAST(FLOOR(emb[i] * 1000000.0) AS BIGINT))
+                   AS centroid_sum_e6,
                COUNT(*) AS n
         FROM x GROUP BY label, i
     """,
@@ -125,7 +126,15 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = emb.select(
         "label", F.posexplode(V.as_double("embedding")).alias("dim", "v")
     )
+    # determinism: each element is scale-and-floored to an exact integer
+    # before summing. IEEE multiply and floor are uniquely defined (no
+    # rounding-RULE ambiguity, unlike double->decimal casts, which hit
+    # half-way boundaries ~1 in 1e5 elements), and integer sums are
+    # order-independent — so the result is bit-equal on any engine.
+    # Consumers divide by n * 1e6 for the mean (~1e-6 quantization).
     return exploded.groupBy("label", "dim").agg(
-        F.round(F.sum("v") / F.count(F.lit(1)), 4).alias("centroid_v"),
+        F.sum(F.floor(F.col("v") * 1000000.0).cast("bigint")).alias(
+            "centroid_sum_e6"
+        ),
         F.count(F.lit(1)).alias("n"),
     )
