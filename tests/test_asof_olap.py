@@ -92,3 +92,35 @@ def test_asof_plan_has_single_shuffle(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must be invisible in the results — only the partitioning
+    changes."""
+    from crawlingbigdatavisionaid_spark.operators.skew import salted_join
+
+    left = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("payload")
+    )
+    right = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(5)], "k long, label string"
+    )
+    plain = left.join(right, "k").select("k", "payload", "label")
+    salted = salted_join(left, right, on="k", n_salts=8).select(
+        "k", "payload", "label"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_salted_join_left_outer_keeps_unmatched(spark):
+    from crawlingbigdatavisionaid_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([(1, "a"), (99, "b")], "k long, v string")
+    right = spark.createDataFrame([(1, "dim")], "k long, label string")
+    out = {
+        r["k"]: r["label"]
+        for r in salted_join(left, right, on="k", n_salts=4, how="left").collect()
+    }
+    assert out == {1: "dim", 99: None}

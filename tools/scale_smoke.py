@@ -33,6 +33,8 @@ QUERIES = [
     "range_join_clicks_before_purchase",
     "window_tumbling_1h",
     "word_topk",
+    "quality_score",
+    "bpe_token_count",
 ]
 
 
@@ -45,8 +47,10 @@ def build_scaled(spark, base: str, out: str, k: int) -> None:
     orders = load_table(spark, base, "orders")
     lineitem = load_table(spark, base, "lineitem")
     events = load_table(spark, base, "events")
+    documents = load_table(spark, base, "documents")
     ok_span = orders.agg(F.max("o_orderkey")).first()[0] + 1
     ev_span = events.agg(F.max("event_id")).first()[0] + 1
+    doc_span = documents.agg(F.max("doc_id")).first()[0] + 1
 
     def rep(df, col, span):
         parts = [
@@ -66,8 +70,11 @@ def build_scaled(spark, base: str, out: str, k: int) -> None:
     rep(events, "event_id", ev_span).write.mode("overwrite").parquet(
         f"{out}/events.parquet"
     )
+    rep(documents, "doc_id", doc_span).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
     for t in TABLES:
-        if t in ("orders", "lineitem", "events"):
+        if t in ("orders", "lineitem", "events", "documents"):
             continue
         load_table(spark, base, t).write.mode("overwrite").parquet(
             f"{out}/{t}.parquet"
