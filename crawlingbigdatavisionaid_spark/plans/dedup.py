@@ -174,3 +174,51 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("node").isNull() | (F.col("component") == F.col("doc_id")))
         .select("doc_id")
     )
+
+
+@register(
+    "training_corpus",
+    ops=("OP-X-DEDUP-02", "OP-DEDUP-01", "OP-FLT-01", "OP-FLT-03"),
+    oracle=_SQL_JACCARD_PAIRS.replace("WITH", "WITH RECURSIVE", 1)
+    + """
+    , edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM dup_pairs
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), cc AS (
+        SELECT src AS node, LEAST(src, MIN(dst)) AS component
+        FROM reach GROUP BY src
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    LEFT JOIN cc ON d.doc_id = cc.node
+    WHERE len(regexp_extract_all(lower(d.text), '[a-z]+')) >= 20
+      AND (cc.node IS NULL OR cc.component = d.doc_id)
+      AND d.doc_id % 100 < 80
+    """,
+)
+def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data pipeline as ONE lazy DAG: quality gate
+    (>= 20 tokens) → near-dup canonicalization (keep each component's
+    min doc) → deterministic 80% train split. Catalyst fuses the quality
+    filter into the scan feeding BOTH the shingle pipeline and the final
+    projection; only the dedup pair-join shuffles."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import tokens
+    from ..operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = docs.where(F.size(tokens("text")) >= 20)
+    pairs = ND.jaccard_pairs(docs, threshold_tenths=8, n=3)
+    cc = connected_components(pairs)
+    return (
+        quality.join(cc, quality.doc_id == cc.node, "left")
+        .where(F.col("node").isNull() | (F.col("component") == F.col("doc_id")))
+        .where(F.col("doc_id") % 100 < 80)
+        .select("doc_id", "lang", "n_chars")
+    )
