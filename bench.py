@@ -45,6 +45,8 @@ HEADLINE = [
     "range_join_clicks_before_purchase",
     "revenue_rollup_region_nation",
     "top3_orders_per_customer",
+    "dedup_components",
+    "training_corpus",
 ]
 
 
