@@ -138,3 +138,30 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "embedding_norms",
+    ops=("OP-X-SIM-01",),
+    oracle="""
+        SELECT vec_id,
+               CAST(FLOOR(sqrt(list_inner_product(
+                   CAST(embedding AS DOUBLE[]),
+                   CAST(embedding AS DOUBLE[]))) * 1000000.0) AS BIGINT)
+                   AS norm_e6,
+               len(embedding) AS dim
+        FROM embeddings
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm via higher-order fold (zip_with + aggregate) —
+    all JVM-side, no UDF. Output floor-scaled to integers so the hash
+    compare never sees a float (left-fold order matches DuckDB's
+    list_inner_product)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = V.as_double("embedding")
+    return emb.select(
+        "vec_id",
+        F.floor(V.norm(v) * 1000000.0).cast("bigint").alias("norm_e6"),
+        F.size("embedding").cast("bigint").alias("dim"),
+    )
