@@ -477,3 +477,21 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_ts"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "value_quartiles_ntile",
+    ops=("OP-AGG-01",),
+    oracle="""
+        SELECT event_id,
+               NTILE(4) OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS quartile
+        FROM events
+    """,
+)
+def value_quartiles_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing per group — equal-count quartile assignment with a
+    total tie-break order so both engines agree row-for-row."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select("event_id", F.ntile(4).over(w).alias("quartile"))

@@ -526,3 +526,26 @@ def pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_hash")
         .agg(F.count(F.lit(1)).alias("events"))
     )
+
+
+@register(
+    "doc_first_tokens",
+    ops=("OP-TXT-01",),
+    oracle="""
+        SELECT doc_id,
+               list_sort(regexp_extract_all(lower(text), '[a-z]+'))[1:5]
+                   AS first_tokens
+        FROM documents
+    """,
+)
+def doc_first_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function surface: sort_array + slice on the token array —
+    all array ops stay engine-side; the compare hashes the arrays as
+    values (first five tokens alphabetically per doc)."""
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.slice(F.sort_array(tokens("text")), 1, 5).alias("first_tokens"),
+    )
