@@ -495,3 +495,34 @@ def value_quartiles_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     return ev.select("event_id", F.ntile(4).over(w).alias("quartile"))
+
+
+@register(
+    "value_dispersion_by_type",
+    ops=("OP-AGG-01",),
+    oracle="""
+        SELECT event_type,
+               CAST(FLOOR(STDDEV_SAMP(value) * 10000.0) AS BIGINT)
+                   AS stddev_e4,
+               CAST(FLOOR(CORR(value, CAST(user_id AS DOUBLE)) * 10000.0)
+                    AS BIGINT) AS corr_user_e4,
+               COUNT(*) AS cnt
+        FROM events GROUP BY event_type
+    """,
+)
+def value_dispersion_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (sample stddev, Pearson correlation) —
+    single-pass mergeable moments, the same map-side-combine shape as
+    sum/count. Output floor-scaled at 1e-4 granularity: engines use
+    different update algorithms (Welford vs co-moment merges) whose
+    results agree to ~1e-10 relative, far inside the quantization."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.floor(F.stddev_samp("value") * 10000.0).cast("bigint").alias("stddev_e4"),
+        F.floor(
+            F.corr("value", F.col("user_id").cast("double")) * 10000.0
+        )
+        .cast("bigint")
+        .alias("corr_user_e4"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
