@@ -513,3 +513,178 @@ def parts_above_type_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("p_retailprice") > F.col("type_avg"))
         .select("p_partkey", "p_type", "p_retailprice")
     )
+
+
+@register(
+    "q18_large_volume_orders",
+    ops=("OP-AGG-01", "OP-TOPK-01"),
+    oracle="""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS o_orderdate,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_qty
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate
+        HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 200
+        ORDER BY total_qty DESC, o_orderkey ASC
+        LIMIT 20
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: GROUP BY ... HAVING over the fact, then enrich
+    with dims. Spark-first plan: aggregate lineitem by order key FIRST and
+    apply the HAVING filter *before* any join — at 100 TB this collapses
+    the fact table to the handful of qualifying orders, so the subsequent
+    orders/customer joins see a tiny left side that AQE converts to
+    broadcast at runtime (no static ``broadcast()`` hint: customer is
+    large at scale; the small side here is the filtered aggregate)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast(_DEC).alias("qty_d")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty_d").alias("qty_sum_d"))
+        .where(F.col("qty_sum_d") > 200)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.col("qty_sum_d").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q21_sole_returned_supplier",
+    ops=("OP-DEDUP-01",),
+    oracle="""
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+                        AND l1.l_returnflag = 'R'
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+                     AND o.o_orderstatus = 'F'
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 20
+    """,
+)
+def q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted to the synthetic schema): suppliers who
+    were the ONLY supplier with a returned line on a finished multi-
+    supplier order. EXISTS → left-semi self-join, NOT EXISTS → left-anti
+    self-join, each with an equi key (order key) plus a non-equi conjunct
+    (different supplier) — Spark shuffles on the equi key only, so the
+    self-joins stay hash joins, not cross products. All three lineitem
+    scans prune to 3 columns; the supplier dim is broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    ret = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("sk")
+    )
+    fin = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    base = ret.join(fin, ret.k == fin.o_orderkey, "left_semi")
+    other = li.select(
+        F.col("l_orderkey").alias("k2"),
+        F.col("l_suppkey").alias("sk2"),
+        "l_returnflag",
+    )
+    multi = base.join(
+        other,
+        (base.k == other.k2) & (base.sk != other.sk2),
+        "left_semi",
+    )
+    other_ret = other.where(F.col("l_returnflag") == "R")
+    sole = multi.join(
+        other_ret,
+        (multi.k == other_ret.k2) & (multi.sk != other_ret.sk2),
+        "left_anti",
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(F.broadcast(s), sole.sk == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    ops=("OP-AGG-01", "OP-DEDUP-01"),
+    oracle="""
+        SELECT c.c_nationkey, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS totacctbal
+        FROM customer c
+        WHERE c.c_acctbal > (
+                SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(*)
+                FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c.c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted): customers with above-average balance
+    and no urgent orders, aggregated per nation. The scalar subquery is a
+    1-row aggregate cross-joined back as a broadcast (no collect — the
+    threshold never touches the driver); the NOT EXISTS is a left-anti
+    join against the filtered orders projection. Threshold determinism:
+    exact-decimal sum → one double division — identical in both engines,
+    so the > comparison never straddles an epsilon."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    thresh = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(thresh))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("totacctbal"),
+        )
+    )
