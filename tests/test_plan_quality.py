@@ -87,3 +87,31 @@ def test_hot_queries_run_in_whole_stage_codegen(spark, sf_dir, name):
     assert "isFinalPlan=true" in plan
     # '*(n)' prefixes mark operators fused into WholeStageCodegen stages
     assert "*(" in plan
+
+
+def test_q18_having_filters_before_joins(spark, sf_dir):
+    # the HAVING-filtered aggregate must be the join input (tiny side),
+    # and the top-k must plan as TakeOrderedAndProject, not a global sort
+    plan = _plan(spark, sf_dir, "q18_large_volume_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # the qty>200 filter sits on the aggregate, pre-join
+    assert "Filter (sum(qty_d)" in plan or "qty_sum_d" in plan
+
+
+def test_q21_self_joins_stay_hash_on_equi_key(spark, sf_dir):
+    # EXISTS/NOT EXISTS with a non-equi conjunct must still hash-join on
+    # the order-key equi part — never a nested-loop/cross product
+    plan = _plan(spark, sf_dir, "q21_sole_returned_supplier")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_threshold_broadcasts_one_row(spark, sf_dir):
+    # the scalar-subquery threshold is a 1-row broadcast (nested-loop on
+    # a single row is fine); the NOT EXISTS is a LeftAnti hash join
+    plan = _plan(spark, sf_dir, "q22_idle_rich_customers")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
