@@ -45,6 +45,9 @@ HEADLINE = [
     "range_join_clicks_before_purchase",
     "revenue_rollup_region_nation",
     "top3_orders_per_customer",
+    "q18_large_volume_orders",
+    "q21_sole_returned_supplier",
+    "q22_idle_rich_customers",
     "dedup_components",
     "training_corpus",
 ]
