@@ -195,3 +195,33 @@ def json_props_typed_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("p.k")).alias("sum_k"),
         F.sum(F.col("p").isNull().cast("long")).alias("bad_json"),
     )
+
+
+@register(
+    "variant_props_distinct_k",
+    ops=("OP-X-JSON-01",),
+    oracle="""
+        SELECT event_type,
+               COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+                   AS distinct_k,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        FROM events GROUP BY event_type
+    """,
+)
+def variant_props_distinct_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: ``parse_json``
+    encodes the JSON ONCE into the binary variant format at the scan,
+    and every ``variant_get`` is a cheap binary path lookup — no string
+    re-parse per access, and (on Parquet writers that support it) the
+    variant column shreds into typed subcolumns. The open-format
+    successor to per-path ``get_json_object`` at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct(F.col("k")).alias("distinct_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
