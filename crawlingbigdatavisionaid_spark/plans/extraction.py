@@ -107,3 +107,27 @@ def crawl_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         fresh.groupBy("source")
         .agg(F.count(F.lit(1)).cast("int").alias("new_articles"))
     )
+
+
+@register(
+    "crawl_pysource_ingest",
+    ops=("OP-SRC-01", "OP-SRC-02", "OP-EXT-01", "OP-EXT-07"),
+    oracle=f"""
+        SELECT * FROM (VALUES {_values_literal(FX.EXPECTED_ARTICLES, 5)})
+            AS t(url, source, title, content, published_at)
+    """,
+)
+def crawl_pysource_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same end-to-end extraction as ``html_extraction``, but the pages
+    arrive through the Spark 4 Python Data Source API
+    (``format("crawlpages")``, one InputPartition per seed) instead of a
+    driver-built DataFrame — the fetch stage as a real scan the
+    scheduler owns. Output must be identical, so the same VALUES oracle
+    checks it."""
+    from ..sources.pysource import register_crawl_source
+
+    register_crawl_source(spark)
+    pages = spark.read.format("crawlpages").load()
+    articles = spark.read.format("crawlpages").option("kind", "article").load()
+    listing = U.extract_listing(pages).dropDuplicates(["url"])
+    return U.extract_articles(listing, articles)
