@@ -6,9 +6,13 @@ Four scale strategies over the ``documents`` table:
   index self-join: explode distinct shingles, join on shingle, count
   common shingles per pair, compare as integers (``10*inter >=
   t*union``) so the threshold test is float-free and engine-exact.
-  At 100 TB the shingle join is the bottleneck: shuffle keyed by
-  shingle, hot shingles (stop-phrases) salted or pre-filtered by
-  document frequency.
+  At 100 TB the shingle join is the bottleneck: a shingle appearing in
+  f documents contributes f^2 join rows, so Zipf-skewed stop-phrase
+  shingles create quadratic hot buckets.  ``df_max`` caps this: shingles
+  with document frequency > df_max are dropped from the index BEFORE the
+  self-join (tiny hot set, broadcast anti-join), and Jaccard is defined
+  over the capped shingle universe — sizes are computed after the
+  filter, so the semantics stay self-consistent and oracle-exact.
 
 - :func:`minhash_signatures` / :func:`minhash_pairs` — MinHash + banded
   LSH: k independent permutations approximated by seeded ``xxhash64``;
@@ -73,14 +77,37 @@ def _with_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+DF_MAX_DEFAULT = 128
+
+
 def jaccard_pairs(
-    docs: DataFrame, threshold_tenths: int = 8, n: int = 3
+    docs: DataFrame,
+    threshold_tenths: int = 8,
+    n: int = 3,
+    df_max: int | None = DF_MAX_DEFAULT,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs: jaccard >= threshold_tenths/10.
 
     Returns (doc_a, doc_b, inter, union_size) — all integers.
+
+    ``df_max`` bounds the self-join's hot buckets: shingles with document
+    frequency above it are removed from the inverted index first (the hot
+    set is tiny by construction — broadcast anti-join), and per-doc sizes
+    are counted on the FILTERED index, so inter/union/threshold remain
+    mutually consistent (Jaccard over the df-capped shingle universe).
+    A near-dup pair loses only shingles shared with >df_max other docs —
+    by definition non-discriminative — while the worst bucket drops from
+    f^2 to df_max^2 rows.
     """
     inv = shingle_rows(docs, n)
+    if df_max is not None:
+        hot = (
+            inv.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > df_max)
+            .select("s")
+        )
+        inv = inv.join(F.broadcast(hot), "s", "left_anti")
     sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = inv.alias("a")
     b = inv.alias("b")

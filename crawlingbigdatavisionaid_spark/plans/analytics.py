@@ -226,7 +226,17 @@ def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "approx_distinct_users",
     ops=("OP-X-APPROX-01",),
-    oracle=None,  # approximate by construction — rows-only check
+    # HLL++ at rsd=0.01 is deterministic (hash-based, no randomness) and
+    # within ±1 of exact at this cardinality (150 users/type at sf0.01 —
+    # sparse/linear-counting regime), so rounding both sides to the nearest
+    # 10 yields a deterministic, oracle-checkable band.  At real scale the
+    # estimate diverges and only the rows-only check applies.
+    oracle="""
+        SELECT event_type,
+               CAST(ROUND(COUNT(DISTINCT user_id), -1) AS BIGINT)
+                   AS approx_users_band
+        FROM events GROUP BY 1
+    """,
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HyperLogLog++ sketch: mergeable partial aggregates, no exact-distinct
@@ -234,7 +244,11 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        .agg(
+            F.round(F.approx_count_distinct("user_id", rsd=0.01), -1)
+            .cast("long")
+            .alias("approx_users_band")
+        )
     )
 
 
@@ -314,8 +328,10 @@ def events_calendar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops=("OP-AGG-05", "OP-FLT-01"),
     oracle="""
         SELECT COUNT(*) AS n_rows,
-               SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
-               SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS null_lang,
+               CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS null_text,
+               CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS null_lang,
                COUNT(DISTINCT lang) AS distinct_lang,
                COUNT(DISTINCT source) AS distinct_source,
                MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,

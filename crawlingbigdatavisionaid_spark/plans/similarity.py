@@ -111,8 +111,8 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT label, emb, unnest(generate_series(1, len(emb))) AS i FROM e
         )
         SELECT label, CAST(i - 1 AS INT) AS dim,
-               SUM(CAST(FLOOR(emb[i] * 1000000.0) AS BIGINT))
-                   AS centroid_sum_e6,
+               CAST(SUM(CAST(FLOOR(emb[i] * 1000000.0) AS BIGINT))
+                    AS BIGINT) AS centroid_sum_e6,
                COUNT(*) AS n
         FROM x GROUP BY label, i
     """,

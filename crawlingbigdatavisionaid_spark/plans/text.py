@@ -382,7 +382,8 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), tf AS (
             SELECT doc_id, w, COUNT(*) AS c FROM e GROUP BY 1, 2
         ), top AS (
-            SELECT doc_id, MAX(c) AS max_tf, SUM(c) AS n_tok FROM tf GROUP BY 1
+            SELECT doc_id, MAX(c) AS max_tf,
+                   CAST(SUM(c) AS BIGINT) AS n_tok FROM tf GROUP BY 1
         )
         SELECT g.doc_id,
                top.n_tok AS n_tokens,
@@ -439,12 +440,14 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops=("OP-FLT-01",),
     oracle="""
         SELECT
-            SUM(CASE WHEN doc_id % 100 < 80 THEN 1 ELSE 0 END) AS train_docs,
-            SUM(CASE WHEN doc_id % 100 >= 80 AND doc_id % 100 < 90
-                     THEN 1 ELSE 0 END) AS val_docs,
-            SUM(CASE WHEN doc_id % 100 >= 90 THEN 1 ELSE 0 END) AS test_docs,
-            SUM(CASE WHEN doc_id % 100 < 80 THEN n_chars ELSE 0 END)
-                AS train_chars
+            CAST(SUM(CASE WHEN doc_id % 100 < 80 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS train_docs,
+            CAST(SUM(CASE WHEN doc_id % 100 >= 80 AND doc_id % 100 < 90
+                     THEN 1 ELSE 0 END) AS BIGINT) AS val_docs,
+            CAST(SUM(CASE WHEN doc_id % 100 >= 90 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS test_docs,
+            CAST(SUM(CASE WHEN doc_id % 100 < 80 THEN n_chars ELSE 0 END)
+                 AS BIGINT) AS train_chars
         FROM documents
     """,
 )
@@ -533,19 +536,23 @@ def pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops=("OP-TXT-01",),
     oracle="""
         SELECT doc_id,
-               list_sort(regexp_extract_all(lower(text), '[a-z]+'))[1:5]
-                   AS first_tokens
+               array_to_string(
+                   list_sort(regexp_extract_all(lower(text), '[a-z]+'))[1:5],
+                   ' ') AS first_tokens
         FROM documents
     """,
 )
 def doc_first_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array function surface: sort_array + slice on the token array —
-    all array ops stay engine-side; the compare hashes the arrays as
-    values (first five tokens alphabetically per doc)."""
+    all array ops stay engine-side; the result is joined to one string
+    column (array cells break order-insensitive canonicalization
+    downstream) — first five tokens alphabetically per doc."""
     from ..functions.text import tokens
 
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.slice(F.sort_array(tokens("text")), 1, 5).alias("first_tokens"),
+        F.array_join(F.slice(F.sort_array(tokens("text")), 1, 5), " ").alias(
+            "first_tokens"
+        ),
     )

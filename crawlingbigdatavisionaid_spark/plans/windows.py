@@ -120,7 +120,8 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops=("OP-X-JSON-01", "OP-AGG-01"),
     oracle="""
         SELECT event_type,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
                MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         FROM events GROUP BY event_type
@@ -176,8 +177,10 @@ def value_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops=("OP-X-JSON-01",),
     oracle="""
         SELECT event_type,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-               SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS bad_json
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               CAST(SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END)
+                    AS BIGINT) AS bad_json
         FROM events GROUP BY event_type
     """,
 )
@@ -204,7 +207,8 @@ def json_props_typed_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
                    AS distinct_k,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k
         FROM events GROUP BY event_type
     """,
 )

@@ -16,7 +16,7 @@ def test_approx_percentiles_close_to_exact(spark, sf_dir):
         for r in q["value_percentiles_by_type"](spark, sf_dir).collect()
     }
     approx = {
-        r["event_type"]: tuple(r["pcts"])
+        r["event_type"]: (r["p50"], r["p95"])
         for r in q["approx_value_percentiles"](spark, sf_dir).collect()
     }
     assert set(exact) == set(approx)

@@ -27,18 +27,38 @@ TABLES = (
 
 
 def _canon(v):
-    """Canonicalize a cell for cross-engine comparison."""
+    """Canonicalize a cell for cross-engine comparison.
+
+    Handles both raw-Python cells (Spark ``collect``) and pandas/numpy
+    cells (DuckDB ``.df()`` — the form the driver consumes): numpy scalars
+    unwrap, NaN/NaT collapse to None, and a datetime with zero time
+    canonicalizes like a date (DuckDB ``.df()`` renders DATE columns as
+    midnight Timestamps; the driver's r01 results show it tolerates this).
+    """
+    import numpy as np
+
     if v is None:
         return None
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, np.bool_):
+        return bool(v)
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        return None if math.isnan(f) else f
     if isinstance(v, Decimal):
         return float(v)
-    if isinstance(v, float):
-        # exact-match floats; callers are expected to round in-query
-        return v
     if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+        if v != v:  # pd.NaT
+            return None
+        v = v.replace(tzinfo=None)
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
+        return v.isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, date):
         return v.isoformat()
+    if isinstance(v, np.ndarray):
+        return tuple(_canon(x) for x in v.tolist())
     if isinstance(v, (list, tuple)):
         return tuple(_canon(x) for x in v)
     if isinstance(v, (bytes, bytearray)):
@@ -63,11 +83,82 @@ def _float_close(a, b) -> bool:
     return a == b
 
 
-def compare(name, spark_cols, spark_rows, ora_cols, ora_rows) -> list[str]:
+_UNHASHABLE = (list, dict, set)
+
+
+def _cell_problems(cols: list[str], rows: list[tuple], engine: str) -> list[str]:
+    """The driver canonicalizes through a pandas DataFrame sort + hash:
+    list/dict/ndarray cells crash it (observed: 'unhashable type: list' in
+    CORRECTNESS_r01).  Reject them here, on every query (incl. rows-only)."""
+    import numpy as np
+
+    bad = set()
+    for r in rows:
+        for i, v in enumerate(r):
+            if isinstance(v, _UNHASHABLE) or isinstance(v, np.ndarray):
+                bad.add(cols[i])
+    return [
+        f"unhashable {engine} cell(s) in column(s) {sorted(bad)} — "
+        "driver canonicalizer will crash; flatten to scalars"
+    ] if bad else []
+
+
+def _spark_pandas_kinds(df, rows) -> dict[str, str]:
+    """Predict the pandas dtype *kind* the driver sees from ``df.toPandas()``
+    without re-executing: integral Spark types become 'i' ('f' if the
+    collected column holds nulls — pandas promotes), floats 'f', booleans
+    'b', timestamps 'M', everything else 'O'."""
+    from pyspark.sql import types as T
+
+    kinds: dict[str, str] = {}
+    for i, f in enumerate(df.schema.fields):
+        t = f.dataType
+        if isinstance(t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            k = "f" if any(r[i] is None for r in rows) else "i"
+        elif isinstance(t, (T.FloatType, T.DoubleType)):
+            k = "f"
+        elif isinstance(t, T.BooleanType):
+            k = "O" if any(r[i] is None for r in rows) else "b"
+        elif isinstance(t, T.TimestampType):
+            k = "M"
+        else:
+            k = "O"
+        kinds[f.name] = k
+    return kinds
+
+
+def _dtype_kind_problems(spark_kinds: dict[str, str], ora_pdf) -> list[str]:
+    """The driver compares through pandas and is dtype-sensitive: DuckDB
+    HUGEINT (un-cast SUM over ints) arrives as float64 while Spark sends
+    int64, and the value hashes diverge even for equal numbers (observed in
+    CORRECTNESS_r01).  Flag numeric-kind mismatches per column; date/ts
+    representation differences are tolerated (driver r01 passed them)."""
+    problems = []
+    num = {"i", "u", "f", "b"}
+    for c in sorted(ora_pdf.columns):
+        sk = spark_kinds.get(c)
+        ok = ora_pdf[c].dtype.kind
+        if sk is not None and sk != ok and sk in num and ok in num:
+            problems.append(
+                f"pandas dtype kind mismatch on {c!r}: spark kind={sk} "
+                f"oracle={ora_pdf[c].dtype} — driver hash WILL differ "
+                "(cast the oracle, e.g. CAST(SUM(...) AS BIGINT))"
+            )
+    return problems
+
+
+def compare(
+    name, spark_cols, spark_rows, ora_cols, ora_rows,
+    spark_kinds=None, ora_pdf=None,
+) -> list[str]:
     problems = []
     if sorted(spark_cols) != sorted(ora_cols):
         problems.append(f"schema mismatch: spark={sorted(spark_cols)} oracle={sorted(ora_cols)}")
         return problems
+    problems += _cell_problems(spark_cols, spark_rows, "spark")
+    problems += _cell_problems(ora_cols, ora_rows, "oracle")
+    if spark_kinds is not None and ora_pdf is not None:
+        problems += _dtype_kind_problems(spark_kinds, ora_pdf)
     if len(spark_rows) != len(ora_rows):
         problems.append(f"row count mismatch: spark={len(spark_rows)} oracle={len(ora_rows)}")
     s = _rowset(spark_cols, spark_rows)
@@ -118,25 +209,36 @@ def main() -> int:
             df = fn(spark, sf_dir)
             spark_cols = df.columns
             spark_rows = [tuple(r) for r in df.collect()]
+            spark_kinds = _spark_pandas_kinds(df, spark_rows)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
         dt = time.time() - t0
         if name not in omap:
-            print(f"ok?  {name}: rows={len(spark_rows)} ({dt:.1f}s) [rows-only, no oracle]")
+            cellp = _cell_problems(spark_cols, spark_rows, "spark")
+            tag = "FAIL" if cellp else "ok? "
+            print(f"{tag} {name}: rows={len(spark_rows)} ({dt:.1f}s) [rows-only, no oracle]")
+            for p in cellp:
+                print("   ", p)
+            if cellp:
+                n_fail += 1
             if len(spark_rows) == 0:
                 print(f"WARN {name}: 0 rows from rows-only query")
             continue
         try:
-            rel = con.sql(omap[name])
-            ora_cols = list(rel.columns)
-            ora_rows = rel.fetchall()
+            # .df() (not fetchall) — the driver consumes pandas frames, which
+            # is where HUGEINT→float64 and date→Timestamp conversions happen.
+            ora_pdf = con.sql(omap[name]).df()
+            ora_cols = list(ora_pdf.columns)
+            ora_rows = list(ora_pdf.itertuples(index=False, name=None))
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
-        problems = compare(name, spark_cols, spark_rows, ora_cols, ora_rows)
+        problems = compare(
+            name, spark_cols, spark_rows, ora_cols, ora_rows, spark_kinds, ora_pdf
+        )
         if problems:
             print(f"FAIL {name}: ({dt:.1f}s)")
             for p in problems:
