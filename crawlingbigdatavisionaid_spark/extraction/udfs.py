@@ -56,18 +56,53 @@ def article_udf(html: pd.Series) -> pd.DataFrame:
 # Fixed permissive-parse format list (the declarative form of the
 # reference's dateutil parse, app.py:90 — SURVEY.md §7 hard part (a):
 # the accepted formats are pinned so oracles can encode the same list).
+# Ordered most- to least-specific; first match wins, so additions go at
+# the end and never change the parse of an already-accepted string.
+# tests/test_formats.py property-checks the cascade against
+# dateutil.parser.parse on rendered samples of every format here.
+# Deliberately NOT accepted (dateutil would guess, we refuse): bare
+# numbers ("20240305"), dd/MM vs MM/dd ambiguity (only the dateutil
+# default MM/dd/yyyy is in the list), and fuzzy prose dates.
 _TS_FORMATS = (
+    # ISO 8601, with/without fraction and zone offset
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSXXX",
     "yyyy-MM-dd'T'HH:mm:ssXXX",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd'T'HH:mm:ss.SSS",
     "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd HH:mm:ssXXX",
+    "yyyy-MM-dd HH:mm:ss.SSS",
     "yyyy-MM-dd HH:mm:ss",
     "yyyy-MM-dd",
+    # RFC 2822 without weekday ("05 Mar 2024 10:00:00 +0000"); the
+    # weekday-prefixed form is handled by stripping it first — Spark's
+    # corrected parser has no day-of-week parse field (no EEE).
+    "d MMM yyyy HH:mm:ss Z",
+    "d MMM yyyy HH:mm:ss XXX",
+    # prose dates: "Mar 5, 2024" / "March 5, 2024" / "5 March 2024"
     "MMM d, yyyy",
+    "MMMM d, yyyy",
+    "d MMMM yyyy",
+    "d MMM yyyy",
+    # numeric separators: US order (dateutil's default) and y/m/d
+    "MM/dd/yyyy",
+    "yyyy/MM/dd",
 )
 
 
 def parse_published(col: Column) -> Column:
-    """Null-on-failure timestamp parse cascade (OP-FLT-02)."""
+    """Null-on-failure timestamp parse cascade (OP-FLT-02).
+
+    Every format is tried on the raw string AND on a copy with any RFC
+    2822 weekday prefix ("Tue, ") stripped, since post-3.0 Spark cannot
+    parse a day-of-week field. All attempts stay JVM-side (one coalesce
+    over ``try_to_timestamp`` calls — no Python)."""
+    stripped = F.regexp_replace(col, r"^[A-Za-z]{3},\s+", "")
     attempts = [F.try_to_timestamp(col, F.lit(fmt)) for fmt in _TS_FORMATS]
+    attempts += [
+        F.try_to_timestamp(stripped, F.lit(fmt)) for fmt in _TS_FORMATS
+    ]
     return F.coalesce(*attempts)
 
 

@@ -41,7 +41,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # nanosAsLong is session-global and must stay ON once any events
+    # DataFrame exists (toggling it off would break that plan at execution
+    # time), so instead of scoping the conf we assert that no OTHER table
+    # carries a nanos timestamp the conf would silently mangle into longs.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if name != "events":
+        _assert_no_nanos_timestamps(f"{sf_dir}/{name}.parquet", name)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # the driver's parquet stores TIMESTAMP(NANOS), surfaced as raw
@@ -49,6 +55,43 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # timestamps and must not be converted again
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
+
+
+_NANOS_CHECKED: set[str] = set()
+
+
+def _assert_no_nanos_timestamps(path: str, name: str) -> None:
+    """Footer-only guard (cached per path): with nanosAsLong set globally,
+    a nanos timestamp column in a non-events table would silently surface
+    as raw longs with no conversion — fail loudly instead."""
+    if path in _NANOS_CHECKED:
+        return
+    try:
+        import os
+
+        import pyarrow.parquet as pq
+
+        target = path
+        if os.path.isdir(path):
+            parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+            if not parts:
+                return
+            target = os.path.join(path, parts[0])
+        schema = pq.read_schema(target)
+        bad = [
+            f.name
+            for f in schema
+            if str(f.type).startswith("timestamp[ns")
+        ]
+        if bad:
+            raise TypeError(
+                f"table {name!r} has TIMESTAMP(NANOS) column(s) {bad}: "
+                "with spark.sql.legacy.parquet.nanosAsLong these read as "
+                "raw longs; add a conversion like the events.ts path"
+            )
+    except ImportError:  # pragma: no cover — pyarrow is baked in
+        pass
+    _NANOS_CHECKED.add(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -29,3 +29,14 @@ def test_direction_of_pairs_is_irrelevant(spark):
     # labels must flow against edge direction too (symmetrized)
     out = _cc(spark, [(5, 4), (3, 4), (2, 3)])
     assert out == {2: 2, 3: 2, 4: 2, 5: 2}
+
+
+def test_long_chain_converges_within_budget(spark):
+    # adversarial 1000-node path: min-label propagation alone needs
+    # ~999 rounds; path-halving must close it within the default
+    # max_iter=25 (expected ~log2(1000) + 1 rounds)
+    n = 1000
+    edges = [(i, i + 1) for i in range(1, n)]
+    out = _cc(spark, edges)
+    assert len(out) == n
+    assert set(out.values()) == {1}

@@ -107,3 +107,29 @@ def test_ivf_is_deterministic_across_runs(emb):
     a = sorted(map(tuple, S.ivf_topk(emb, queries, k=5).collect()))
     b = sorted(map(tuple, S.ivf_topk(emb, queries, k=5).collect()))
     assert a == b
+
+
+def test_df_cap_preserves_planted_pairs(docs):
+    """The document-frequency cap (hot-shingle pruning before the
+    self-join) must not change the detected near-dup pairs on the
+    planted-dup fixture — hot shingles only prune non-discriminative
+    noise."""
+    capped = _pairs(ND.jaccard_pairs(docs, threshold_tenths=8))
+    uncapped = _pairs(ND.jaccard_pairs(docs, threshold_tenths=8, df_max=None))
+    assert capped == uncapped
+
+
+def test_df_cap_drops_stop_phrase_bucket(spark):
+    """Synthetic skew: a boilerplate phrase shared by every doc plus one
+    planted near-dup pair.  With a tight cap the boilerplate shingles are
+    pruned (bounded bucket), yet the planted pair must survive."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"{base} unique{i} filler{i} token{i}") for i in range(50)]
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta theta iota"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta theta kappa"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = _pairs(ND.jaccard_pairs(docs, threshold_tenths=7, df_max=10))
+    assert (100, 101) in pairs
+    # boilerplate docs must not pair up once their shared (hot) shingles
+    # are pruned: remaining shingles are unique per doc
+    assert all(a == 100 and b == 101 for a, b in pairs)
