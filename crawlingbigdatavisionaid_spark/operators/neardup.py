@@ -99,7 +99,14 @@ def jaccard_pairs(
     by definition non-discriminative — while the worst bucket drops from
     f^2 to df_max^2 rows.
     """
-    inv = shingle_rows(docs, n)
+    # Materialize the inverted index ONCE: it feeds four consumers (hot
+    # set, both self-join sides, per-doc sizes), and without truncation
+    # each re-runs the scan -> tokenize -> explode -> window chain (the
+    # dominant cost; observed 16 parquet scans / 0 reused exchanges in
+    # the physical plan). Index materialization is O(index) executor-
+    # local storage — the same order as one shuffle of it, which any
+    # consumer pays anyway.
+    inv = shingle_rows(docs, n).localCheckpoint(eager=False)
     if df_max is not None:
         hot = (
             inv.groupBy("s")
@@ -107,7 +114,11 @@ def jaccard_pairs(
             .where(F.col("df") > df_max)
             .select("s")
         )
-        inv = inv.join(F.broadcast(hot), "s", "left_anti")
+        # checkpoint the capped index too so the anti-join (and the hot-
+        # set broadcast feeding it) runs once, not once per consumer
+        inv = inv.join(F.broadcast(hot), "s", "left_anti").localCheckpoint(
+            eager=False
+        )
     sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = inv.alias("a")
     b = inv.alias("b")
