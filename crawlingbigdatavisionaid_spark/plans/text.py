@@ -486,6 +486,34 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hash_sample_by_lang",
+    ops=("OP-FLT-01",),
+    oracle="""
+        SELECT lang, COUNT(*) AS cnt
+        FROM documents
+        WHERE lang <> 'en' OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+        GROUP BY lang
+    """,
+)
+def hash_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: hash-mod on a stable key
+    (md5 of doc_id) instead of an RNG — the reproducible-split pattern
+    for training pipelines, where a re-run (or a different engine) must
+    select the SAME rows. Here: keep ~50% of 'en', all other languages.
+    One scan, no shuffle before the count; engine-exact, so unlike
+    ``sampleBy`` it is oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = (F.col("lang") != "en") | (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "80"
+    )
+    return (
+        docs.where(keep)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
     "text_normalize",
     ops=("OP-EXT-05",),
     oracle="""
