@@ -70,11 +70,12 @@ def shingle_rows(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def _with_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+def _with_shingles(
+    docs: DataFrame, n: int = 3, inv: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, sh array<string>) — set view, for exact verification."""
-    return shingle_rows(docs, n).groupBy("doc_id").agg(
-        F.collect_set("s").alias("sh")
-    )
+    inv = shingle_rows(docs, n) if inv is None else inv
+    return inv.groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
 
 
 DF_MAX_DEFAULT = 128
@@ -140,14 +141,16 @@ def jaccard_pairs(
     )
 
 
-def minhash_signatures(docs: DataFrame, k: int = 16, n: int = 3) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, k: int = 16, n: int = 3, inv: DataFrame | None = None
+) -> DataFrame:
     """k-permutation MinHash signature per document.
 
     Permutation i is approximated by ``xxhash64(i, shingle)``; the
     signature is the per-permutation minimum — one explode + one grouped
     aggregation, O(N * shingles * k) cheap JVM hashes.
     """
-    inv = shingle_rows(docs, n)
+    inv = shingle_rows(docs, n) if inv is None else inv
     mins = [F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(k)]
     return inv.groupBy("doc_id").agg(*mins)
 
@@ -169,7 +172,10 @@ def minhash_pairs(
     asserts parity with :func:`jaccard_pairs` on the planted dups).
     """
     rows = k // bands
-    sigs = minhash_signatures(docs, k, n)
+    # one materialized shingle index feeds BOTH the signature build and
+    # the exact verification sets (same pattern as jaccard_pairs)
+    inv = shingle_rows(docs, n).localCheckpoint(eager=False)
+    sigs = minhash_signatures(docs, k, n, inv=inv)
     band_cols = [
         F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
             f"band{b}"
@@ -187,7 +193,9 @@ def minhash_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.b", "bk.h")
+    ).select("doc_id", "bk.b", "bk.h").localCheckpoint(eager=False)
+    # ^ tiny (docs x bands); materialized so the candidate self-join does
+    # not run the signature aggregation once per side
     a = bucket.alias("a")
     b_ = bucket.alias("b")
     cand = (
@@ -202,7 +210,7 @@ def minhash_pairs(
         )
         .distinct()
     )
-    sh = _with_shingles(docs, n)
+    sh = _with_shingles(docs, n, inv=inv)
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     verified = (
@@ -274,7 +282,9 @@ def simhash_pairs(docs: DataFrame, bits: int = 32, maxd: int = 3) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "simhash", "bk.b", "bk.h")
+    ).select("doc_id", "simhash", "bk.b", "bk.h").localCheckpoint(eager=False)
+    # ^ tiny (docs x 4 bands); materialized so the candidate self-join
+    # does not run the SimHash vote aggregation once per side
     a = banded.alias("a")
     b_ = banded.alias("b")
     cand = (

@@ -584,3 +584,96 @@ def doc_first_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_tokens"
         ),
     )
+
+
+@register(
+    "pack_sequences",
+    ops=("OP-TXT-01", "OP-AGG-01"),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, doc_id % 32 AS bucket,
+                   len({_SQL_TOKENS}) AS n_tok
+            FROM documents
+        ), c AS (
+            SELECT bucket, n_tok,
+                   SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+            FROM t
+        )
+        SELECT bucket, CAST(FLOOR((cum - n_tok) / 256) AS BIGINT) AS seq_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS seq_tokens
+        FROM c GROUP BY 1, 2
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: greedily concatenate documents
+    (in stable doc_id order) into ~256-token training sequences.
+
+    The scale-correct form is BUCKETED: a single global cumulative sum
+    would serialize into one window partition, so docs are first salted
+    into 32 independent buckets and packed within each — at 1000
+    executors each bucket's window is an ordinary partitioned sort, and
+    the pack boundaries stay deterministic (hash bucket + doc_id order),
+    so re-runs and other engines produce identical sequences."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 32).alias("bucket"),
+        F.size(T.tokens("text")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        c.groupBy(
+            "bucket",
+            # FLOOR, not a bare bigint cast: casting double->int truncates
+            # here but ROUNDS in some engines — floor is unambiguous
+            F.floor((F.col("cum") - F.col("n_tok")) / 256).alias("seq_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("seq_tokens"),
+        )
+    )
+
+
+@register(
+    "split_contamination",
+    ops=("OP-DEDUP-01", "OP-AGG-05"),
+    oracle="""
+        WITH train AS (
+            SELECT md5(text) AS fp FROM documents WHERE doc_id % 100 < 80
+        ), test AS (
+            SELECT doc_id, md5(text) AS fp FROM documents
+            WHERE doc_id % 100 >= 90
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS test_docs,
+               CAST(SUM(CASE WHEN fp IN (SELECT fp FROM train)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS contaminated
+        FROM test
+    """,
+)
+def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check: count held-out documents whose
+    exact content fingerprint also appears in the training split — the
+    leakage audit every eval set needs. Shuffles only 16-byte
+    fingerprints (never text) on the semi-join key; the split is the
+    deterministic doc_id%100 rule, so the same audit reproduces on any
+    engine."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    train = docs.where(F.col("doc_id") % 100 < 80).select("fp")
+    test = docs.where(F.col("doc_id") % 100 >= 90)
+    hit = test.join(train, "fp", "left_semi")
+    return test.agg(
+        F.count(F.lit(1)).cast("bigint").alias("test_docs")
+    ).crossJoin(
+        hit.agg(F.count(F.lit(1)).cast("bigint").alias("contaminated"))
+    )

@@ -101,3 +101,22 @@ def write_csv(
     df: DataFrame, path: str, mode: str = "overwrite", header: bool = True
 ) -> None:
     df.write.mode(mode).option("header", header).csv(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """ORC — the other columnar format Spark ships natively (vectorized
+    reader, predicate pushdown, column pruning, like parquet). Schema is
+    optional because ORC embeds one, but passing it pins reader
+    expectations the same way the parquet path does."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(
+            StructType.fromDDL(schema) if isinstance(schema, str) else schema
+        )
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)

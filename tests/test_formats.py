@@ -64,3 +64,36 @@ def test_binary_files_glob_prunes_by_name(spark, tmp_path):
     assert len(rows) == 2
     assert all(r.path.endswith(".img") for r in rows)
     assert {bytes(r.content) for r in rows} == {b"\x89fakeimg", b"\x89fakeimg2"}
+
+
+def test_orc_round_trip(spark, tmp_path):
+    from crawlingbigdatavisionaid_spark.sources.formats import (
+        read_orc,
+        write_orc,
+    )
+
+    p = str(tmp_path / "o")
+    write_orc(_frame(spark), p)
+    back = read_orc(spark, p, SCHEMA)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, _frame(spark).collect())
+    )
+
+
+def test_orc_predicate_pushdown(spark, tmp_path):
+    from crawlingbigdatavisionaid_spark.sources.formats import (
+        read_orc,
+        write_orc,
+    )
+
+    p = str(tmp_path / "o2")
+    write_orc(_frame(spark), p)
+    plan = (
+        read_orc(spark, p)
+        .where("doc_id = 2")
+        .select("title")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "doc_id" in plan
