@@ -50,6 +50,9 @@ HEADLINE = [
     "q22_idle_rich_customers",
     "dedup_components",
     "training_corpus",
+    "pack_sequences",
+    "split_contamination",
+    "hash_sample_by_lang",
 ]
 
 

@@ -128,3 +128,31 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join with watermarked state purge on both
     sides — drained availableNow it equals the batch range join."""
     return SP.interval_join_clicks_purchases(spark, sf_dir)
+
+
+@register(
+    "stream_dedup_bounded_state",
+    ops=("OP-STR-01", "OP-DEDUP-01"),
+    oracle="""
+        SELECT event_type, COUNT(*) AS distinct_events
+        FROM events GROUP BY 1
+    """,
+)
+def stream_dedup_bounded_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` dedup — dedup state expires with
+    the watermark instead of growing forever (the scale-correct streaming
+    dedup). Doubled input collapses back to the exact per-type counts."""
+    return SP.dedup_bounded_state(spark, sf_dir)
+
+
+@register(
+    "stream_neardup_minhash",
+    ops=("OP-STR-01", "OP-X-DEDUP-02"),
+    oracle=None,  # xxhash64-based buckets — no DuckDB twin; pytest parity
+)
+def stream_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LSH near-dup suppression: per-row MinHash band buckets
+    (stateless map on the stream) + stateful first-wins bucket dedup;
+    per-band distinct-bucket counts are arrival-order-invariant (pytest
+    checks parity with the batch computation)."""
+    return SP.neardup_minhash_stream(spark, sf_dir)

@@ -156,3 +156,88 @@ def interval_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFram
         & (F.col("c_ts") <= F.col("p_ts")),
     ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
     return _run_to_memory(joined, "append")
+
+
+def dedup_bounded_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-BOUNDED streaming dedup: ``dropDuplicatesWithinWatermark``
+    keeps a key in the state store only until the watermark passes its
+    event time — the 100 TB form of streaming dedup, where the plain
+    ``dropDuplicates`` state grows without bound. Each event arrives
+    doubled (same ts, so both copies are inside the watermark window);
+    the appended distinct stream is counted per type post-sink."""
+    ev = _events_stream(spark, sf_dir)
+    doubled = ev.select(
+        "event_id", "event_type", "ts",
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("copy"),
+    ).drop("copy")
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    sink = _run_to_memory(deduped, "append")
+    return sink.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("distinct_events")
+    )
+
+
+def _doc_band_buckets(docs: DataFrame, k: int = 16, bands: int = 4) -> DataFrame:
+    """Per-ROW MinHash band buckets — no aggregation, so it runs as a
+    stateless map on a stream: shingles via a higher-order ``transform``
+    over the token array, permutation minima via ``array_min`` of hashed
+    shingles, band hash over each signature slice. (doc_id, band, bucket)."""
+    rows = k // bands
+    toks = F.split(F.lower(F.col("text")), "[^a-z]+")
+    sh = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
+            lambda j: F.concat_ws(
+                " ", F.element_at(toks, j + 1), F.element_at(toks, j + 2),
+                F.element_at(toks, j + 3)
+            ),
+        ),
+        lambda s: s != "",
+    )
+    mins = [
+        F.array_min(
+            F.transform(F.col("sh"), lambda s, i=i: F.xxhash64(F.lit(i), s))
+        ).alias(f"h{i}")
+        for i in range(k)
+    ]
+    sigs = docs.select("doc_id", sh.alias("sh")).select("doc_id", *mins)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{b * rows + r}") for r in range(rows)]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def neardup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup suppression on a document stream: per-row
+    MinHash band buckets (stateless map), then stateful
+    ``dropDuplicates`` on (band, bucket) — a doc whose bucket was already
+    seen in ANY earlier micro-batch is suppressed for that band, i.e. the
+    streaming form of LSH bucket dedup. Emitted as distinct-bucket counts
+    per band, which is deterministic regardless of arrival order.
+
+    State note: (band, bucket) state here is unbounded because
+    ``documents`` carries no event time; a production ingest attaches
+    ingest time and uses ``dropDuplicatesWithinWatermark`` (see
+    :func:`dedup_bounded_state`) so bucket state expires."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    buckets = _doc_band_buckets(raw).dropDuplicates(["band", "bucket"])
+    sink = _run_to_memory(buckets, "append")
+    return sink.groupBy("band").agg(
+        F.count(F.lit(1)).alias("distinct_buckets")
+    )

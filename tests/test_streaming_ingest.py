@@ -65,3 +65,48 @@ def test_rerun_with_no_new_input_appends_nothing(spark, paths):
     appended = ingest_stream(spark, input_path, store, ckpt)
     assert sum(n for _, n in appended) == 0
     assert read_store(spark, store).count() == 1
+
+
+def test_stream_dedup_bounded_state_counts(spark, sf_dir):
+    from crawlingbigdatavisionaid_spark.plans import query_map
+    from crawlingbigdatavisionaid_spark.sources import load_table
+
+    got = {
+        r["event_type"]: r["distinct_events"]
+        for r in query_map()["stream_dedup_bounded_state"](spark, sf_dir).collect()
+    }
+    want = {
+        r["event_type"]: r["cnt"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_neardup_minhash_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from crawlingbigdatavisionaid_spark.plans import query_map
+    from crawlingbigdatavisionaid_spark.sources import load_table
+    from crawlingbigdatavisionaid_spark.streaming.pipeline import (
+        _doc_band_buckets,
+    )
+
+    got = {
+        r["band"]: r["distinct_buckets"]
+        for r in query_map()["stream_neardup_minhash"](spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    want = {
+        r["band"]: r["n"]
+        for r in _doc_band_buckets(docs)
+        .select("band", "bucket")
+        .distinct()
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
