@@ -44,18 +44,29 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
     """Drain an availableNow streaming query into a memory sink; return
-    the sink table."""
-    name = "s" + uuid.uuid4().hex[:12]
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    the sink table.
+
+    Shuffle partitions are scoped down for the drain: each stateful
+    partition owns a state store, and on a vanilla session (200
+    partitions) the per-store open/commit overhead dwarfs the work at
+    verification scale. The conf is captured by the query's FIRST batch
+    via its fresh checkpoint, so restoring it afterwards is safe."""
     spark_session = result.sparkSession
+    prev = spark_session.conf.get("spark.sql.shuffle.partitions")
+    name = "s" + uuid.uuid4().hex[:12]
+    try:
+        spark_session.conf.set("spark.sql.shuffle.partitions", "32")
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark_session.conf.set("spark.sql.shuffle.partitions", prev)
     return spark_session.table(name)
 
 

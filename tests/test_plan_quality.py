@@ -115,3 +115,21 @@ def test_q22_threshold_broadcasts_one_row(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q22_idle_rich_customers")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_window_is_partitioned(spark, sf_dir):
+    # the packing window must be per-bucket (parallel), never a global
+    # single-partition window (the classic cumulative-sum scale trap)
+    plan = _plan(spark, sf_dir, "pack_sequences")
+    assert "Window" in plan
+    assert "partitionBy" not in plan or "bucket" in plan
+    # a window with no PARTITION BY plans an Exchange SinglePartition
+    assert "SinglePartition" not in plan
+
+
+def test_split_contamination_joins_semi_on_fingerprint(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "split_contamination")
+    # a semi join keyed on the md5 fingerprint — never text, and never a
+    # full join materializing matches
+    join_lines = [l for l in plan.splitlines() if "LeftSemi" in l]
+    assert join_lines and all("fp" in l for l in join_lines), join_lines
