@@ -185,13 +185,23 @@ def compare(
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
-    from crawlingbigdatavisionaid_spark.session import get_spark
 
-    spark = get_spark("verify-local")
+    if vanilla:
+        # driver-faithful: the external driver builds its own session with
+        # none of our tuned confs (200 shuffle partitions, default memory)
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[*]").getOrCreate()
+    else:
+        from crawlingbigdatavisionaid_spark.session import get_spark
+
+        spark = get_spark("verify-local")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
