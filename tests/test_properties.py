@@ -72,3 +72,25 @@ def test_gapfill_invariants(spark, days, n_nulls):
         assert out[d] == 0
     for d in set(days):
         assert out[d] == days.count(d)
+
+
+def test_pack_sequences_conserves_docs_and_tokens(spark, sf_dir):
+    """Packing invariants: every document lands in exactly one sequence,
+    and sequence token sums conserve the corpus token total."""
+    from pyspark.sql import functions as F
+
+    from crawlingbigdatavisionaid_spark.functions import text as T
+    from crawlingbigdatavisionaid_spark.plans import query_map
+    from crawlingbigdatavisionaid_spark.sources import load_table
+
+    packed = query_map()["pack_sequences"](spark, sf_dir)
+    agg = packed.agg(
+        F.sum("n_docs").alias("docs"), F.sum("seq_tokens").alias("toks")
+    ).collect()[0]
+    docs = load_table(spark, sf_dir, "documents")
+    want = docs.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.size(T.tokens("text"))).alias("toks"),
+    ).collect()[0]
+    assert agg["docs"] == want["docs"]
+    assert agg["toks"] == want["toks"]
