@@ -132,3 +132,47 @@ def sample_frames(with_payload: DataFrame) -> DataFrame:
     return with_payload.select("doc_id", "payload").mapInPandas(
         batches, _FRAME_SCHEMA
     )
+
+
+RESIZE_STRIDE = 4  # keep every 4th byte — nearest-neighbor on a 1D stream
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("orig_bytes", LongType()),
+        StructField("resized_bytes", LongType()),
+        StructField("resized_sum", LongType()),
+    ]
+)
+
+
+def resize_payload(with_payload: DataFrame) -> DataFrame:
+    """Binary -> binary "resize": nearest-neighbor downsample of the
+    payload byte stream (every RESIZE_STRIDE-th byte) — the structural
+    stand-in for image resize (a real one decodes, interpolates pixels,
+    re-encodes inside the same mapInPandas batch loop). Emits the
+    resized payload's exact integer digest + both lengths so the
+    transform is value-checkable without shipping binaries through the
+    compare."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, orig, rlen, rsum = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                small = payload[::RESIZE_STRIDE]
+                ids.append(doc_id)
+                orig.append(len(payload))
+                rlen.append(len(small))
+                rsum.append(int(sum(small)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "orig_bytes": orig,
+                    "resized_bytes": rlen,
+                    "resized_sum": rsum,
+                }
+            )
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        batches, _RESIZE_SCHEMA
+    )

@@ -96,3 +96,33 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas — row-expansion plumbing with an exact integer digest."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.sample_frames(MM.attach_binary(docs))
+
+
+@register(
+    "multimodal_resize",
+    ops=("OP-X-MM-01",),
+    oracle="""
+        WITH b AS (
+            SELECT doc_id,
+                   list_transform(string_split(text, ''), c -> ascii(c)) AS bytes
+            FROM documents
+        ), r AS (
+            SELECT doc_id, bytes,
+                   list_filter(bytes, (x, i) -> (i - 1) % 4 = 0) AS small
+            FROM b
+        )
+        SELECT doc_id,
+               len(bytes) AS orig_bytes,
+               len(small) AS resized_bytes,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(small, x -> CAST(x AS BIGINT))),
+                           (a, b) -> a + b) AS resized_sum
+        FROM r
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary->binary resize plumbing (nearest-neighbor byte downsample
+    in mapInPandas), checked via exact integer digests — ASCII payloads
+    give DuckDB a byte-level twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.resize_payload(MM.attach_binary(docs))
