@@ -74,15 +74,15 @@ _PRIORITY: tuple[str, ...] = (
     "ann_lsh_topk",
     "ann_ivf_topk",
     "dedup_embedding_pairs",
-    "embedding_norms",
+    "pack_sequences",       # bucketed LLM sequence packing
     "corpus_tfidf",              # OP-X-TXT-04
     "lang_id_heuristic",
     "quality_score",
     "lang_breakdown",
     "token_stats",
-    "bigram_topk",
+    "stream_dedup_bounded_state",  # watermark-bounded dedup state
     "json_extract_props",        # OP-X-JSON-01
-    "json_props_typed_struct",
+    "split_contamination",  # train/test leakage audit
     "variant_props_distinct_k",
     "asof_click_purchase",       # OP-X-WIN-01
     "window_tumbling_1h",
