@@ -131,3 +131,41 @@ def crawl_pysource_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     articles = spark.read.format("crawlpages").option("kind", "article").load()
     listing = U.extract_listing(pages).dropDuplicates(["url"])
     return U.extract_articles(listing, articles)
+
+
+_MESSY_URLS = [
+    "HTTPS://BlogA.Example/Posts/1",
+    "https://bloga.example/Posts/1#section",
+    "https://bloga.example/Posts/1?utm_source=feed&utm_medium=rss",
+    "https://bloga.example/Posts/1/",
+    "https://blogb.example/p/9?id=2&utm_source=x",
+    "https://blogb.example/p/9?id=2",
+    "https://blogc.example/",
+]
+
+
+@register(
+    "url_canonical_dedup",
+    ops=("OP-DEDUP-01", "OP-EXT-03"),
+    oracle="""
+        SELECT * FROM (VALUES
+            ('https://bloga.example/Posts/1', 4),
+            ('https://blogb.example/p/9?id=2', 2),
+            ('https://blogc.example', 1)
+        ) AS t(canonical, n_variants)
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization ahead of crawl dedup: the reference dedups on
+    the RAW url string (crawl.py:73), so fragment / tracking-param /
+    trailing-slash / case variants re-crawl as new articles. Canonical-
+    izing first (functions/urls.py — pure built-in regexp transforms)
+    collapses the variants; the VALUES oracle pins the exact rules."""
+    from ..functions.urls import canonical_url
+
+    urls = spark.createDataFrame([(u,) for u in _MESSY_URLS], "url string")
+    return (
+        urls.select(canonical_url("url").alias("canonical"))
+        .groupBy("canonical")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_variants"))
+    )
