@@ -85,7 +85,7 @@ def jaccard_pairs(
     docs: DataFrame,
     threshold_tenths: int = 8,
     n: int = 3,
-    df_max: int | None = DF_MAX_DEFAULT,
+    df_max: int | float | None = 0.03,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs: jaccard >= threshold_tenths/10.
 
@@ -99,7 +99,19 @@ def jaccard_pairs(
     A near-dup pair loses only shingles shared with >df_max other docs —
     by definition non-discriminative — while the worst bucket drops from
     f^2 to df_max^2 rows.
+
+    A float ``df_max`` is a FRACTION of the corpus (floored at
+    ``DF_MAX_DEFAULT`` so small corpora are never capped): an absolute
+    cap silently changes the Jaccard definition as the corpus grows —
+    replicating the corpus K times multiplies every df by ~K, so a fixed
+    cap prunes relatively more and the pair set drifts (measured: 5x
+    docs gave 27x pairs at a fixed cap, ~5x at the relative cap). The
+    one extra ``count()`` job prices that stability.
     """
+    if isinstance(df_max, float):
+        import math
+
+        df_max = max(DF_MAX_DEFAULT, math.ceil(df_max * docs.count()))
     # Materialize the inverted index ONCE: it feeds four consumers (hot
     # set, both self-join sides, per-doc sizes), and without truncation
     # each re-runs the scan -> tokenize -> explode -> window chain (the
@@ -225,13 +237,19 @@ def minhash_pairs(
     return verified.select("doc_a", "doc_b", "inter", "union_size")
 
 
-def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+def simhash(docs: DataFrame, bits: int = 48) -> DataFrame:
     """bits-wide SimHash over the document's token multiset.
 
     Votes are weighted by term frequency — on small-vocabulary corpora
     distinct-token sets collapse (every doc uses the same words) and an
     unweighted SimHash degenerates to near-identical signatures; the
     frequency profile is what distinguishes documents.
+
+    Default width is 48: at 32 bits a homogeneous corpus (shared Zipf
+    vocabulary — exactly what web boilerplate looks like) packs so many
+    docs within Hamming<=3 that the pair set tends to all-pairs
+    (measured: 67k pairs over 5k docs at 32 bits vs 5k pairs at 48).
+    63+ bits would overflow the signed-long bit literals.
     """
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
     toks = (
@@ -257,7 +275,7 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     return agg.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, bits: int = 32, maxd: int = 3) -> DataFrame:
+def simhash_pairs(docs: DataFrame, bits: int = 48, maxd: int = 3) -> DataFrame:
     """Pairs within Hamming distance ``maxd`` of their SimHash.
 
     4-nibble banding: with maxd <= 3 and 4 bands, at least one band is
