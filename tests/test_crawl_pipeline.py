@@ -47,3 +47,33 @@ def test_failed_fetches_isolate_per_item(spark, store):
     # the missing articles arrive on a later round once fetchable
     stats2 = crawl_batch(spark, SEEDS, DictFetcher(PAGES), store)
     assert stats2 == {"new_rows": 2, "store_rows": 4}
+
+
+def test_canonical_url_is_idempotent(spark):
+    """A dedup key must be a fixed point: canonicalizing twice changes
+    nothing (otherwise re-ingesting stored rows re-dedups differently)."""
+    from pyspark.sql import functions as F
+
+    from crawlingbigdatavisionaid_spark.functions.urls import canonical_url
+
+    cases = [
+        "HTTPS://BlogA.Example/Posts/1",
+        "https://bloga.example/posts/1#sec",
+        "https://bloga.example/posts/1?utm_source=x&id=2&utm_medium=y",
+        "https://bloga.example/posts/1/",
+        "https://bloga.example/",
+        "http://bloga.example/a/b/c?x=1&y=2#z",
+        "https://bloga.example/p?fbclid=abc",
+    ]
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    rows = df.select(
+        canonical_url("url").alias("once"),
+    ).select(
+        "once", canonical_url(F.col("once")).alias("twice")
+    ).collect()
+    for r in rows:
+        assert r["once"] == r["twice"], (r["once"], r["twice"])
+    # meaningful query params survive; tracking params don't
+    got = {r["once"] for r in rows}
+    assert "https://bloga.example/posts/1?id=2" in got
+    assert "https://bloga.example/p" in got
