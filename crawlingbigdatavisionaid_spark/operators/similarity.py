@@ -85,28 +85,49 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate cosine top-k via multi-table random-hyperplane LSH."""
+    """Approximate cosine top-k via multi-table random-hyperplane LSH.
+
+    All table signatures are computed in ONE corpus pass (a struct array
+    exploded to (table, sig) rows) and matched with ONE equality join on
+    (table, sig) — a per-table loop would scan the corpus n_tables times.
+    """
     planes = _plane_literals(n_tables, n_planes, dim)
-    c = emb.select(
-        F.col(id_col).alias("neighbor_id"), V.as_double(F.col(vec_col)).alias("nv")
+
+    def banded(df, idc, vc):
+        sigs = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    signature(F.col(vc), planes[t]).alias("sig"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(idc, vc, F.explode(sigs).alias("b")).select(
+            idc, vc, F.col("b.t").alias("t"), F.col("b.sig").alias("sig")
+        )
+
+    c = banded(
+        emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            V.as_double(F.col(vec_col)).alias("nv"),
+        ),
+        "neighbor_id",
+        "nv",
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), V.as_double(F.col(vec_col)).alias("qv")
+    q = banded(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            V.as_double(F.col(vec_col)).alias("qv"),
+        ),
+        "query_id",
+        "qv",
     )
-    cand = None
-    for t in range(n_tables):
-        cb = c.select(
-            "neighbor_id", "nv", signature(F.col("nv"), planes[t]).alias("sig")
-        )
-        qb = q.select(
-            "query_id", "qv", signature(F.col("qv"), planes[t]).alias("sig")
-        )
-        hit = cb.join(F.broadcast(qb), "sig").select(
-            "query_id", "qv", "neighbor_id", "nv"
-        )
-        cand = hit if cand is None else cand.unionByName(hit)
-    cand = cand.where(F.col("neighbor_id") != F.col("query_id")).dropDuplicates(
-        ["query_id", "neighbor_id"]
+    cand = (
+        c.join(F.broadcast(q), ["t", "sig"])
+        .select("query_id", "qv", "neighbor_id", "nv")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.select(
         "query_id", "neighbor_id", V.cosine(F.col("qv"), F.col("nv")).alias("cos")
