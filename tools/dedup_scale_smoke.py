@@ -94,6 +94,7 @@ def main() -> None:
             lambda: S.brute_force_topk(semb, queries, k=10).count(),
         )
         run("ann_lsh", lambda: S.lsh_topk(semb, queries, k=10).count())
+        run("ann_ivf", lambda: S.ivf_topk(semb, queries, k=10).count())
 
         print(
             json.dumps(
