@@ -226,28 +226,36 @@ def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "approx_distinct_users",
     ops=("OP-X-APPROX-01",),
-    # HLL++ at rsd=0.01 is deterministic (hash-based, no randomness) and
-    # within ±1 of exact at this cardinality (150 users/type at sf0.01 —
-    # sparse/linear-counting regime), so rounding both sides to the nearest
-    # 10 yields a deterministic, oracle-checkable band.  At real scale the
-    # estimate diverges and only the rows-only check applies.
+    # A sketch estimate can't be value-hashed against exact SQL (an earlier
+    # rounding-band oracle failed whenever the acknowledged ±1 HLL error
+    # crossed a band boundary), so the QUERY emits the tolerance verdict:
+    # |HLL++ - exact| within max(2, 2% of exact) per group. HLL++ is
+    # deterministic (hash-based), so the verdict is stable; the oracle pins
+    # it TRUE for every group — sketch accuracy is driver-checked without
+    # banding fragility, at any SF.
     oracle="""
-        SELECT event_type,
-               CAST(ROUND(COUNT(DISTINCT user_id), -1) AS BIGINT)
-                   AS approx_users_band
+        SELECT event_type, TRUE AS approx_ok
         FROM events GROUP BY 1
     """,
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HyperLogLog++ sketch: mergeable partial aggregates, no exact-distinct
     # shuffle of the full key set — the 100 TB form of COUNT(DISTINCT).
+    # The exact count here exists only to check the sketch; production use
+    # is the approx aggregate alone.
     return (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            F.round(F.approx_count_distinct("user_id", rsd=0.01), -1)
-            .cast("long")
-            .alias("approx_users_band")
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
+            F.count_distinct("user_id").alias("exact"),
+        )
+        .select(
+            "event_type",
+            (
+                F.abs(F.col("approx") - F.col("exact"))
+                <= F.greatest(F.lit(2), F.round(F.col("exact") * 0.02))
+            ).alias("approx_ok"),
         )
     )
 

@@ -138,9 +138,15 @@ _MESSY_URLS = [
     "https://bloga.example/Posts/1#section",
     "https://bloga.example/Posts/1?utm_source=feed&utm_medium=rss",
     "https://bloga.example/Posts/1/",
+    "https://bloga.example:443/Posts/1",  # default port alias
     "https://blogb.example/p/9?id=2&utm_source=x",
     "https://blogb.example/p/9?id=2",
     "https://blogc.example/",
+    # param NAME ending in a tracking name must NOT be eaten
+    "https://blogd.example/p?autm_source=1",
+    # percent-encoding case + query-param order alias the same resource
+    "https://bloge.example/a%2fb?b=2&a=1",
+    "https://bloge.example/a%2Fb?a=1&b=2",
 ]
 
 
@@ -149,9 +155,11 @@ _MESSY_URLS = [
     ops=("OP-DEDUP-01", "OP-EXT-03"),
     oracle="""
         SELECT * FROM (VALUES
-            ('https://bloga.example/Posts/1', 4),
+            ('https://bloga.example/Posts/1', 5),
             ('https://blogb.example/p/9?id=2', 2),
-            ('https://blogc.example', 1)
+            ('https://blogc.example', 1),
+            ('https://blogd.example/p?autm_source=1', 1),
+            ('https://bloge.example/a%2Fb?a=1&b=2', 2)
         ) AS t(canonical, n_variants)
     """,
 )

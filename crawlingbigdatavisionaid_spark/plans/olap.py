@@ -310,7 +310,12 @@ def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         prev.alias("prev_ts"),
-        (F.unix_micros("ts") - F.unix_micros(prev)).alias("gap_us"),
+        # cast: unix_micros requires TIMESTAMP (LTZ); the parquet column is
+        # NTZ — identical values under the UTC session timezone
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(prev.cast("timestamp"))
+        ).alias("gap_us"),
     )
 
 

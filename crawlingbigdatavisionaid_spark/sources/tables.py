@@ -89,7 +89,10 @@ def _assert_no_nanos_timestamps(path: str, name: str) -> None:
                 "with spark.sql.legacy.parquet.nanosAsLong these read as "
                 "raw longs; add a conversion like the events.ts path"
             )
-    except ImportError:  # pragma: no cover — pyarrow is baked in
+    except (ImportError, OSError):
+        # best-effort guard: a non-local sf_dir (s3://, hdfs://) can't be
+        # probed with os.path/pyarrow-on-path — skip rather than crash the
+        # load; Spark itself still reads the table fine
         pass
     _NANOS_CHECKED.add(path)
 

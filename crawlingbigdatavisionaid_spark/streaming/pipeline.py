@@ -26,10 +26,14 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions import text as T
+
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (nanos ts handled as in
-    the batch loader)."""
+    the batch loader — conversion only when the file stores raw nanos)."""
+    from pyspark.sql.types import LongType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file source wants a directory: stream the sf dir, filtered to
@@ -39,7 +43,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(schema["ts"].dataType, LongType):
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # watermarks require TIMESTAMP (LTZ) — a parquet NTZ column is
+    # value-identical under the UTC session timezone
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
@@ -197,24 +205,37 @@ def _doc_band_buckets(docs: DataFrame, k: int = 16, bands: int = 4) -> DataFrame
     over the token array, permutation minima via ``array_min`` of hashed
     shingles, band hash over each signature slice. (doc_id, band, bucket)."""
     rows = k // bands
-    toks = F.split(F.lower(F.col("text")), "[^a-z]+")
-    sh = F.filter(
+    toks = T.tokens(F.col("text"))
+    # word 3-grams, exactly as the batch operators.neardup.shingle_rows:
+    # a doc with fewer than 3 tokens yields NO shingles (sequence() must
+    # be guarded — with start > stop it would count DOWN, not be empty)
+    sh = F.when(
+        F.size(toks) >= 3,
         F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
+            F.sequence(F.lit(1), F.size(toks) - 2),
             lambda j: F.concat_ws(
-                " ", F.element_at(toks, j + 1), F.element_at(toks, j + 2),
-                F.element_at(toks, j + 3)
+                " ", F.element_at(toks, j), F.element_at(toks, j + 1),
+                F.element_at(toks, j + 2)
             ),
         ),
-        lambda s: s != "",
-    )
+    ).otherwise(F.array().cast("array<string>"))
+
+    # the seed must be captured by closure in a UNARY lambda: pyspark
+    # picks unary/binary by parameter count, so `lambda s, i=i:` would
+    # receive the ARRAY INDEX as its second argument and every
+    # "permutation" would collapse to the same position-seeded min.
+    def _perm(seed: int):
+        return lambda s: F.xxhash64(F.lit(seed), s)
+
     mins = [
-        F.array_min(
-            F.transform(F.col("sh"), lambda s, i=i: F.xxhash64(F.lit(i), s))
-        ).alias(f"h{i}")
+        F.array_min(F.transform(F.col("sh"), _perm(i))).alias(f"h{i}")
         for i in range(k)
     ]
-    sigs = docs.select("doc_id", sh.alias("sh")).select("doc_id", *mins)
+    sigs = (
+        docs.select("doc_id", sh.alias("sh"))
+        .where(F.size("sh") > 0)
+        .select("doc_id", *mins)
+    )
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),

@@ -64,6 +64,17 @@ def test_canonical_url_is_idempotent(spark):
         "https://bloga.example/",
         "http://bloga.example/a/b/c?x=1&y=2#z",
         "https://bloga.example/p?fbclid=abc",
+        # boundary: param name merely ENDS in a tracking name — keep it
+        "https://bloga.example/p?autm_source=1",
+        "https://bloga.example/p?id=1&xfbclid=2",
+        # default ports, percent-case, param order
+        "http://bloga.example:80/x",
+        "https://bloga.example:443/x?b=2&a=1",
+        "http://bloga.example:8080/x",
+        "https://bloga.example/a%2fb%ZZ%3d",
+        # consecutive tracking params (separator cleanup)
+        "https://bloga.example/p?utm_source=a&utm_medium=b&id=2",
+        "https://bloga.example/p?id=2&utm_source=a&utm_medium=b",
     ]
     df = spark.createDataFrame([(u,) for u in cases], "url string")
     rows = df.select(
@@ -77,3 +88,14 @@ def test_canonical_url_is_idempotent(spark):
     got = {r["once"] for r in rows}
     assert "https://bloga.example/posts/1?id=2" in got
     assert "https://bloga.example/p" in got
+    # boundary names are NOT tracking params
+    assert "https://bloga.example/p?autm_source=1" in got
+    assert "https://bloga.example/p?id=1&xfbclid=2" in got
+    # default ports stripped, non-default kept; params sorted
+    assert "http://bloga.example/x" in got
+    assert "https://bloga.example/x?a=1&b=2" in got
+    assert "http://bloga.example:8080/x" in got
+    # valid escapes uppercased; invalid ones untouched
+    assert "https://bloga.example/a%2Fb%ZZ%3D" in got
+    # consecutive tracking params collapse cleanly, either position
+    assert "https://bloga.example/p?id=2" in got

@@ -86,6 +86,47 @@ def test_stream_dedup_bounded_state_counts(spark, sf_dir):
     assert got == want
 
 
+def test_stream_band_buckets_match_batch_minhash(spark, sf_dir):
+    """NON-circular parity: the streaming per-row band buckets must equal
+    buckets derived from the independent batch aggregate
+    ``operators.neardup.minhash_signatures`` (explode + grouped min).
+    Guards the unary-vs-binary transform-lambda pitfall: a binary lambda
+    would get the ARRAY INDEX as its seed and collapse all permutations."""
+    from pyspark.sql import functions as F
+
+    from crawlingbigdatavisionaid_spark.operators import neardup
+    from crawlingbigdatavisionaid_spark.sources import load_table
+    from crawlingbigdatavisionaid_spark.streaming.pipeline import (
+        _doc_band_buckets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    k, bands, rows = 16, 4, 4
+    got = {
+        (r["doc_id"], r["band"], r["bucket"])
+        for r in _doc_band_buckets(docs, k=k, bands=bands).collect()
+    }
+    sigs = neardup.minhash_signatures(docs, k=k)
+    want = {
+        (r["doc_id"], b, r[f"band{b}"])
+        for r in sigs.select(
+            "doc_id",
+            *[
+                F.xxhash64(
+                    *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                ).alias(f"band{b}")
+                for b in range(bands)
+            ],
+        ).collect()
+        for b in range(bands)
+    }
+    assert got == want
+
+    # and the permutations are genuinely independent: h0 != h1 somewhere
+    diff = sigs.where(F.col("h0") != F.col("h1")).count()
+    assert diff > 0
+
+
 def test_stream_neardup_minhash_matches_batch(spark, sf_dir):
     from pyspark.sql import functions as F
 
