@@ -36,61 +36,72 @@ QUERIES: dict[str, QuerySpec] = {}
 # The driver's correctness gate verifies the FIRST 50 registered queries in
 # iteration order (CORRECTNESS_r01 covered exactly ``list(QUERIES)[:50]``).
 # ``_PRIORITY`` pins a representative, oracle-backed query for every
-# SURVEY.md §2 OP-ID — plus the previously-unchecked streaming / text /
-# JSON / ANN / TPC-H families — into that window.  Everything else keeps
+# SURVEY.md §2 OP-ID into that window.  Everything else keeps
 # module-import order after the pinned block.  ``tests/test_registry.py``
 # asserts every OP-ID is covered by the first 50.
+#
+# Round-3 rotation: 12 slots whose OP-IDs were ALSO covered by another
+# window entry (r01+r02 driver-green twice over) are swapped for queries
+# that had never had a driver-checked row — the TPC-H join/agg family,
+# rollup, bigram top-k, multimodal features, URL-canonical dedup, the
+# bucketed range join, and the streaming MinHash near-dup.  Rotated out
+# (still registered + verified locally, just past position 50):
+# html_extraction_parsed_ts, daily_event_type_pivot, profile_documents,
+# nonempty_content_count, stream_user_sessions, stream_session_windows,
+# stream_dedup_count, approx_value_percentiles, dedup_canonical_docs,
+# project_with_default, session_windows_30m, token_stats, lang_breakdown,
+# variant_props_distinct_k, stream_interval_join.
 _PRIORITY: tuple[str, ...] = (
-    "word_topk",                 # OP-TXT-01/02/03 — the reference's flagship
+    "word_topk",                 # OP-TXT-01/02/03, OP-FLT-01/03 — flagship
     "timeline_gapfill",          # OP-GAP-01, OP-AGG-03/04, OP-FLT-02
     "source_distribution",       # OP-AGG-01/02, OP-PRJ-01/02, OP-SRC-03
     "total_count",               # OP-AGG-05
     "recent_events",             # OP-TOPK-01
     "latest_ingested",           # OP-TOPK-02
-    "nonempty_content_count",    # OP-FLT-01
-    "project_with_default",      # OP-PRJ-01/02
     "dedup_anti_join",           # OP-DEDUP-01
-    "html_extraction",           # OP-EXT-01..05/07, OP-SRC-01/02, OP-STR-02
-    "html_extraction_parsed_ts", # OP-EXT-06
+    "html_extraction",           # OP-EXT-01..07, OP-SRC-01/02, OP-STR-02
     "crawl_batch_dedup",         # OP-SNK-01, OP-AGG-06
-    "crawl_pysource_ingest",     # OP-SRC-02
-    "ingest_observed_metrics",   # OP-STR-03, OP-SRC-04
-    "profile_documents",
-    "daily_event_type_pivot",
-    "approx_value_percentiles",  # OP-X-APPROX-01
+    "crawl_pysource_ingest",     # OP-SRC-01/02 via Python Data Source API
+    "ingest_observed_metrics",   # OP-STR-03, OP-SRC-04, OP-AGG-06
     "approx_distinct_users",     # OP-X-APPROX-01
-    "stream_hourly_counts",      # OP-STR-01
-    "stream_user_sessions",
-    "stream_dedup_count",
-    "stream_session_windows",
-    "stream_interval_join",
+    "stream_hourly_counts",      # OP-STR-01, OP-X-WIN-01
+    "stream_dedup_bounded_state",  # watermark-bounded dedup state
+    "stream_neardup_minhash",    # OP-STR-01 + OP-X-DEDUP-02 (rows-only)
     "dedup_ngram_jaccard",       # OP-X-DEDUP-02
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_components",
-    "dedup_canonical_docs",
-    "training_corpus",           # OP-FLT-03
+    "training_corpus",           # OP-FLT-01/03, OP-DEDUP-01 composition
+    "url_canonical_dedup",       # OP-DEDUP-01, OP-EXT-03
     "ann_brute_force_topk",      # OP-X-SIM-01
     "ann_lsh_topk",
     "ann_ivf_topk",
     "dedup_embedding_pairs",
-    "pack_sequences",       # bucketed LLM sequence packing
+    "pack_sequences",            # bucketed LLM sequence packing
     "corpus_tfidf",              # OP-X-TXT-04
     "lang_id_heuristic",
     "quality_score",
-    "lang_breakdown",
-    "token_stats",
-    "stream_dedup_bounded_state",  # watermark-bounded dedup state
+    "pii_redaction",             # OP-X-TXT-04 PII scrubbing
+    "bigram_topk",               # OP-TXT-01/03 n-gram variant
+    "hash_sample_by_lang",       # deterministic hash-mod sampling
     "json_extract_props",        # OP-X-JSON-01
-    "split_contamination",  # train/test leakage audit
-    "variant_props_distinct_k",
-    "asof_click_purchase",       # OP-X-WIN-01
+    "split_contamination",       # train/test leakage audit
+    "asof_click_purchase",       # OP-X-WIN-01 as-of join
     "window_tumbling_1h",
-    "session_windows_30m",
+    "range_join_clicks_before_purchase",  # bucketed range join
     "multimodal_metadata",       # OP-X-MM-01
+    "multimodal_features",       # OP-X-MM-01 feature extraction
+    "multimodal_resize",         # OP-X-MM-01 binary->binary transform
     "q1_pricing_summary",        # TPC-H shapes
     "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q12_linestatus_priority",
+    "q14_promo_revenue_share",
     "q18_large_volume_orders",
+    "q21_sole_returned_supplier",
+    "q22_idle_rich_customers",
+    "region_revenue",            # snowflake-chain broadcast joins
+    "revenue_rollup_region_nation",  # ROLLUP grouping sets
 )
 
 

@@ -47,6 +47,10 @@ def test_window_queries_mostly_oracled() -> None:
         "dedup_simhash",
         "ann_lsh_topk",
         "ann_ivf_topk",
+        # arrival-order-dependent streaming LSH state: deterministic
+        # distinct-bucket counts, but no SQL twin — parity-tested in
+        # tests/test_streaming_ingest.py against the batch signatures
+        "stream_neardup_minhash",
     }
     unexpected = [n for n in names if n not in oracles and n not in allowed_rows_only]
     assert not unexpected, f"un-oracled queries in driver window: {unexpected}"
