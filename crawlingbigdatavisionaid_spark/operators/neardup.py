@@ -105,13 +105,17 @@ def jaccard_pairs(
     cap silently changes the Jaccard definition as the corpus grows —
     replicating the corpus K times multiplies every df by ~K, so a fixed
     cap prunes relatively more and the pair set drifts (measured: 5x
-    docs gave 27x pairs at a fixed cap, ~5x at the relative cap). The
-    one extra ``count()`` job prices that stability.
-    """
-    if isinstance(df_max, float):
-        import math
+    docs gave 27x pairs at a fixed cap, ~5x at the relative cap).
 
-        df_max = max(DF_MAX_DEFAULT, math.ceil(df_max * docs.count()))
+    The corpus size for the fraction comes from the MATERIALIZED index
+    (distinct doc_ids), not a separate ``docs.count()`` scan — the
+    sizing job doubles as the index materialization every downstream
+    consumer reuses, and a doc with no shingles can't pair anyway. A
+    cheap ``max(df)`` probe on the (small, checkpointed) df table then
+    short-circuits the whole capping stage — broadcast anti-join plus a
+    second full index copy — whenever no shingle exceeds the cap, which
+    is the common case until corpus-scale boilerplate appears.
+    """
     # Materialize the inverted index ONCE: it feeds four consumers (hot
     # set, both self-join sides, per-doc sizes), and without truncation
     # each re-runs the scan -> tokenize -> explode -> window chain (the
@@ -120,18 +124,25 @@ def jaccard_pairs(
     # local storage — the same order as one shuffle of it, which any
     # consumer pays anyway.
     inv = shingle_rows(docs, n).localCheckpoint(eager=False)
+    if isinstance(df_max, float):
+        import math
+
+        n_docs = inv.select(F.countDistinct("doc_id")).collect()[0][0]
+        df_max = max(DF_MAX_DEFAULT, math.ceil(df_max * n_docs))
     if df_max is not None:
-        hot = (
+        dfs = (
             inv.groupBy("s")
             .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > df_max)
-            .select("s")
+            .localCheckpoint(eager=False)
         )
-        # checkpoint the capped index too so the anti-join (and the hot-
-        # set broadcast feeding it) runs once, not once per consumer
-        inv = inv.join(F.broadcast(hot), "s", "left_anti").localCheckpoint(
-            eager=False
-        )
+        max_df = dfs.agg(F.max("df")).collect()[0][0] or 0
+        if max_df > df_max:
+            hot = dfs.where(F.col("df") > df_max).select("s")
+            # checkpoint the capped index too so the anti-join (and the
+            # hot-set broadcast feeding it) runs once, not per consumer
+            inv = inv.join(F.broadcast(hot), "s", "left_anti").localCheckpoint(
+                eager=False
+            )
     sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = inv.alias("a")
     b = inv.alias("b")
