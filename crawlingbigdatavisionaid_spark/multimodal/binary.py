@@ -5,10 +5,11 @@ Design: media is an opaque ``BinaryType`` column next to a metadata
 struct (mime, byte length, checksum). Heavy per-item work (decode,
 resize, feature extraction) crosses to Python ONCE per Arrow batch via
 ``mapInPandas`` — the schema, partitioning, UDF signature and batch
-shapes here are the real 100 TB plumbing. The actual image/audio decode
-is STUBBED (:func:`decode_image` raises ``NotImplementedError``) because
-no media libraries exist in this environment; a deterministic
-byte-level "fake decode" exercises the full path end-to-end.
+shapes here are the real 100 TB plumbing. :func:`decode_image` is a
+REAL decoder for the uncompressed binary PNM family (P5 grayscale /
+P6 RGB) — header parse + raw pixel array, no external library; formats
+that require codec libraries (JPEG/PNG) raise ``ValueError`` and flow
+through the same per-item error-isolation path as any corrupt payload.
 
 At scale the same pattern reads real media with
 ``spark.read.format('binaryFile')`` (path, modificationTime, length,
@@ -33,16 +34,122 @@ FRAME_BYTES = 16  # simulated "video frame" width for frame sampling
 FRAME_STRIDE = 4  # sample every 4th frame
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real media decode — NOT IMPLEMENTED in this environment.
+def decode_image(payload: bytes) -> dict:
+    """Decode an uncompressed binary PNM image (P5 grayscale, P6 RGB)
+    with no external library: whitespace/comment-tolerant header parse
+    (magic, width, height, maxval) followed by the raw 8-bit pixel
+    array. Returns exact integer statistics; raises ``ValueError`` for
+    anything that is not a well-formed 8-bit binary PNM (including
+    codec formats like JPEG/PNG, which need libraries this environment
+    lacks)."""
+    if payload[:1] != b"P" or payload[1:2] not in (b"5", b"6"):
+        raise ValueError("not a binary PNM payload")
+    channels = 3 if payload[1:2] == b"6" else 1
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment runs to end-of-line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PNM header")
+        try:
+            fields.append(int(payload[start:pos]))
+        except ValueError as e:
+            raise ValueError(f"bad PNM header token {payload[start:pos]!r}") from e
+    width, height, maxval = fields
+    if width <= 0 or height <= 0:
+        raise ValueError("non-positive PNM dimensions")
+    if not 0 < maxval < 256:
+        raise ValueError("only 8-bit PNM supported")
+    pos += 1  # exactly one whitespace byte separates maxval from pixels
+    n = width * height * channels
+    pixels = payload[pos : pos + n]
+    if len(pixels) != n:
+        raise ValueError("pixel array truncated")
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "n_pixels": width * height,
+        # channel-interleaved layout: channel c is every channels-th byte
+        "channel_sums": [sum(pixels[c::channels]) for c in range(channels)],
+    }
 
-    Requires an image library (PIL/opencv) that is not installed here.
-    The Spark-side plumbing (binary column -> mapInPandas -> feature
-    struct) is identical for the real and fake paths.
-    """
-    raise NotImplementedError(
-        "media decode requires an image/audio library not present in this "
-        "environment; use fake_decode_features() for the plumbing path"
+
+def attach_ppm(docs: DataFrame) -> DataFrame:
+    """documents + a VALID binary P6 (RGB) PPM payload per doc, built
+    with JVM-side expressions: dimensions derived from doc_id, pixel
+    bytes from the (ASCII) text rpad-ed/truncated to exactly
+    width*height*3 — so :func:`decode_image` exercises a real image
+    format end-to-end and DuckDB can recompute every decoded statistic
+    from the same arithmetic."""
+    return docs.select(
+        "doc_id",
+        F.encode(
+            F.expr(
+                "concat('P6\n', cast(4 + doc_id % 5 as string), ' ', "
+                "cast(3 + doc_id % 4 as string), '\n255\n', "
+                "rpad(coalesce(text, ''), "
+                "cast((4 + doc_id % 5) * (3 + doc_id % 4) * 3 as int), 'x'))"
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+
+
+_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def decode_image_features(with_payload: DataFrame) -> DataFrame:
+    """Real image decode over the binary column: one Arrow batch ->
+    :func:`decode_image` per payload -> exact integer statistics.
+    Undecodable payloads are dropped, not fatal (OP-STR-02's per-item
+    error isolation, applied to media)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = decode_image(bytes(payload))
+                except ValueError:
+                    continue
+                s = d["channel_sums"]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": d["width"],
+                        "height": d["height"],
+                        "channels": d["channels"],
+                        "n_pixels": d["n_pixels"],
+                        "sum_r": s[0],
+                        "sum_g": s[1] if d["channels"] == 3 else None,
+                        "sum_b": s[2] if d["channels"] == 3 else None,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _DECODE_SCHEMA.fields]
+            )
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        batches, _DECODE_SCHEMA
     )
 
 

@@ -36,6 +36,49 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_image",
+    ops=("OP-X-MM-01",),
+    # the oracle recomputes every DECODED statistic from the encode-side
+    # arithmetic: dims from doc_id, channel sums over the rpad-ed ASCII
+    # text laid out RGB-interleaved — so a pass proves the full
+    # encode -> binary P6 PPM -> real header/pixel decode roundtrip
+    oracle="""
+        WITH px AS (
+            SELECT doc_id,
+                   CAST(4 + doc_id % 5 AS INTEGER) AS width,
+                   CAST(3 + doc_id % 4 AS INTEGER) AS height,
+                   list_transform(
+                       string_split(rpad(coalesce(text, ''),
+                                         CAST((4 + doc_id % 5)
+                                              * (3 + doc_id % 4) * 3 AS INTEGER),
+                                         'x'), ''),
+                       c -> CAST(ascii(c) AS BIGINT)) AS bytes
+            FROM documents
+        )
+        SELECT doc_id, width, height, 3 AS channels,
+               CAST(width * height AS BIGINT) AS n_pixels,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(list_filter(bytes, (x, i) -> (i - 1) % 3 = 0),
+                                  x -> x)), (a, b) -> a + b) AS sum_r,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(list_filter(bytes, (x, i) -> (i - 1) % 3 = 1),
+                                  x -> x)), (a, b) -> a + b) AS sum_g,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(list_filter(bytes, (x, i) -> (i - 1) % 3 = 2),
+                                  x -> x)), (a, b) -> a + b) AS sum_b
+        FROM px
+    """,
+)
+def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: every doc gets a valid binary P6
+    PPM payload (JVM-side encode), then mapInPandas runs the
+    dependency-free PNM decoder (header parse + pixel array) and emits
+    exact per-channel statistics. No stubbed sub-path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.decode_image_features(MM.attach_ppm(docs))
+
+
+@register(
     "multimodal_features",
     ops=("OP-X-MM-01",),
     oracle="""

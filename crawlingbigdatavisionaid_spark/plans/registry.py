@@ -50,7 +50,8 @@ QUERIES: dict[str, QuerySpec] = {}
 # nonempty_content_count, stream_user_sessions, stream_session_windows,
 # stream_dedup_count, approx_value_percentiles, dedup_canonical_docs,
 # project_with_default, session_windows_30m, token_stats, lang_breakdown,
-# variant_props_distinct_k, stream_interval_join.
+# variant_props_distinct_k, stream_interval_join, multimodal_metadata
+# (superseded in-window by the real-decode roundtrip query).
 _PRIORITY: tuple[str, ...] = (
     "word_topk",                 # OP-TXT-01/02/03, OP-FLT-01/03 — flagship
     "timeline_gapfill",          # OP-GAP-01, OP-AGG-03/04, OP-FLT-02
@@ -89,7 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "asof_click_purchase",       # OP-X-WIN-01 as-of join
     "window_tumbling_1h",
     "range_join_clicks_before_purchase",  # bucketed range join
-    "multimodal_metadata",       # OP-X-MM-01
+    "multimodal_decode_image",   # OP-X-MM-01 REAL PNM decode roundtrip
     "multimodal_features",       # OP-X-MM-01 feature extraction
     "multimodal_resize",         # OP-X-MM-01 binary->binary transform
     "q1_pricing_summary",        # TPC-H shapes
