@@ -90,16 +90,34 @@ def main() -> None:
         warm[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    detail = {
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_warm": warm,
+        "warm_total": round(sum(warm.values()), 3),
+        "sf": float(sf),
+    }
+    # full per-query breakdown first (and persisted to a file): a tail
+    # capture of stdout can truncate one long JSON line, so the LAST line
+    # is a short, always-parsable summary pointing at the detail file
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail))
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "warm_total": round(sum(warm.values()), 3),
+                "warm_total": detail["warm_total"],
+                "n_queries": len(timings),
                 "sf": float(sf),
+                "detail": "bench_detail.json",
             }
         )
     )

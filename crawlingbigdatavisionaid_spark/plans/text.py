@@ -472,17 +472,45 @@ def deterministic_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stratified_sample_by_lang",
     ops=("OP-FLT-01",),
-    oracle=None,  # sampler RNG is Spark-internal; proportions pytest-checked
+    # the sampler RNG is Spark-internal, so exact counts have no SQL twin;
+    # instead the QUERY emits a per-stratum verdict — full-fraction strata
+    # must survive exactly, the downsampled stratum must land within a
+    # 5-sigma binomial band (5*sqrt(n*p*(1-p)) + 5; relative width shrinks
+    # as 1/sqrt(n), so the check stays meaningful at any SF) — and the
+    # oracle pins every verdict TRUE. Same pattern as approx_distinct_users.
+    oracle="""
+        SELECT lang, TRUE AS sampled_ok FROM documents GROUP BY lang
+    """,
 )
 def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling (``sampleBy``, fixed seed): downsample the
     dominant language to balance a corpus — per-stratum Bernoulli
-    sampling in ONE scan, no shuffle. Deterministic for a given seed and
-    partitioning; proportions are asserted in pytest."""
+    sampling in ONE scan, no shuffle. Exact proportions are additionally
+    asserted in pytest."""
     docs = load_table(spark, sf_dir, "documents")
     fractions = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
-    sampled = docs.sampleBy("lang", fractions, seed=42)
-    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    sampled = (
+        docs.sampleBy("lang", fractions, seed=42)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("total"))
+    frac = F.create_map(
+        *[F.lit(x) for kv in fractions.items() for x in kv]
+    )[F.col("lang")]
+    expected = frac * F.col("total")
+    tol = F.when(frac == 1.0, F.lit(0.0)).otherwise(
+        F.lit(5.0) * F.sqrt(F.col("total") * frac * (1.0 - frac)) + 5.0
+    )
+    return (
+        totals.join(sampled, "lang", "left")
+        .select(
+            "lang",
+            (
+                F.abs(F.coalesce(F.col("cnt"), F.lit(0)) - expected) <= tol
+            ).alias("sampled_ok"),
+        )
+    )
 
 
 @register(
