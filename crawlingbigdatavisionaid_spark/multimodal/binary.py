@@ -153,6 +153,235 @@ def decode_image_features(with_payload: DataFrame) -> DataFrame:
     )
 
 
+WAV_SAMPLES = 200  # fixed clip length so the RIFF header is a constant
+WAV_RATE = 8000
+
+
+def _wav_header(n_samples: int, rate: int) -> bytes:
+    """RIFF/WAVE header for mono unsigned-8-bit PCM of n_samples."""
+    import struct
+
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + n_samples)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate, 1, 8)
+        + b"data"
+        + struct.pack("<I", n_samples)
+    )
+
+
+def attach_wav(docs: DataFrame) -> DataFrame:
+    """documents + a VALID mono 8-bit PCM WAV payload per doc: constant
+    RIFF header (binary literal) + the ASCII text rpad-ed/truncated to a
+    fixed WAV_SAMPLES bytes as unsigned samples. Real format, engine-
+    side synthesis, DuckDB-recomputable statistics."""
+    samples = F.encode(
+        F.expr(f"rpad(coalesce(text, ''), {WAV_SAMPLES}, 'x')"), "UTF-8"
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit(_wav_header(WAV_SAMPLES, WAV_RATE)), samples).alias(
+            "payload"
+        ),
+    )
+
+
+def decode_audio(payload: bytes) -> dict:
+    """Decode a PCM WAV file with no external library: RIFF container
+    walk (unknown chunks skipped, as a real parser must), fmt chunk
+    validation (PCM only), 8-bit unsigned or 16-bit signed samples.
+    Raises ``ValueError`` for non-RIFF or compressed audio."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("short fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise ValueError("compressed WAV unsupported (PCM only)")
+    if bits == 8:
+        samples = list(data)
+    elif bits == 16:
+        samples = [
+            s[0] for s in struct.iter_unpack("<h", data[: len(data) // 2 * 2])
+        ]
+    else:
+        raise ValueError(f"unsupported bit depth {bits}")
+    n = len(samples) // channels
+    return {
+        "channels": channels,
+        "sample_rate": rate,
+        "bits": bits,
+        "n_samples": n,
+        "sum_samples": sum(samples),
+        "min_sample": min(samples) if samples else None,
+        "max_sample": max(samples) if samples else None,
+    }
+
+
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_samples", LongType()),
+        StructField("min_sample", IntegerType()),
+        StructField("max_sample", IntegerType()),
+    ]
+)
+
+
+def decode_audio_features(with_payload: DataFrame) -> DataFrame:
+    """Real WAV decode over the binary column (Arrow-batched), with
+    per-item error isolation like the image path."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = decode_audio(bytes(payload))
+                except ValueError:
+                    continue
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "channels": d["channels"],
+                        "sample_rate": d["sample_rate"],
+                        "n_samples": d["n_samples"],
+                        "sum_samples": d["sum_samples"],
+                        "min_sample": d["min_sample"],
+                        "max_sample": d["max_sample"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _AUDIO_SCHEMA.fields]
+            )
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        batches, _AUDIO_SCHEMA
+    )
+
+
+Y4M_W = 4  # fixed frame geometry: 4x4 C444 -> 48 bytes/frame
+Y4M_H = 4
+
+
+def attach_y4m(docs: DataFrame) -> DataFrame:
+    """documents + a VALID YUV4MPEG2 (uncompressed video) payload per
+    doc: ASCII stream header, 1 + doc_id % 4 frames, each ``FRAME\\n``
+    marker + 4x4 C444 planes filled from the doc text. The whole
+    payload is ASCII, so every decoded statistic has a DuckDB twin."""
+    frame_bytes = Y4M_W * Y4M_H * 3
+    return docs.select(
+        "doc_id",
+        F.encode(
+            F.expr(
+                f"concat('YUV4MPEG2 W{Y4M_W} H{Y4M_H} F25:1 Ip A1:1 C444\\n', "
+                "array_join(transform(sequence(1, cast(1 + doc_id % 4 as int)), "
+                f"i -> concat('FRAME\\n', substr(rpad(coalesce(text, ''), "
+                f"cast((1 + doc_id % 4) * {frame_bytes} as int), 'x'), "
+                f"(i - 1) * {frame_bytes} + 1, {frame_bytes}))), ''))"
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+
+
+_VIDEO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("sum_luma", LongType()),
+    ]
+)
+
+
+def decode_video(payload: bytes) -> dict:
+    """Decode an uncompressed YUV4MPEG2 stream with no external
+    library: stream-header parameter parse (W/H/C tags), FRAME-marker
+    walk, per-frame planar YUV extraction; returns frame count and the
+    exact luma (Y-plane) sum. Raises ``ValueError`` on anything that is
+    not an 8-bit C444/C420-less Y4M stream of the declared geometry."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = None
+    colorspace = "C420"  # y4m default when the C tag is absent
+    for tag in payload[9:nl].split():
+        if tag[:1] == b"W":
+            width = int(tag[1:])
+        elif tag[:1] == b"H":
+            height = int(tag[1:])
+        elif tag[:1] == b"C":
+            colorspace = tag.decode("ascii", "replace")
+    if not width or not height:
+        raise ValueError("missing Y4M geometry")
+    if colorspace != "C444":
+        raise ValueError(f"unsupported colorspace {colorspace}")
+    frame_bytes = width * height * 3
+    pos, n_frames, sum_luma = nl + 1, 0, 0
+    while pos < len(payload):
+        marker_end = payload.find(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME" or marker_end < 0:
+            raise ValueError("bad FRAME marker")
+        pos = marker_end + 1
+        frame = payload[pos : pos + frame_bytes]
+        if len(frame) != frame_bytes:
+            raise ValueError("truncated frame")
+        sum_luma += sum(frame[: width * height])  # Y plane leads in C444
+        n_frames += 1
+        pos += frame_bytes
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "sum_luma": sum_luma,
+    }
+
+
+def decode_video_features(with_payload: DataFrame) -> DataFrame:
+    """Real Y4M decode over the binary column (Arrow-batched), with
+    per-item error isolation like the image/audio paths."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = decode_video(bytes(payload))
+                except ValueError:
+                    continue
+                rows.append({"doc_id": doc_id, **d})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _VIDEO_SCHEMA.fields]
+            )
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        batches, _VIDEO_SCHEMA
+    )
+
+
 def attach_binary(docs: DataFrame) -> DataFrame:
     """documents + (payload binary, meta struct) — engine-side encode."""
     payload = F.encode(F.col("text"), "UTF-8")

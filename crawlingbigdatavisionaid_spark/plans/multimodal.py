@@ -79,6 +79,75 @@ def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_audio",
+    ops=("OP-X-MM-01",),
+    # constant header (mono 8-bit PCM @8000 Hz, fixed 200-sample clip) +
+    # samples from the ASCII text: the oracle recomputes every decoded
+    # statistic, proving the RIFF-walk decode end-to-end
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id,
+                   list_transform(
+                       string_split(rpad(coalesce(text, ''),
+                                         {MM.WAV_SAMPLES}, 'x'), ''),
+                       c -> CAST(ascii(c) AS BIGINT)) AS samples
+            FROM documents
+        )
+        SELECT doc_id, 1 AS channels, {MM.WAV_RATE} AS sample_rate,
+               CAST({MM.WAV_SAMPLES} AS BIGINT) AS n_samples,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), samples),
+                           (a, b) -> a + b) AS sum_samples,
+               CAST(list_reduce(samples, (a, b) -> LEAST(a, b)) AS INTEGER)
+                   AS min_sample,
+               CAST(list_reduce(samples, (a, b) -> GREATEST(a, b)) AS INTEGER)
+                   AS max_sample
+        FROM s
+    """,
+)
+def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: every doc gets a valid mono 8-bit
+    PCM WAV (constant RIFF header as a binary literal + ASCII samples),
+    then mapInPandas runs the dependency-free RIFF/fmt/data chunk walk
+    and emits exact sample statistics."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.decode_audio_features(MM.attach_wav(docs))
+
+
+@register(
+    "multimodal_decode_video",
+    ops=("OP-X-MM-01",),
+    # all-ASCII YUV4MPEG2 stream (4x4 C444, 1 + doc_id % 4 frames) —
+    # the oracle recomputes frame count and the Y-plane sum from the
+    # same layout arithmetic the encoder used
+    oracle="""
+        WITH px AS (
+            SELECT doc_id,
+                   CAST(1 + doc_id % 4 AS INTEGER) AS n_frames,
+                   list_transform(
+                       string_split(rpad(coalesce(text, ''),
+                                         CAST((1 + doc_id % 4) * 48 AS INTEGER),
+                                         'x'), ''),
+                       c -> CAST(ascii(c) AS BIGINT)) AS bytes
+            FROM documents
+        )
+        SELECT doc_id, 4 AS width, 4 AS height, n_frames,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(list_filter(bytes,
+                                              (x, i) -> ((i - 1) % 48) < 16),
+                                  x -> x)), (a, b) -> a + b) AS sum_luma
+        FROM px
+    """,
+)
+def multimodal_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL (uncompressed) video decode end-to-end: every doc gets a
+    valid YUV4MPEG2 stream with a doc-dependent frame count, then
+    mapInPandas runs the dependency-free header/FRAME-walk decoder and
+    emits geometry, frame count and the exact luma sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.decode_video_features(MM.attach_y4m(docs))
+
+
+@register(
     "multimodal_features",
     ops=("OP-X-MM-01",),
     oracle="""

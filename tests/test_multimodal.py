@@ -8,8 +8,15 @@ import pytest
 
 from crawlingbigdatavisionaid_spark.multimodal.binary import (
     attach_ppm,
+    attach_wav,
+    attach_y4m,
+    decode_audio,
+    decode_audio_features,
     decode_image,
     decode_image_features,
+    decode_video,
+    decode_video_features,
+    _wav_header,
 )
 
 
@@ -54,6 +61,107 @@ def test_decode_header_comments_and_whitespace():
 def test_decode_rejects_malformed(payload):
     with pytest.raises(ValueError):
         decode_image(payload)
+
+
+def test_decode_wav_8bit():
+    d = decode_audio(_wav_header(4, 8000) + bytes([10, 20, 30, 40]))
+    assert (d["channels"], d["sample_rate"], d["bits"]) == (1, 8000, 8)
+    assert d["n_samples"] == 4
+    assert (d["sum_samples"], d["min_sample"], d["max_sample"]) == (100, 10, 40)
+
+
+def test_decode_wav_16bit_and_chunk_skip():
+    import struct
+
+    # stereo 16-bit with an unknown LIST chunk between fmt and data —
+    # a real parser walks chunks, it doesn't assume fixed offsets
+    samples = [-5, 5, 1000, -1000]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    wav = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + 16 + 8 + 4 + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 176400, 4, 16)
+        + b"LIST"
+        + struct.pack("<I", 4)
+        + b"INFO"
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    d = decode_audio(wav)
+    assert (d["channels"], d["sample_rate"], d["bits"]) == (2, 44100, 16)
+    assert d["n_samples"] == 2  # 4 samples over 2 channels
+    assert d["sum_samples"] == 0
+    assert (d["min_sample"], d["max_sample"]) == (-1000, 1000)
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"",
+        b"OggS\x00\x00",  # compressed container
+        b"RIFF\x10\x00\x00\x00AVI ",  # RIFF but not WAVE
+        _wav_header(10, 8000) + bytes(5),  # truncated data chunk
+    ],
+)
+def test_decode_audio_rejects_malformed(payload):
+    with pytest.raises(ValueError):
+        decode_audio(payload)
+
+
+def test_decode_y4m():
+    frame0 = bytes(range(48))
+    frame1 = bytes([1] * 48)
+    y4m = (
+        b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C444\n"
+        + b"FRAME\n" + frame0 + b"FRAME\n" + frame1
+    )
+    d = decode_video(y4m)
+    assert (d["width"], d["height"], d["n_frames"]) == (4, 4, 2)
+    # luma = first 16 bytes of each frame
+    assert d["sum_luma"] == sum(range(16)) + 16
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"",
+        b"YUV4MPEG2 W4 H4 C420\nFRAME\n" + bytes(24),  # subsampled: refuse
+        b"YUV4MPEG2 W4 H4 C444\nFRAME\n" + bytes(10),  # truncated frame
+        b"YUV4MPEG2 W4 H4 C444\nJUNK!\n" + bytes(48),  # bad marker
+    ],
+)
+def test_decode_video_rejects_malformed(payload):
+    with pytest.raises(ValueError):
+        decode_video(payload)
+
+
+def test_audio_video_roundtrip(spark, sf_dir):
+    from crawlingbigdatavisionaid_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    want = {r["doc_id"]: r["text"] or "" for r in docs.collect()}
+
+    audio = {
+        r["doc_id"]: r for r in decode_audio_features(attach_wav(docs)).collect()
+    }
+    assert set(audio) == set(want)
+    for doc_id, text in want.items():
+        raw = text.encode()[:200].ljust(200, b"x")
+        assert audio[doc_id]["sum_samples"] == sum(raw)
+
+    video = {
+        r["doc_id"]: r for r in decode_video_features(attach_y4m(docs)).collect()
+    }
+    for doc_id, text in want.items():
+        nf = 1 + doc_id % 4
+        assert video[doc_id]["n_frames"] == nf
+        raw = text.encode()[: nf * 48].ljust(nf * 48, b"x")
+        assert video[doc_id]["sum_luma"] == sum(
+            b for i, b in enumerate(raw) if i % 48 < 16
+        )
 
 
 def test_featurizer_isolates_bad_payloads(spark):

@@ -89,12 +89,37 @@ def main() -> None:
         run("minhash_pairs", lambda: ND.minhash_pairs(sdocs).count())
         run("simhash_pairs", lambda: ND.simhash_pairs(sdocs).count())
         queries = semb.where(F.col("vec_id") < 100)
-        run(
-            "ann_brute_force",
-            lambda: S.brute_force_topk(semb, queries, k=10).count(),
-        )
-        run("ann_lsh", lambda: S.lsh_topk(semb, queries, k=10).count())
-        run("ann_ivf", lambda: S.ivf_topk(semb, queries, k=10).count())
+        bf = S.brute_force_topk(semb, queries, k=10).localCheckpoint(eager=False)
+        run("ann_brute_force", lambda: bf.count())
+        lsh = S.lsh_topk(semb, queries, k=10)
+        run("ann_lsh", lambda: lsh.count())
+        ivf = S.ivf_topk(semb, queries, k=10)
+        run("ann_ivf", lambda: ivf.count())
+        # recall/cost knob: double the probed cells (nprobe 4 -> 8 of 16)
+        ivf8 = S.ivf_topk(semb, queries, k=10, nprobe=8)
+        run("ann_ivf_nprobe8", lambda: ivf8.count())
+
+        # recall vs exact ground truth: fraction of brute-force (query,
+        # neighbor) pairs the approximate index recovered (rank-free)
+        def recall(approx) -> float:
+            hit = bf.join(
+                approx.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+            ).count()
+            return round(hit / results["ann_brute_force"]["out_rows"], 4)
+
+        recalls = {
+            # minhash verifies candidates exactly (precision 1.0), so
+            # recall is the pair-count ratio vs exact jaccard
+            "minhash_vs_jaccard": round(
+                results["minhash_pairs"]["out_rows"]
+                / max(results["jaccard_pairs"]["out_rows"], 1),
+                4,
+            ),
+            "lsh_topk": recall(lsh),
+            "ivf_topk": recall(ivf),
+            "ivf_topk_nprobe8": recall(ivf8),
+        }
 
         print(
             json.dumps(
@@ -104,6 +129,7 @@ def main() -> None:
                     "n_docs": n_docs,
                     "build_s": build_s,
                     "ops": results,
+                    "recalls": recalls,
                 }
             )
         )
