@@ -1,28 +1,127 @@
 """Similarity search over embedding columns (OP-X-SIM-01).
 
-Two strategies:
+Strategies:
 
-- :func:`brute_force_topk` — exact cosine top-k. The query set is
-  broadcast; the corpus is scanned once and ranked per query with a
-  bounded window. At 100 TB this is the correct baseline whenever the
-  query set is small (cost O(|Q| * N * d) in one pass, no index build).
+- :func:`brute_force_topk` — exact cosine top-k with pure built-in
+  higher-order functions (``zip_with``/``aggregate``). Its fold order
+  matches DuckDB's ``list_inner_product`` bit-for-bit, so it is the
+  ORACLE twin. HOF lambdas are interpreted (not codegen): measured
+  ~5 µs per 64-dim dot — fine for verification scale, wrong for bulk.
 
-- :func:`lsh_topk` — random-hyperplane LSH: L independent signature
-  tables of ``n_planes`` bits each; vectors sharing a bucket in any table
-  are candidates; exact cosine ranks the candidates. At scale this turns
-  the all-pairs scan into a bucket-join (shuffle keyed by 16-bit
-  signatures), trading recall for a ~2^n_planes reduction in compared
-  pairs. Plane matrices are deterministic (seeded numpy) and shipped as
-  literal arrays into the plan — JVM-side evaluation, no UDF.
+- :func:`brute_force_topk_np` — the same exact top-k with the math in
+  Arrow-batched numpy (one BLAS matmul per batch, partial top-k per
+  batch, tiny global re-rank). ~1000x less per-dot cost than the
+  interpreted fold; this is the form to run at scale.
+
+- :func:`lsh_topk` — random-hyperplane LSH: L signature tables of
+  ``n_planes`` bits; vectors sharing a bucket in any table are
+  candidates; exact cosine ranks the candidates. Signatures are one
+  batched numpy matmul per Arrow batch; the bucket match is a JVM
+  equality join keyed by (table, signature).
+
+- :func:`ivf_topk` — IVF: KMeans coarse quantizer (trained on a bounded
+  sample), per-vector cell assignment via batched numpy argmax, corpus
+  shuffled ONCE keyed by cell, then a cogrouped per-cell BLAS re-rank
+  that emits only each cell's top-k per probing query.
+
+Dense linear algebra is deliberately NOT expressed in interpreted
+higher-order lambdas here: a 64-dim dot costs ~5 µs interpreted vs ~6 ns
+in BLAS, so every bulk path crosses to Python ONCE per Arrow batch and
+does matrix math there — the "UDFs are the slow path, except Arrow-
+batched numpy for dense math" rule.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from ..functions import vectors as V
+
+
+def _stack(series: "pd.Series") -> np.ndarray:
+    """Column of array<float> -> (B, d) float64 matrix."""
+    return np.stack(series.to_numpy()).astype(np.float64, copy=False)
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return m / n
+
+
+_PARTIAL_SCHEMA = "query_id long, neighbor_id long, cos double"
+
+
+def _partial_topk_rows(
+    sims: np.ndarray, qids: np.ndarray, nids: np.ndarray, m: int
+) -> pd.DataFrame:
+    """Per-query partial top-m out of a (B, |Q|) similarity block."""
+    m = min(m, sims.shape[0])
+    top = np.argpartition(-sims, m - 1, axis=0)[:m] if m < sims.shape[0] else (
+        np.argsort(-sims, axis=0)
+    )
+    qs, ns, cs = [], [], []
+    for j in range(sims.shape[1]):
+        rows = top[:, j]
+        qs.append(np.full(len(rows), qids[j], dtype=np.int64))
+        ns.append(nids[rows].astype(np.int64))
+        cs.append(sims[rows, j])
+    return pd.DataFrame(
+        {
+            "query_id": np.concatenate(qs),
+            "neighbor_id": np.concatenate(ns),
+            "cos": np.concatenate(cs),
+        }
+    )
+
+
+def _rank_topk(partial: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        partial.where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def brute_force_topk_np(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k, vectorized: the (small, bounded) query set is
+    collected into a closure matrix, the corpus streams through
+    ``mapInPandas`` once, each Arrow batch does ONE (B,d)@(d,|Q|) BLAS
+    matmul and emits only its per-query top-(k+1) rows; a final window
+    ranks the |partitions| x |Q| x (k+1) survivors. Exact same result
+    set as :func:`brute_force_topk`."""
+    q_rows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = _normalize_rows(
+        np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    )
+    m = k + 1  # self may rank; dropped before the final top-k
+
+    def part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            nids = pdf[id_col].to_numpy()
+            c = _normalize_rows(_stack(pdf[vec_col]))
+            yield _partial_topk_rows(c @ qm.T, qids, nids, m)
+
+    partial = emb.select(id_col, vec_col).mapInPandas(part, _PARTIAL_SCHEMA)
+    return _rank_topk(partial, k)
 
 
 def brute_force_topk(
@@ -75,6 +174,29 @@ def signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def _cogroup_rerank(m_keep: int):
+    """Cogrouped per-bucket exact re-rank: left frame carries
+    (query_id, qv), right (neighbor_id, nv); one BLAS matmul per bucket,
+    emit the bucket's per-query top-``m_keep``."""
+
+    def rerank(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {
+                    "query_id": np.array([], dtype=np.int64),
+                    "neighbor_id": np.array([], dtype=np.int64),
+                    "cos": np.array([], dtype=np.float64),
+                }
+            )
+        qm = _normalize_rows(_stack(left["qv"]))
+        qids = left["query_id"].to_numpy()
+        cm = _normalize_rows(_stack(right["nv"]))
+        nids = right["neighbor_id"].to_numpy()
+        return _partial_topk_rows(cm @ qm.T, qids, nids, m_keep)
+
+    return rerank
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -87,57 +209,78 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate cosine top-k via multi-table random-hyperplane LSH.
 
-    All table signatures are computed in ONE corpus pass (a struct array
-    exploded to (table, sig) rows) and matched with ONE equality join on
-    (table, sig) — a per-table loop would scan the corpus n_tables times.
-    """
-    planes = _plane_literals(n_tables, n_planes, dim)
+    All table signatures are computed in ONE corpus pass — a single
+    (B, d) @ (d, n_tables*n_planes) matmul per Arrow batch, bit-packed
+    per table. Buckets then cogroup (shuffle keyed by (table, sig) —
+    the one corpus shuffle) and each bucket BLAS-reranks its queries
+    against its vectors, emitting only per-query top-(k+1); the global
+    rank sees |buckets| x |Q| x (k+1) rows, deduped across tables.
+    A per-table loop would scan the corpus n_tables times; a join that
+    carries both vector columns would Arrow-ship every candidate pair."""
+    from pyspark.sql.functions import pandas_udf
 
-    def banded(df, idc, vc):
-        sigs = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("t"),
-                    signature(F.col(vc), planes[t]).alias("sig"),
-                )
-                for t in range(n_tables)
-            ]
-        )
-        return df.select(idc, vc, F.explode(sigs).alias("b")).select(
-            idc, vc, F.col("b.t").alias("t"), F.col("b.sig").alias("sig")
+    planes = _plane_literals(n_tables, n_planes, dim)
+    pm = np.array(planes, dtype=np.float64).reshape(
+        n_tables * n_planes, dim
+    )
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def sigs_udf(vs: pd.Series) -> pd.Series:
+        m = _stack(vs)
+        proj = m @ pm.T  # sign is norm-invariant: no normalize needed
+        bits = (proj >= 0.0).reshape(len(m), n_tables, n_planes)
+        sigs = (bits * weights).sum(axis=2)
+        return pd.Series(list(sigs))
+
+    def banded(df, idc, vc_alias):
+        return df.select(
+            idc,
+            F.col(vec_col).alias(vc_alias),
+            F.posexplode(sigs_udf(F.col(vec_col))).alias("t", "sig"),
         )
 
     c = banded(
-        emb.select(
-            F.col(id_col).alias("neighbor_id"),
-            V.as_double(F.col(vec_col)).alias("nv"),
-        ),
+        emb.select(F.col(id_col).alias("neighbor_id"), vec_col),
         "neighbor_id",
         "nv",
     )
     q = banded(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            V.as_double(F.col(vec_col)).alias("qv"),
-        ),
+        queries.select(F.col(id_col).alias("query_id"), vec_col),
         "query_id",
         "qv",
     )
-    cand = (
-        c.join(F.broadcast(q), ["t", "sig"])
-        .select("query_id", "qv", "neighbor_id", "nv")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+    partial = (
+        q.groupBy("t", "sig")
+        .cogroup(c.groupBy("t", "sig"))
+        .applyInPandas(_cogroup_rerank(k + 1), _PARTIAL_SCHEMA)
     )
-    scored = cand.select(
-        "query_id", "neighbor_id", V.cosine(F.col("qv"), F.col("nv")).alias("cos")
+    # a pair sharing buckets in several tables reappears with the same
+    # cos — collapse before ranking
+    deduped = partial.groupBy("query_id", "neighbor_id").agg(
+        F.max("cos").alias("cos")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id")
-    )
+    return _rank_topk(deduped, k)
+
+
+def _kmeans_np(x: np.ndarray, k: int, seed: int, iters: int = 20) -> np.ndarray:
+    """Plain seeded k-means on a bounded sample (driver-side numpy).
+    Assignment by max dot product on L2-normalized points — the cosine
+    geometry the search uses."""
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(x), size=k, replace=len(x) < k)
+    cent = x[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        new = cent.copy()
+        for j in range(k):
+            pts = x[assign == j]
+            if len(pts):
+                new[j] = pts.mean(axis=0)
+        if np.allclose(new, cent):
+            break
+        cent = new
+    return cent
 
 
 def ivf_topk(
@@ -164,76 +307,67 @@ def ivf_topk(
     set by nprobe/n_cells. Vectors are L2-normalized first so euclidean
     KMeans cells agree with cosine geometry.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    c = emb.select(
-        F.col(id_col).alias("neighbor_id"), V.as_double(F.col(vec_col)).alias("nv")
-    ).withColumn("nnv", F.transform("nv", lambda x: x / V.norm(F.col("nv"))))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), V.as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("nqv", F.transform("qv", lambda x: x / V.norm(F.col("qv"))))
+    from pyspark.sql.functions import pandas_udf
 
     # Train the coarse quantizer on a bounded deterministic SAMPLE (the
-    # standard IVF practice): KMeans makes ~maxIter full passes over its
-    # input, so training on the whole corpus makes index BUILD cost scale
-    # with N x iterations — sampled training is O(1) in corpus size while
-    # assignment stays exact over every vector (measured 49s -> 11s at
-    # 1.2M vectors). ~625 train points per cell, floor of 10k.
-    n = c.count()
+    # standard IVF practice, same as FAISS): index BUILD cost must be
+    # O(1) in corpus size, so the sample is capped and the k-means runs
+    # driver-side in numpy (<=10k x 64 — milliseconds), while cell
+    # ASSIGNMENT stays exact over every vector. ~625 train points per
+    # cell, floor of 10k.
+    nvec = emb.count()
     target = max(200 * n_cells, 10_000)
-    sample = c.sample(False, min(1.0, target / n), seed) if n > target else c
-    train = sample.select(array_to_vector("nnv").alias("features"))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
-    # centroids as a LITERAL struct array: cell assignment is then a pure
-    # per-row expression (argmax over <=n_cells dot products inside
-    # codegen) — no corpus shuffle, no window. The previous form ranked a
-    # broadcast centroid TABLE through a window partitioned by vector id,
-    # which shuffled the whole corpus just to pick its best of 16 cells.
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in ctr]).alias("cv"),
-            )
-            for i, ctr in enumerate(model.clusterCenters())
-        ]
+    sample = (
+        emb.sample(False, min(1.0, target / nvec), seed)
+        if nvec > target
+        else emb
+    )
+    x = _normalize_rows(
+        np.array(
+            [list(r[0]) for r in sample.select(vec_col).collect()],
+            dtype=np.float64,
+        )
+    )
+    cent = _kmeans_np(x, n_cells, seed)
+
+    # Cell assignment: one (B, d) @ (d, n_cells) matmul + argmax per
+    # Arrow batch (ties -> lowest cell id). The centroid matrix rides in
+    # the UDF closure — no join, no window, no corpus shuffle to assign.
+    @pandas_udf("int")
+    def assign_cell(vs: pd.Series) -> pd.Series:
+        m = _normalize_rows(_stack(vs))
+        return pd.Series(np.argmax(m @ cent.T, axis=1).astype(np.int32))
+
+    @pandas_udf("array<int>")
+    def probe_cells_udf(vs: pd.Series) -> pd.Series:
+        m = _normalize_rows(_stack(vs))
+        aff = m @ cent.T
+        out = []
+        for row in aff:  # |Q| rows — tiny
+            order = sorted(range(len(row)), key=lambda i: (-row[i], i))
+            out.append(np.array(order[:nprobe], dtype=np.int32))
+        return pd.Series(out)
+
+    inv = emb.select(
+        assign_cell(F.col(vec_col)).alias("cell"),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+    )
+    probes = queries.select(
+        F.explode(probe_cells_udf(F.col(vec_col))).alias("cell"),
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
     )
 
-    def nearest_cells(vec: str, n: int) -> Column:
-        """Array of the n best cell ids for this row's vector (affinity
-        desc, cell asc on ties) — sort a scored copy of the literal
-        centroid array, no join/window."""
-        scored = F.transform(
-            cent_arr,
-            lambda s: F.struct(
-                V.dot(F.col(vec), s["cv"]).alias("aff"),
-                (-s["cell"]).alias("negcell"),
-            ),
-        )
-        top = F.slice(F.sort_array(scored, asc=False), 1, n)
-        return F.transform(top, lambda s: -s["negcell"])
-
-    inv = c.select(
-        nearest_cells("nnv", 1)[0].alias("cell"), "neighbor_id", "nv"
+    # Per-cell BLAS re-rank: the corpus shuffles ONCE keyed by cell (the
+    # inverted file); each probed cell cogroups its queries with its
+    # vectors, does one matmul, and emits only its per-query top-(k+1) —
+    # the global window then ranks |Q| x nprobe x (k+1) rows, not the
+    # full candidate set. Compared pairs drop from O(|Q| * N) to
+    # O(|Q| * N * nprobe / n_cells) with recall set by nprobe/n_cells.
+    partial = (
+        probes.groupBy("cell")
+        .cogroup(inv.groupBy("cell"))
+        .applyInPandas(_cogroup_rerank(k + 1), _PARTIAL_SCHEMA)
     )
-    probes = q.select(
-        F.explode(nearest_cells("nqv", nprobe)).alias("cell"),
-        "query_id",
-        "qv",
-    )
-    scored = (
-        inv.join(F.broadcast(probes), "cell")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id", "neighbor_id", V.cosine(F.col("qv"), F.col("nv")).alias("cos")
-        )
-        # no dedup needed: each corpus vector lives in exactly one cell,
-        # and a query probes distinct cells
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id")
-    )
+    return _rank_topk(partial, k)

@@ -52,6 +52,39 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_brute_force_topk_np",
+    ops=("OP-X-SIM-01",),
+    # same oracle as the HOF twin: the result is rank-only integers, and
+    # for random embeddings the rank-k margin dwarfs the fold-order
+    # float divergence between BLAS and DuckDB's list_inner_product
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 10
+        ), scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   {_SQL_COS.format(a="q.qv", b="e.embedding")} AS cos
+            FROM q CROSS JOIN embeddings e
+            WHERE e.vec_id <> q.query_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_brute_force_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME exact top-10, math in Arrow-batched numpy (one BLAS
+    matmul + partial top-k per batch) — ~1000x cheaper per dot than the
+    interpreted higher-order fold; the form to run at 100 TB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.brute_force_topk_np(emb, queries, k=10)
+
+
+@register(
     "ann_lsh_topk",
     ops=("OP-X-SIM-01",),
     oracle=None,  # approximate by construction; recall asserted in pytest

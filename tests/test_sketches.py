@@ -36,16 +36,20 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
 def test_stratified_sample_proportions(spark, sf_dir):
     from crawlingbigdatavisionaid_spark.plans import query_map
 
+    docs = load_table(spark, sf_dir, "documents")
     full = {
         r["lang"]: r["cnt"]
-        for r in load_table(spark, sf_dir, "documents")
-        .groupBy("lang")
+        for r in docs.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     }
+    fractions = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
     sampled = {
         r["lang"]: r["cnt"]
-        for r in query_map()["stratified_sample_by_lang"](spark, sf_dir).collect()
+        for r in docs.sampleBy("lang", fractions, seed=42)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
     }
     # non-downsampled strata survive whole; 'en' lands near 50%
     for lang, n in full.items():
@@ -53,6 +57,12 @@ def test_stratified_sample_proportions(spark, sf_dir):
             assert 0.3 <= sampled[lang] / n <= 0.7, (sampled[lang], n)
         else:
             assert sampled[lang] == n
+    # and the registered query's per-stratum verdict is all-TRUE
+    verdicts = {
+        r["lang"]: r["sampled_ok"]
+        for r in query_map()["stratified_sample_by_lang"](spark, sf_dir).collect()
+    }
+    assert verdicts == {lang: True for lang in full}
 
 
 def test_stratified_sample_is_deterministic(spark, sf_dir):

@@ -53,9 +53,14 @@ def main() -> None:
             docs.select(
                 (F.col("doc_id") + F.lit(i * doc_span)).alias("doc_id"),
                 # letter-only replica tag: digits would be dropped by the
-                # [a-z]+ tokenizer, collapsing all replicas to one vocab
+                # [a-z]+ tokenizer, collapsing all replicas to one vocab;
+                # TWO letters so tags stay distinct past K=26 (a one-letter
+                # tag made replicas i and i+26 identical corpora and the
+                # "linear pairs" invariant silently broke at K=100)
                 F.regexp_replace(
-                    "text", r"([A-Za-z]+)", "$1q" + chr(ord("a") + i % 26)
+                    "text",
+                    r"([A-Za-z]+)",
+                    "$1q" + chr(ord("a") + i % 26) + chr(ord("a") + (i // 26) % 26),
                 ).alias("text"),
                 "lang",
                 "source",
@@ -89,8 +94,22 @@ def main() -> None:
         run("minhash_pairs", lambda: ND.minhash_pairs(sdocs).count())
         run("simhash_pairs", lambda: ND.simhash_pairs(sdocs).count())
         queries = semb.where(F.col("vec_id") < 100)
-        bf = S.brute_force_topk(semb, queries, k=10).localCheckpoint(eager=False)
-        run("ann_brute_force", lambda: bf.count())
+        # the checkpoint must be constructed INSIDE the timed lambda:
+        # pyspark 4.1 localCheckpoint materializes at construction even
+        # with eager=False, which silently moved the whole brute-force
+        # cost outside the timer in earlier rounds
+        bf_box: list = []
+
+        def _bf() -> int:
+            bf_box.append(
+                S.brute_force_topk(semb, queries, k=10).localCheckpoint(
+                    eager=False
+                )
+            )
+            return bf_box[0].count()
+
+        run("ann_brute_force", _bf)
+        bf = bf_box[0]
         lsh = S.lsh_topk(semb, queries, k=10)
         run("ann_lsh", lambda: lsh.count())
         ivf = S.ivf_topk(semb, queries, k=10)
