@@ -198,3 +198,47 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(V.norm(v) * 1000000.0).cast("bigint").alias("norm_e6"),
         F.size("embedding").cast("bigint").alias("dim"),
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    ops=("OP-X-SIM-01",),
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), s AS (
+            SELECT vec_id, v,
+                   list_reduce(list_transform(v, x -> abs(x)),
+                               (a, b) -> GREATEST(a, b)) AS amax
+            FROM e
+        )
+        SELECT vec_id,
+               CAST(FLOOR(amax * 1000000.0) AS BIGINT) AS amax_e6,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(v, x -> CAST(FLOOR(x * 127.0
+                       / NULLIF(amax, 0.0)) AS BIGINT))),
+                   (a, b) -> a + b) AS BIGINT) AS q_sum,
+               len(v) AS dim
+        FROM s
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings (scale = 127/max|x|) —
+    the 4x storage/bandwidth cut every large vector store applies before
+    ANN. Pure built-in fold/transform expressions; emitted as exact
+    integer digests (per-vector quantized sum + floor-scaled amax) so
+    the hash compare never sees a float."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = V.as_double("embedding")
+    amax = F.aggregate(
+        F.transform(v, F.abs), F.lit(0.0), lambda a, b: F.greatest(a, b)
+    )
+    q = F.transform(
+        v, lambda x: F.floor(x * 127.0 / F.nullif(amax, F.lit(0.0))).cast("long")
+    )
+    return emb.select(
+        "vec_id",
+        F.floor(amax * 1000000.0).cast("bigint").alias("amax_e6"),
+        F.aggregate(q, F.lit(0).cast("bigint"), lambda a, b: a + b).alias("q_sum"),
+        F.size("embedding").cast("bigint").alias("dim"),
+    )

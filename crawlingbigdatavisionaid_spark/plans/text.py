@@ -705,3 +705,102 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(
         hit.agg(F.count(F.lit(1)).cast("bigint").alias("contaminated"))
     )
+
+
+@register(
+    "doc_chunks",
+    ops=("OP-TXT-01",),
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z]+') AS toks
+            FROM documents
+        ), n AS (
+            SELECT doc_id, toks, len(toks) AS n_toks FROM t
+            WHERE len(toks) > 0
+        ), c AS (
+            SELECT doc_id, n_toks,
+                   unnest(generate_series(0,
+                       CAST(CASE WHEN n_toks <= 64 THEN 0
+                            ELSE CEIL((n_toks - 64) / 48.0) END AS BIGINT)))
+                       AS chunk_idx,
+                   toks
+            FROM n
+        )
+        SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+               CAST(LEAST(64, n_toks - chunk_idx * 48) AS BIGINT)
+                   AS chunk_tokens,
+               toks[CAST(chunk_idx * 48 + 1 AS BIGINT)] AS first_token
+        FROM c
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping training-window chunking: each document becomes
+    ceil((n-64)/48)+1 chunks of up to 64 tokens with stride 48 (16-token
+    overlap) — the LLM-pretraining shape for long documents. Pure
+    built-ins: sequence + transform over the token array, one explode;
+    no shuffle at all until a consumer aggregates."""
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    n_chunks = F.when(n <= 64, F.lit(1)).otherwise(
+        F.ceil((n - 64) / F.lit(48.0)).cast("int") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.least(F.lit(64), n - i * 48).cast("long").alias("chunk_tokens"),
+            F.element_at(toks, (i * 48 + 1).cast("int")).alias("first_token"),
+        ),
+    )
+    return (
+        docs.where(n > 0)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_idx", "c.chunk_tokens", "c.first_token")
+    )
+
+
+@register(
+    "boilerplate_phrases",
+    ops=("OP-X-DEDUP-02", "OP-TXT-02"),
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z]+') AS toks
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 4, 0)),
+                       i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                            || ' ' || toks[i + 3] || ' ' || toks[i + 4]))) AS s
+            FROM t
+        ), df AS (
+            SELECT s, COUNT(*) AS df FROM sh GROUP BY s
+        )
+        SELECT s AS phrase, CAST(df AS BIGINT) AS doc_freq
+        FROM df, (SELECT COUNT(*) AS n FROM documents) t
+        WHERE df > 0.2 * n
+    """,
+)
+def boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate detection: 5-gram phrases present in
+    >20% of documents (headers, footers, navigation chrome in real crawl
+    data). The same inverted-index + document-frequency shape as the
+    near-dup df cap, used as an ANALYSIS output — the list a cleaning
+    pass would strip. One explode + one hash-agg + a broadcast scalar
+    threshold; no self-join."""
+    from ..operators.neardup import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    return (
+        shingle_rows(docs, n=5)
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .where(F.col("doc_freq") > 0.2 * n_docs)
+        .select(F.col("s").alias("phrase"), "doc_freq")
+    )

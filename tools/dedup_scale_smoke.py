@@ -26,6 +26,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# the K-replicated corpora plus per-operator checkpoint materializations
+# live in ONE local-mode JVM: the 8g session default OOMs around K=100,
+# so the smoke claims a bigger heap unless the caller chose one
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
 
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 5

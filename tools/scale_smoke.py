@@ -22,6 +22,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# K-replicated fact tables in one local-mode JVM: claim a bigger heap
+# than the 8g session default unless the caller chose one
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
 QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
