@@ -166,7 +166,9 @@ def _plane_literals(n_tables: int, n_planes: int, dim: int, seed: int = 42) -> l
 
 
 def signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Bit-pack sign(plane . vec) for each plane into one integer."""
+    """Bit-pack sign(plane . vec) for each plane into one integer —
+    the pure-expression signature (kept as the JVM-only fallback and
+    for tests; the bulk path uses the batched numpy matmul below)."""
     sig = F.lit(0)
     for i, plane in enumerate(planes):
         proj = V.dot(vec, F.array(*[F.lit(float(x)) for x in plane]))
