@@ -176,3 +176,33 @@ def test_lsh_numpy_signatures_match_expression_form(emb):
         for t in range(n_tables):
             got.add((r["vec_id"], t, int(sigs[t])))
     assert got == want
+
+
+def test_ann_partial_topk_is_tie_aware(spark, emb):
+    """Duplicate vectors (a dedup corpus!) create equal-cosine ties; the
+    partial per-batch/per-cell top-k must keep the same rows the exact
+    (-cos, neighbor_id) total order keeps. 5 copies of each vector ->
+    every variant must return the exact result set."""
+    from pyspark.sql import functions as F
+
+    copies = None
+    for i in range(5):
+        p = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10000))
+        copies = p if copies is None else copies.unionByName(p)
+    copies = copies.localCheckpoint()
+    queries = copies.where(F.col("vec_id") < 5)
+    want = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in S.brute_force_topk(copies, queries, k=10).collect()
+    }
+    got_np = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in S.brute_force_topk_np(copies, queries, k=10).collect()
+    }
+    assert got_np == want
+    got_ivf = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in S.ivf_topk(copies, queries, k=10, n_cells=8, nprobe=8).collect()
+    }
+    # nprobe = n_cells: IVF scans everything -> must equal exact
+    assert got_ivf == want
