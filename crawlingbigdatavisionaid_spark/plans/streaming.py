@@ -156,3 +156,57 @@ def stream_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-band distinct-bucket counts are arrival-order-invariant (pytest
     checks parity with the batch computation)."""
     return SP.neardup_minhash_stream(spark, sf_dir)
+
+
+@register(
+    "stream_multimodal_decode",
+    ops=("OP-STR-01", "OP-X-MM-01"),
+    # the oracle recomputes the aggregate of every decoded statistic from
+    # the encode-side arithmetic — the streaming decode must drain to the
+    # exact same totals the batch path produces
+    oracle="""
+        WITH px AS (
+            SELECT doc_id,
+                   list_transform(
+                       string_split(rpad(coalesce(text, ''),
+                                         CAST((4 + doc_id % 5)
+                                              * (3 + doc_id % 4) * 3 AS INTEGER),
+                                         'x'), ''),
+                       c -> CAST(ascii(c) AS BIGINT)) AS bytes
+            FROM documents
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS docs,
+               CAST(SUM((4 + doc_id % 5) * (3 + doc_id % 4)) AS BIGINT)
+                   AS total_pixels,
+               CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT), bytes),
+                                    (a, b) -> a + b)) AS BIGINT)
+                   AS total_byte_sum
+        FROM px
+    """,
+)
+def stream_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode inside Structured Streaming: the documents file
+    streams in, every micro-batch encodes a valid P6 PPM per doc and runs
+    the dependency-free PNM decoder through the same Arrow ``mapInPandas``
+    the batch path uses (stateless map on the stream), then a complete-
+    mode aggregate drains with availableNow — proving the multimodal
+    plumbing is batch/streaming-symmetric."""
+    from pyspark.sql import functions as F
+
+    from ..multimodal import binary as MM
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    decoded = MM.decode_image_features(MM.attach_ppm(raw))
+    agg = decoded.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_pixels").alias("total_pixels"),
+        F.sum(
+            F.col("sum_r") + F.col("sum_g") + F.col("sum_b")
+        ).alias("total_byte_sum"),
+    )
+    return SP._run_to_memory(agg, "complete")
