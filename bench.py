@@ -53,6 +53,12 @@ HEADLINE = [
     "pack_sequences",
     "split_contamination",
     "hash_sample_by_lang",
+    # round 3 additions
+    "ann_brute_force_topk_np",
+    "multimodal_decode_image",
+    "doc_chunks",
+    "embedding_quantize_int8",
+    "url_canonical_dedup",
 ]
 
 

@@ -94,3 +94,54 @@ def test_pack_sequences_conserves_docs_and_tokens(spark, sf_dir):
     ).collect()[0]
     assert agg["docs"] == want["docs"]
     assert agg["toks"] == want["toks"]
+
+
+# URL-shaped generator: scheme://host[:port]/path[?query][#fragment] from a
+# constrained alphabet, with tracking params and percent-escapes mixed in
+_URL_WORD = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789",
+    min_size=1,
+    max_size=8,
+)
+_PARAM = st.one_of(
+    st.tuples(_URL_WORD, _URL_WORD),
+    st.tuples(
+        st.sampled_from(
+            ["utm_source", "utm_medium", "fbclid", "gclid", "autm_source", "xgclid"]
+        ),
+        _URL_WORD,
+    ),
+)
+
+
+@st.composite
+def _urls(draw):
+    scheme = draw(st.sampled_from(["http", "https", "HTTP", "Https"]))
+    host = ".".join(draw(st.lists(_URL_WORD, min_size=1, max_size=3)))
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+    segs = draw(st.lists(_URL_WORD, min_size=0, max_size=3))
+    path = "/" + "/".join(segs) if segs else draw(st.sampled_from(["", "/"]))
+    esc = draw(st.sampled_from(["", "%2f", "%2F", "%zz", "%3d"]))
+    params = draw(st.lists(_PARAM, min_size=0, max_size=4))
+    query = "&".join(f"{k}={v}" for k, v in params)
+    frag = draw(st.sampled_from(["", "#x", "#frag"]))
+    return f"{scheme}://{host}{port}{path}{esc}" + (
+        f"?{query}" if query else ""
+    ) + frag
+
+
+@_slow
+@given(urls=st.lists(_urls(), min_size=1, max_size=30))
+def test_canonical_url_idempotent_on_generated_urls(spark, urls):
+    """Idempotence must hold for ANY url shape the generator produces —
+    the dedup key is only sound if canonicalize is a fixed point."""
+    from pyspark.sql import functions as F
+
+    from crawlingbigdatavisionaid_spark.functions.urls import canonical_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        canonical_url("url").alias("once")
+    ).select("once", canonical_url(F.col("once")).alias("twice")).collect()
+    for r in rows:
+        assert r["once"] == r["twice"], (r["once"], r["twice"])
