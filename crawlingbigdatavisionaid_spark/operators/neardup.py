@@ -143,6 +143,17 @@ def jaccard_pairs(
             inv = inv.join(F.broadcast(hot), "s", "left_anti").localCheckpoint(
                 eager=False
             )
+    return (
+        _pair_counts(inv)
+        .withColumn("union_size", F.col("na") + F.col("nb") - F.col("inter"))
+        .where(10 * F.col("inter") >= threshold_tenths * F.col("union_size"))
+        .select("doc_a", "doc_b", "inter", "union_size")
+    )
+
+
+def _pair_counts(inv: DataFrame) -> DataFrame:
+    """Shared inverted-index pair machinery: (doc_a, doc_b, inter, na, nb)
+    for every document pair sharing at least one (df-capped) shingle."""
     sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = inv.alias("a")
     b = inv.alias("b")
@@ -155,12 +166,29 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return pairs.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+
+
+def containment_pairs(
+    docs: DataFrame, threshold_tenths: int = 9, n: int = 3
+) -> DataFrame:
+    """Near-CONTAINMENT pairs: |A ∩ B| / min(|A|, |B|) >= t/10.
+
+    Jaccard misses subset relationships — a crawl snapshot that embeds
+    yesterday's article inside a longer page has high containment but
+    low Jaccard (the union is dominated by the superset). Containment
+    is the standard second dedup signal for quote/inclusion detection.
+    Same inverted-index machinery; integer threshold test (10*inter >=
+    t*min_size) keeps it engine-exact. No df cap: dropping shared
+    shingles can only LOWER containment of true subsets, and the small
+    corpora this exact form targets don't need the bound (the capped
+    MinHash path is the scale form, as with Jaccard)."""
+    inv = shingle_rows(docs, n).localCheckpoint(eager=False)
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .withColumn("union_size", F.col("na") + F.col("nb") - F.col("inter"))
-        .where(10 * F.col("inter") >= threshold_tenths * F.col("union_size"))
-        .select("doc_a", "doc_b", "inter", "union_size")
+        _pair_counts(inv)
+        .withColumn("min_size", F.least("na", "nb"))
+        .where(10 * F.col("inter") >= threshold_tenths * F.col("min_size"))
+        .select("doc_a", "doc_b", "inter", "min_size")
     )
 
 

@@ -53,6 +53,42 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment",
+    ops=("OP-X-DEDUP-02",),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_SQL_SHINGLES} AS sh
+            FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+                  FROM documents)
+        ), nz AS (
+            SELECT doc_id, sh FROM t WHERE len(sh) > 0
+        ), e AS (
+            SELECT doc_id, unnest(sh) AS s FROM nz
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), sizes AS (
+            SELECT doc_id, len(sh) AS n_sh FROM nz
+        )
+        SELECT p.doc_a, p.doc_b, p.inter,
+               LEAST(sa.n_sh, sb.n_sh) AS min_size
+        FROM pairs p
+        JOIN sizes sa ON p.doc_a = sa.doc_id
+        JOIN sizes sb ON p.doc_b = sb.doc_id
+        WHERE 10 * p.inter >= 9 * LEAST(sa.n_sh, sb.n_sh)
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-containment pairs (|A∩B|/min >= 0.9): catches subset/quote
+    relationships Jaccard misses — a snapshot page embedding an earlier
+    article scores high containment but low Jaccard. Integer threshold
+    arithmetic, engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ND.containment_pairs(docs, threshold_tenths=9, n=3)
+
+
+@register(
     "dedup_minhash_lsh",
     ops=("OP-X-DEDUP-02",),
     oracle=None,  # LSH recall < 1 by construction; pytest asserts parity
@@ -221,4 +257,46 @@ def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("node").isNull() | (F.col("component") == F.col("doc_id")))
         .where(F.col("doc_id") % 100 < 80)
         .select("doc_id", "lang", "n_chars")
+    )
+
+
+@register(
+    "dedup_cluster_stats",
+    ops=("OP-X-DEDUP-02",),
+    oracle=_SQL_JACCARD_PAIRS.replace("WITH", "WITH RECURSIVE", 1)
+    + """
+    , edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM dup_pairs
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), cc AS (
+        SELECT src AS node, LEAST(src, MIN(dst)) AS component
+        FROM reach GROUP BY src
+    ), cl_sizes AS (
+        SELECT component, COUNT(*) AS cluster_size FROM cc GROUP BY 1
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size - 1) AS BIGINT) AS removable_docs
+    FROM cl_sizes GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION summarized: near-dup cluster size histogram +
+    how many documents canonicalization would drop per size — the
+    report a data curator reads before committing a dedup pass."""
+    from pyspark.sql import functions as F
+
+    from ..operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    cc = connected_components(ND.jaccard_pairs(docs, threshold_tenths=8, n=3))
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(F.col("cluster_size") - 1).alias("removable_docs"),
     )

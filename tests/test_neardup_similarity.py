@@ -206,3 +206,20 @@ def test_ann_partial_topk_is_tie_aware(spark, emb):
     }
     # nprobe = n_cells: IVF scans everything -> must equal exact
     assert got_ivf == want
+
+
+def test_containment_catches_subsets_jaccard_misses(spark):
+    """A page embedding a full earlier article plus lots of new text:
+    high containment, low Jaccard. The containment operator must flag
+    it; the Jaccard operator at 0.8 must not."""
+    article = " ".join(f"tok{i}" for i in range(40))
+    page = article + " " + " ".join(f"extra{i}" for i in range(200))
+    other = " ".join(f"unrel{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, article), (2, page), (3, other)], "doc_id long, text string"
+    )
+    cont = {(r.doc_a, r.doc_b) for r in ND.containment_pairs(docs, 9).collect()}
+    jac = {(r.doc_a, r.doc_b) for r in ND.jaccard_pairs(docs, 8).collect()}
+    assert (1, 2) in cont
+    assert (1, 2) not in jac
+    assert not any(3 in p for p in cont)
