@@ -33,6 +33,17 @@ from pyspark.sql.types import (
 FRAME_BYTES = 16  # simulated "video frame" width for frame sampling
 FRAME_STRIDE = 4  # sample every 4th frame
 
+# The attach_* builders size payloads by CHARACTER count (rpad/substr)
+# but encode as UTF-8 BYTES; any non-ASCII character would inflate the
+# byte length past the declared geometry and silently corrupt the
+# payload (or diverge from the char-based DuckDB oracles). Folding the
+# text onto the printable-ASCII range first makes chars == bytes by
+# construction; the oracles apply the identical replacement (with
+# DuckDB's explicit 'g' flag — Spark's regexp_replace is global by
+# default).
+ASCII_TEXT_SQL = "regexp_replace(coalesce(text, ''), '[^ -~]', 'x')"
+ASCII_TEXT_ORACLE = "regexp_replace(coalesce(text, ''), '[^ -~]', 'x', 'g')"
+
 
 def decode_image(payload: bytes) -> dict:
     """Decode an uncompressed binary PNM image (P5 grayscale, P6 RGB)
@@ -95,7 +106,7 @@ def attach_ppm(docs: DataFrame) -> DataFrame:
             F.expr(
                 "concat('P6\n', cast(4 + doc_id % 5 as string), ' ', "
                 "cast(3 + doc_id % 4 as string), '\n255\n', "
-                "rpad(coalesce(text, ''), "
+                f"rpad({ASCII_TEXT_SQL}, "
                 "cast((4 + doc_id % 5) * (3 + doc_id % 4) * 3 as int), 'x'))"
             ),
             "UTF-8",
@@ -178,7 +189,7 @@ def attach_wav(docs: DataFrame) -> DataFrame:
     fixed WAV_SAMPLES bytes as unsigned samples. Real format, engine-
     side synthesis, DuckDB-recomputable statistics."""
     samples = F.encode(
-        F.expr(f"rpad(coalesce(text, ''), {WAV_SAMPLES}, 'x')"), "UTF-8"
+        F.expr(f"rpad({ASCII_TEXT_SQL}, {WAV_SAMPLES}, 'x')"), "UTF-8"
     )
     return docs.select(
         "doc_id",
@@ -297,7 +308,7 @@ def attach_y4m(docs: DataFrame) -> DataFrame:
             F.expr(
                 f"concat('YUV4MPEG2 W{Y4M_W} H{Y4M_H} F25:1 Ip A1:1 C444\\n', "
                 "array_join(transform(sequence(1, cast(1 + doc_id % 4 as int)), "
-                f"i -> concat('FRAME\\n', substr(rpad(coalesce(text, ''), "
+                f"i -> concat('FRAME\\n', substr(rpad({ASCII_TEXT_SQL}, "
                 f"cast((1 + doc_id % 4) * {frame_bytes} as int), 'x'), "
                 f"(i - 1) * {frame_bytes} + 1, {frame_bytes}))), ''))"
             ),

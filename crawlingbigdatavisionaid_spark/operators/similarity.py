@@ -87,6 +87,14 @@ def _partial_topk_rows(
     )
 
 
+def _empty_topk(df: DataFrame) -> DataFrame:
+    """Empty (query_id, rank, neighbor_id) result with the exact schema
+    every top-k strategy returns."""
+    return df.sparkSession.createDataFrame(
+        [], "query_id long, rank int, neighbor_id long"
+    )
+
+
 def _rank_topk(partial: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id")
@@ -113,6 +121,11 @@ def brute_force_topk_np(
     ranks the |partitions| x |Q| x (k+1) survivors. Exact same result
     set as :func:`brute_force_topk`."""
     q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        # np.array([]) is 1-D and _normalize_rows' axis=1 norm would
+        # raise; an empty query set means an empty result, same as the
+        # HOF twin's crossJoin against zero rows
+        return _empty_topk(emb)
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qm = _normalize_rows(
         np.array([list(r[1]) for r in q_rows], dtype=np.float64)
@@ -331,12 +344,12 @@ def ivf_topk(
         if nvec > target
         else emb
     )
-    x = _normalize_rows(
-        np.array(
-            [list(r[0]) for r in sample.select(vec_col).collect()],
-            dtype=np.float64,
-        )
-    )
+    train = [list(r[0]) for r in sample.select(vec_col).collect()]
+    if not train:
+        # empty corpus (or sample): nothing to index, nothing to return —
+        # and np.array([]) is 1-D, which _normalize_rows cannot take
+        return _empty_topk(emb)
+    x = _normalize_rows(np.array(train, dtype=np.float64))
     cent = _kmeans_np(x, n_cells, seed)
 
     # Cell assignment: one (B, d) @ (d, n_cells) matmul + argmax per

@@ -42,13 +42,13 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arithmetic: dims from doc_id, channel sums over the rpad-ed ASCII
     # text laid out RGB-interleaved — so a pass proves the full
     # encode -> binary P6 PPM -> real header/pixel decode roundtrip
-    oracle="""
+    oracle=f"""
         WITH px AS (
             SELECT doc_id,
                    CAST(4 + doc_id % 5 AS INTEGER) AS width,
                    CAST(3 + doc_id % 4 AS INTEGER) AS height,
                    list_transform(
-                       string_split(rpad(coalesce(text, ''),
+                       string_split(rpad({MM.ASCII_TEXT_ORACLE},
                                          CAST((4 + doc_id % 5)
                                               * (3 + doc_id % 4) * 3 AS INTEGER),
                                          'x'), ''),
@@ -88,7 +88,7 @@ def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH s AS (
             SELECT doc_id,
                    list_transform(
-                       string_split(rpad(coalesce(text, ''),
+                       string_split(rpad({MM.ASCII_TEXT_ORACLE},
                                          {MM.WAV_SAMPLES}, 'x'), ''),
                        c -> CAST(ascii(c) AS BIGINT)) AS samples
             FROM documents
@@ -119,12 +119,12 @@ def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all-ASCII YUV4MPEG2 stream (4x4 C444, 1 + doc_id % 4 frames) —
     # the oracle recomputes frame count and the Y-plane sum from the
     # same layout arithmetic the encoder used
-    oracle="""
+    oracle=f"""
         WITH px AS (
             SELECT doc_id,
                    CAST(1 + doc_id % 4 AS INTEGER) AS n_frames,
                    list_transform(
-                       string_split(rpad(coalesce(text, ''),
+                       string_split(rpad({MM.ASCII_TEXT_ORACLE},
                                          CAST((1 + doc_id % 4) * 48 AS INTEGER),
                                          'x'), ''),
                        c -> CAST(ascii(c) AS BIGINT)) AS bytes

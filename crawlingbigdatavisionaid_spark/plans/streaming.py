@@ -168,7 +168,8 @@ def stream_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH px AS (
             SELECT doc_id,
                    list_transform(
-                       string_split(rpad(coalesce(text, ''),
+                       string_split(rpad(regexp_replace(coalesce(text, ''),
+                                                        '[^ -~]', 'x', 'g'),
                                          CAST((4 + doc_id % 5)
                                               * (3 + doc_id % 4) * 3 AS INTEGER),
                                          'x'), ''),

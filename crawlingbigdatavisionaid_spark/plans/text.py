@@ -483,21 +483,28 @@ def deterministic_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling (``sampleBy``, fixed seed): downsample the
-    dominant language to balance a corpus — per-stratum Bernoulli
-    sampling in ONE scan, no shuffle. Exact proportions are additionally
-    asserted in pytest."""
+    """Stratified sampling (fixed seed): downsample the dominant
+    language to balance a corpus — per-stratum Bernoulli sampling in ONE
+    scan, no shuffle (``rand(seed) < fraction[lang]``, the same filter
+    ``sampleBy`` plans). Strata NOT in the fraction map default to
+    keep-all (1.0): ``sampleBy`` would silently DROP a lang absent from
+    its map and the verdict would go NULL — a new language appearing in
+    testdata must degrade to "kept whole", not fail the correctness
+    gate. Exact proportions are additionally asserted in pytest."""
     docs = load_table(spark, sf_dir, "documents")
     fractions = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
+    frac = F.coalesce(
+        F.create_map(*[F.lit(x) for kv in fractions.items() for x in kv])[
+            F.col("lang")
+        ],
+        F.lit(1.0),
+    )
     sampled = (
-        docs.sampleBy("lang", fractions, seed=42)
+        docs.where(F.rand(42) < frac)
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("total"))
-    frac = F.create_map(
-        *[F.lit(x) for kv in fractions.items() for x in kv]
-    )[F.col("lang")]
     expected = frac * F.col("total")
     tol = F.when(frac == 1.0, F.lit(0.0)).otherwise(
         F.lit(5.0) * F.sqrt(F.col("total") * frac * (1.0 - frac)) + 5.0

@@ -223,3 +223,41 @@ def test_containment_catches_subsets_jaccard_misses(spark):
     assert (1, 2) in cont
     assert (1, 2) not in jac
     assert not any(3 in p for p in cont)
+
+
+def test_empty_query_set_returns_empty_not_crash(emb):
+    """np.array([]) is 1-D; the numpy paths must short-circuit an empty
+    query set (or empty corpus) instead of raising AxisError (ADVICE r3)."""
+    none = emb.where(F.col("vec_id") < 0)
+    out = S.brute_force_topk_np(emb, none, k=5)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "rank", "neighbor_id"]
+    # ivf_topk: empty CORPUS means an empty kmeans sample collect
+    out2 = S.ivf_topk(none, emb.where(F.col("vec_id") < 3), k=5)
+    assert out2.count() == 0
+    assert out2.columns == ["query_id", "rank", "neighbor_id"]
+
+
+def test_multimodal_attach_sanitizes_non_ascii(spark):
+    """Payload geometry is declared in CHARACTERS but encoded as UTF-8
+    BYTES: non-ASCII text (e.g. zh documents) must be folded to ASCII so
+    the declared size equals the byte length and the decoders round-trip
+    (ADVICE r3 medium)."""
+    from crawlingbigdatavisionaid_spark.multimodal import binary as MM
+
+    docs = spark.createDataFrame(
+        [(0, "宽字符文本 with mixed ascii"), (1, "日本語テキスト"), (2, "plain")],
+        "doc_id long, text string",
+    )
+    img = MM.decode_image_features(MM.attach_ppm(docs)).collect()
+    assert {r.doc_id for r in img} == {0, 1, 2}
+    for r in img:
+        assert r.n_pixels == r.width * r.height
+    wav = MM.decode_audio_features(MM.attach_wav(docs)).collect()
+    assert {r.doc_id for r in wav} == {0, 1, 2}
+    for r in wav:
+        assert r.n_samples == MM.WAV_SAMPLES
+    vid = MM.decode_video_features(MM.attach_y4m(docs)).collect()
+    assert {r.doc_id for r in vid} == {0, 1, 2}
+    for r in vid:
+        assert r.n_frames == 1 + r.doc_id % 4

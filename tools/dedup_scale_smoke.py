@@ -130,7 +130,7 @@ def main() -> None:
                 approx.select("query_id", "neighbor_id"),
                 ["query_id", "neighbor_id"],
             ).count()
-            return round(hit / results["ann_brute_force"]["out_rows"], 4)
+            return round(hit / max(results["ann_brute_force"]["out_rows"], 1), 4)
 
         recalls = {
             # minhash verifies candidates exactly (precision 1.0), so
