@@ -124,18 +124,29 @@ def jaccard_pairs(
     # local storage — the same order as one shuffle of it, which any
     # consumer pays anyway.
     inv = shingle_rows(docs, n).localCheckpoint(eager=False)
-    if isinstance(df_max, float):
-        import math
-
-        n_docs = inv.select(F.countDistinct("doc_id")).collect()[0][0]
-        df_max = max(DF_MAX_DEFAULT, math.ceil(df_max * n_docs))
     if df_max is not None:
         dfs = (
             inv.groupBy("s")
             .agg(F.count(F.lit(1)).alias("df"))
             .localCheckpoint(eager=False)
         )
-        max_df = dfs.agg(F.max("df")).collect()[0][0] or 0
+        if isinstance(df_max, float):
+            import math
+
+            # ONE scalar job for both sizing probes (was two collects):
+            # n_docs (fractional-cap denominator) off the materialized
+            # index, max(df) (short-circuit probe) off the materialized
+            # df table — both sides of the crossJoin read checkpoints,
+            # so the combined job is two local scans + a 1x1 join
+            n_docs, max_df = (
+                inv.agg(F.countDistinct("doc_id").alias("n_docs"))
+                .crossJoin(dfs.agg(F.max("df").alias("max_df")))
+                .collect()[0]
+            )
+            df_max = max(DF_MAX_DEFAULT, math.ceil(df_max * n_docs))
+        else:
+            max_df = dfs.agg(F.max("df")).collect()[0][0]
+        max_df = max_df or 0
         if max_df > df_max:
             hot = dfs.where(F.col("df") > df_max).select("s")
             # checkpoint the capped index too so the anti-join (and the

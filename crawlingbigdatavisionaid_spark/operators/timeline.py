@@ -64,9 +64,21 @@ def timeline_gapfill(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     reference's ``reindex(fill_value=0)`` as a relational plan. Both join
     inputs are post-aggregation (O(days) rows): Spark broadcast-joins them
     regardless of raw input scale.
+
+    The spine bounds come from min/max over the COUNTS aggregate, not a
+    second min/max pass over the raw rows (``date_spine``): the two join
+    inputs then share an identical scan→partial-agg subtree, so the
+    per-day aggregation is the only full-data work in the plan (and the
+    second subtree is eligible for exchange reuse).
     """
-    spine = date_spine(df, ts_col)
     counts = daily_counts(df, ts_col)
+    spine = counts.agg(
+        F.min("day").alias("min_day"), F.max("day").alias("max_day")
+    ).select(
+        F.explode(
+            F.sequence("min_day", "max_day", F.expr("interval 1 day"))
+        ).alias("day")
+    )
     return (
         spine.join(F.broadcast(counts), "day", "left_outer")
         .select("day", F.coalesce("cnt", F.lit(0)).alias("cnt"))

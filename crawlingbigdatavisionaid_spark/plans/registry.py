@@ -40,19 +40,30 @@ QUERIES: dict[str, QuerySpec] = {}
 # module-import order after the pinned block.  ``tests/test_registry.py``
 # asserts every OP-ID is covered by the first 50.
 #
-# Round-3 rotation: 12 slots whose OP-IDs were ALSO covered by another
-# window entry (r01+r02 driver-green twice over) are swapped for queries
-# that had never had a driver-checked row — the TPC-H join/agg family,
-# rollup, bigram top-k, multimodal features, URL-canonical dedup, the
-# bucketed range join, and the streaming MinHash near-dup.  Rotated out
-# (still registered + verified locally, just past position 50):
-# html_extraction_parsed_ts, daily_event_type_pivot, profile_documents,
-# nonempty_content_count, stream_user_sessions, stream_session_windows,
-# stream_dedup_count, approx_value_percentiles, dedup_canonical_docs,
-# project_with_default, session_windows_30m, token_stats, lang_breakdown,
-# variant_props_distinct_k, stream_interval_join, multimodal_metadata
-# (superseded in-window by the real-decode roundtrip query).
+# Round-4 rotation (judge r3 next-round #1): every slot whose query was
+# already driver-green in r01-r03 AND whose OP-IDs stay covered by
+# another window entry is swapped for a query that has never had a
+# driver-checked row.  The window now seats 30 of the 31 never-checked
+# queries (all locally oracle-verified), the 3 new tolerance-verdict
+# queries (dedup_minhash_recall, ann_lsh_recall, ann_ivf_recall —
+# next-round #5), and users_without_orders_except (semantics changed
+# this round to return >0 rows — next-round #2), alongside a compact
+# driver-green core that keeps every SURVEY §2 OP-ID represented.
+# Rotated out (all driver-green r01-r03, still registered + verified
+# locally, just past position 50): the TPC-H q* family, region_revenue,
+# revenue_rollup_region_nation, dedup_ngram_jaccard, dedup_minhash_lsh,
+# dedup_components, training_corpus, url_canonical_dedup,
+# ann_brute_force_topk, ann_lsh_topk, ann_ivf_topk,
+# dedup_embedding_pairs, pack_sequences, lang_id_heuristic,
+# quality_score, pii_redaction, bigram_topk, hash_sample_by_lang,
+# json_extract_props, split_contamination, asof_click_purchase,
+# window_tumbling_1h, range_join_clicks_before_purchase,
+# multimodal_decode_image, multimodal_features, multimodal_resize,
+# stream_dedup_bounded_state, value_dispersion_by_type (the one
+# never-checked holdover; its OP-AGG-01 family has four other entries
+# in-window).
 _PRIORITY: tuple[str, ...] = (
+    # --- driver-green core: one oracle-backed representative per OP-ID
     "word_topk",                 # OP-TXT-01/02/03, OP-FLT-01/03 — flagship
     "timeline_gapfill",          # OP-GAP-01, OP-AGG-03/04, OP-FLT-02
     "source_distribution",       # OP-AGG-01/02, OP-PRJ-01/02, OP-SRC-03
@@ -66,43 +77,47 @@ _PRIORITY: tuple[str, ...] = (
     "ingest_observed_metrics",   # OP-STR-03, OP-SRC-04, OP-AGG-06
     "approx_distinct_users",     # OP-X-APPROX-01
     "stream_hourly_counts",      # OP-STR-01, OP-X-WIN-01
-    "stream_dedup_bounded_state",  # watermark-bounded dedup state
-    "stream_neardup_minhash",    # OP-STR-01 + OP-X-DEDUP-02 (rows-only)
-    "dedup_ngram_jaccard",       # OP-X-DEDUP-02
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_components",
-    "training_corpus",           # OP-FLT-01/03, OP-DEDUP-01 composition
-    "url_canonical_dedup",       # OP-DEDUP-01, OP-EXT-03
-    "ann_brute_force_topk",      # OP-X-SIM-01
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "dedup_embedding_pairs",
-    "pack_sequences",            # bucketed LLM sequence packing
     "corpus_tfidf",              # OP-X-TXT-04
-    "lang_id_heuristic",
-    "quality_score",
-    "pii_redaction",             # OP-X-TXT-04 PII scrubbing
-    "bigram_topk",               # OP-TXT-01/03 n-gram variant
-    "hash_sample_by_lang",       # deterministic hash-mod sampling
-    "json_extract_props",        # OP-X-JSON-01
-    "split_contamination",       # train/test leakage audit
-    "asof_click_purchase",       # OP-X-WIN-01 as-of join
-    "window_tumbling_1h",
-    "range_join_clicks_before_purchase",  # bucketed range join
-    "multimodal_decode_image",   # OP-X-MM-01 REAL PNM decode roundtrip
-    "multimodal_features",       # OP-X-MM-01 feature extraction
-    "multimodal_resize",         # OP-X-MM-01 binary->binary transform
-    "q1_pricing_summary",        # TPC-H shapes
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q12_linestatus_priority",
-    "q14_promo_revenue_share",
-    "q18_large_volume_orders",
-    "q21_sole_returned_supplier",
-    "q22_idle_rich_customers",
-    "region_revenue",            # snowflake-chain broadcast joins
-    "revenue_rollup_region_nation",  # ROLLUP grouping sets
+    # --- honest rows-only entries (no SQL twin by construction)
+    "stream_neardup_minhash",    # OP-STR-01 + OP-X-DEDUP-02 (rows-only)
+    "dedup_simhash",             # OP-X-DEDUP-02 (rows-only)
+    # --- new tolerance verdicts for the hash-defined approximations
+    "dedup_minhash_recall",      # precision==1 + recall>=0.8 vs exact
+    "ann_lsh_recall",            # recall@10 >= 0.5 vs exact top-k
+    "ann_ivf_recall",            # recall@10 >= 0.5 vs exact top-k
+    # --- semantics changed r4: must re-earn driver evidence
+    "users_without_orders_except",  # OP-DEDUP-01; now >0 rows at sf0.01
+    # --- never driver-checked before r4 (judge r3 next-round #1)
+    "dedup_containment",         # OP-X-DEDUP-02 subset/quote pairs
+    "dedup_cluster_stats",       # OP-X-DEDUP-02 curator histogram
+    "multimodal_decode_audio",   # OP-X-MM-01 REAL WAV RIFF decode
+    "multimodal_decode_video",   # OP-X-MM-01 REAL Y4M decode
+    "stream_multimodal_decode",  # OP-STR-01 + OP-X-MM-01 streaming decode
+    "ann_brute_force_topk_np",   # OP-X-SIM-01 BLAS exact top-k
+    "embedding_centroids_by_label",  # OP-X-SIM-01 mean pooling
+    "embedding_norms",           # OP-X-SIM-01 HOF L2 norms
+    "embedding_quantize_int8",   # OP-X-SIM-01 int8 quantization
+    "top_customers",             # OP-TOPK-01 join+agg top-k
+    "customer_order_counts",     # OP-GAP-01 left-join zero-fill
+    "order_priority_monthly",    # OP-AGG-03 calendar bucketing
+    "part_type_stats",           # OP-AGG-01
+    "supplier_nation_balance",   # OP-AGG-01
+    "mktsegment_share",          # OP-AGG-01/02 share-of-total
+    "parts_above_type_average",  # OP-AGG-01 correlated-avg filter
+    "bpe_token_count",           # OP-TXT-01 BPE-ish token counting
+    "doc_fingerprint",           # OP-X-DEDUP-02 rolling-hash fingerprint
+    "repetition_signals",        # OP-X-TXT-04 quality repetition ratios
+    "deterministic_doc_split",   # OP-FLT-01 key-based train/val/test
+    "stratified_sample_by_lang", # OP-FLT-01 tolerance-verdict sampler
+    "text_normalize",            # OP-EXT-05 unicode/ws normalization
+    "pseudonymize_users",        # OP-PRJ-02 deterministic pseudonyms
+    "doc_first_tokens",          # OP-TXT-01 head-truncation
+    "doc_chunks",                # OP-TXT-01 fixed-size chunking
+    "boilerplate_phrases",       # OP-X-DEDUP-02/OP-TXT-02; floor added r4
+    "window_sliding_1h_30m",     # OP-X-WIN-01 sliding windows
+    "json_k_stats_by_type",      # OP-X-JSON-01 + OP-AGG-01
+    "value_stats_by_type",       # OP-AGG-01/04
+    "json_props_typed_struct",   # OP-X-JSON-01 from_json struct
 )
 
 
