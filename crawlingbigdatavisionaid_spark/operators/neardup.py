@@ -125,30 +125,36 @@ def jaccard_pairs(
     # consumer pays anyway.
     inv = shingle_rows(docs, n).localCheckpoint(eager=False)
     if df_max is not None:
-        dfs = (
-            inv.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .localCheckpoint(eager=False)
+        # ONE scalar job for both sizing probes (r2 had a separate
+        # docs.count() scan, r3 two separate collects): n_docs (the
+        # fractional-cap denominator) and max(df) (the short-circuit
+        # probe) are two aggregate branches over the SAME checkpointed
+        # index, collected together through a 1x1 crossJoin. The df
+        # table is deliberately NOT materialized here — in the common
+        # (uncapped) case it has no further consumer, so checkpointing
+        # it was pure construction-time cost; the rare hot-set path
+        # below recomputes it once more instead.
+        n_docs, max_df = (
+            inv.agg(F.countDistinct("doc_id").alias("n_docs"))
+            .crossJoin(
+                inv.groupBy("s")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .agg(F.max("df").alias("max_df"))
+            )
+            .collect()[0]
         )
+        max_df = max_df or 0
         if isinstance(df_max, float):
             import math
 
-            # ONE scalar job for both sizing probes (was two collects):
-            # n_docs (fractional-cap denominator) off the materialized
-            # index, max(df) (short-circuit probe) off the materialized
-            # df table — both sides of the crossJoin read checkpoints,
-            # so the combined job is two local scans + a 1x1 join
-            n_docs, max_df = (
-                inv.agg(F.countDistinct("doc_id").alias("n_docs"))
-                .crossJoin(dfs.agg(F.max("df").alias("max_df")))
-                .collect()[0]
-            )
             df_max = max(DF_MAX_DEFAULT, math.ceil(df_max * n_docs))
-        else:
-            max_df = dfs.agg(F.max("df")).collect()[0][0]
-        max_df = max_df or 0
         if max_df > df_max:
-            hot = dfs.where(F.col("df") > df_max).select("s")
+            hot = (
+                inv.groupBy("s")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .where(F.col("df") > df_max)
+                .select("s")
+            )
             # checkpoint the capped index too so the anti-join (and the
             # hot-set broadcast feeding it) runs once, not per consumer
             inv = inv.join(F.broadcast(hot), "s", "left_anti").localCheckpoint(
