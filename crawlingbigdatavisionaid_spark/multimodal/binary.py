@@ -394,8 +394,16 @@ def decode_video_features(with_payload: DataFrame) -> DataFrame:
 
 
 def attach_binary(docs: DataFrame) -> DataFrame:
-    """documents + (payload binary, meta struct) — engine-side encode."""
-    payload = F.encode(F.col("text"), "UTF-8")
+    """documents + (payload binary, meta struct) — engine-side encode.
+
+    Text is folded to printable ASCII first (NULL-preserving — no
+    coalesce) for the same reason as the attach_* geometry builders: the
+    DuckDB oracles for this family recompute byte statistics per
+    CHARACTER (``ascii(c)``), which only equals the UTF-8 byte value for
+    ASCII input."""
+    payload = F.encode(
+        F.expr("regexp_replace(text, '[^ -~]', 'x')"), "UTF-8"
+    )
     return docs.select(
         "doc_id",
         payload.alias("payload"),

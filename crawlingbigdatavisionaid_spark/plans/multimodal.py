@@ -17,7 +17,8 @@ from .registry import register
     ops=("OP-X-MM-01",),
     oracle="""
         SELECT doc_id,
-               octet_length(encode(text)) AS n_bytes,
+               octet_length(encode(regexp_replace(text, '[^ -~]', 'x', 'g')))
+                   AS n_bytes,
                'application/octet-stream' AS mime
         FROM documents
     """,
@@ -153,7 +154,10 @@ def multimodal_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH b AS (
             SELECT doc_id,
-                   list_transform(string_split(text, ''), c -> ascii(c)) AS bytes
+                   list_transform(
+                       string_split(regexp_replace(text, '[^ -~]', 'x', 'g'),
+                                    ''),
+                       c -> ascii(c)) AS bytes
             FROM documents
         )
         SELECT doc_id,
@@ -183,7 +187,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops=("OP-X-MM-01",),
     oracle=f"""
         WITH b AS (
-            SELECT doc_id, text, octet_length(encode(text)) AS n
+            SELECT doc_id,
+                   regexp_replace(text, '[^ -~]', 'x', 'g') AS text,
+                   octet_length(encode(regexp_replace(text, '[^ -~]', 'x', 'g')))
+                       AS n
             FROM documents
         ), frames AS (
             SELECT doc_id,
@@ -216,7 +223,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH b AS (
             SELECT doc_id,
-                   list_transform(string_split(text, ''), c -> ascii(c)) AS bytes
+                   list_transform(
+                       string_split(regexp_replace(text, '[^ -~]', 'x', 'g'),
+                                    ''),
+                       c -> ascii(c)) AS bytes
             FROM documents
         ), r AS (
             SELECT doc_id, bytes,
