@@ -261,3 +261,18 @@ def test_multimodal_attach_sanitizes_non_ascii(spark):
     assert {r.doc_id for r in vid} == {0, 1, 2}
     for r in vid:
         assert r.n_frames == 1 + r.doc_id % 4
+
+
+def test_recall_verdicts_true_at_driver_sf(spark):
+    """The three tolerance-verdict queries must emit all-TRUE at sf0.01 —
+    the scale the driver's correctness gate actually runs them at (their
+    oracles pin TRUE; a threshold drifting past measured recall would
+    fail the gate, so catch it here first)."""
+    from crawlingbigdatavisionaid_spark.plans import query_map
+
+    q = query_map()
+    sf = "/root/testdata/sf0.01"
+    row = q["dedup_minhash_recall"](spark, sf).collect()[0]
+    assert row.precision_ok and row.recall_ok, row
+    assert q["ann_lsh_recall"](spark, sf).collect()[0].recall_ok
+    assert q["ann_ivf_recall"](spark, sf).collect()[0].recall_ok
