@@ -54,6 +54,53 @@ def word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_rarity_score",
+    ops=("OP-X-TXT-04", "OP-TXT-02"),
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_SQL_TOKENS}) AS w FROM documents
+        ), freq AS (
+            SELECT w, COUNT(*) AS freq FROM tok GROUP BY w
+        )
+        SELECT t.doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(f.freq) AS BIGINT) AS sum_freq,
+               ROUND(SUM(f.freq) * 1.0 / COUNT(*), 4) AS mean_commonness
+        FROM tok t JOIN freq f ON t.w = f.w
+        GROUP BY t.doc_id
+    """,
+)
+def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative token-rarity quality signal — the integer-exact
+    proxy for CCNet-style perplexity filtering: a document whose tokens
+    are mostly corpus-rare (OCR noise, gibberish, boilerplate-stripped
+    fragments) scores a LOW mean corpus frequency, while fluent text
+    rides the Zipf head. Two aggregations over one tokenization: the
+    corpus unigram table (vocab-sized — broadcast, so the Zipf-skewed
+    'the'-bucket never shuffles the token stream) joined back to the
+    exploded tokens. Outputs are integer digests plus ONE rounded
+    division (the source_distribution determinism pattern), so the hash
+    compare never sees an engine-divergent float. A true log-perplexity
+    variant would need cross-engine-identical transcendentals — ln()
+    last-ulp differences across libm implementations break exact
+    hashing, which is why the score is linear in frequency."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("w"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        tok.join(F.broadcast(freq), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("freq").alias("sum_freq"),
+            F.round(
+                F.sum("freq") * F.lit(1.0) / F.count(F.lit(1)), 4
+            ).alias("mean_commonness"),
+        )
+    )
+
+
+@register(
     "token_stats",
     ops=("OP-TXT-01",),
     oracle=f"""
