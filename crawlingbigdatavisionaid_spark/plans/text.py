@@ -54,6 +54,70 @@ def word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "train_test_ngram_overlap",
+    ops=("OP-X-DEDUP-02", "OP-DEDUP-01"),
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z]+') AS toks
+            FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 4, 0)),
+                       i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                            || ' ' || toks[i + 3] || ' ' || toks[i + 4]))) AS s
+            FROM t
+        ), tr AS (
+            SELECT doc_id, s FROM g WHERE doc_id % 100 < 80
+        ), te AS (
+            SELECT DISTINCT s FROM g WHERE doc_id % 100 >= 90
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id
+        ), hits AS (
+            SELECT tr.doc_id, COUNT(*) AS n_contaminated
+            FROM tr JOIN te ON tr.s = te.s GROUP BY tr.doc_id
+        )
+        SELECT s.doc_id, s.n_shingles,
+               CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+               10 * COALESCE(h.n_contaminated, 0) >= s.n_shingles
+                   AS contaminated
+        FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    """,
+)
+def train_test_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram decontamination (the GPT-3-style check): per TRAIN doc,
+    the fraction of its distinct 5-gram shingles that also appear
+    anywhere in the TEST split, flagged at >= 10%. Catches partial and
+    quoted contamination that ``split_contamination``'s whole-document
+    fingerprints miss. The test-split shingle set is deduplicated and
+    BROADCAST — real benchmark suites are tiny next to a training
+    corpus, so the train-side token stream never shuffles; and because
+    the broadcast side is distinct, the probe join is fan-out-free
+    (output <= train shingles) even on corpus-hot shingles. Integer
+    threshold arithmetic (10*hits >= size) keeps it engine-exact."""
+    from ..operators.neardup import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.col("doc_id") % 100
+    tr = shingle_rows(docs.where(bucket < 80), n=5)
+    te = shingle_rows(docs.where(bucket >= 90), n=5).select("s").distinct()
+    sizes = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        tr.join(F.broadcast(te), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    n_cont = F.coalesce(F.col("n_contaminated"), F.lit(0))
+    return sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        n_cont.cast("long").alias("n_contaminated"),
+        (10 * n_cont >= F.col("n_shingles")).alias("contaminated"),
+    )
+
+
+@register(
     "token_rarity_score",
     ops=("OP-X-TXT-04", "OP-TXT-02"),
     oracle=f"""
