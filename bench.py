@@ -64,6 +64,8 @@ HEADLINE = [
     "boilerplate_phrases",
     "multimodal_decode_audio",
     "multimodal_decode_video",
+    "token_rarity_score",
+    "train_test_ngram_overlap",
 ]
 
 

@@ -95,25 +95,37 @@ def train_test_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, so the train-side token stream never shuffles; and because
     the broadcast side is distinct, the probe join is fan-out-free
     (output <= train shingles) even on corpus-hot shingles. Integer
-    threshold arithmetic (10*hits >= size) keeps it engine-exact."""
+    threshold arithmetic (10*hits >= size) keeps it engine-exact.
+
+    Plan shape: ONE pass over the train shingles — the broadcast LEFT
+    join tags each shingle with a hit marker and a single doc_id
+    aggregate counts rows and non-null markers together (a separate
+    sizes/hits pair would recompute the shingle stream twice); and since
+    ``shingle_rows`` already partitions by doc_id, the aggregate needs
+    no further exchange."""
     from ..operators.neardup import shingle_rows
 
     docs = load_table(spark, sf_dir, "documents")
     bucket = F.col("doc_id") % 100
     tr = shingle_rows(docs.where(bucket < 80), n=5)
-    te = shingle_rows(docs.where(bucket >= 90), n=5).select("s").distinct()
-    sizes = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (
-        tr.join(F.broadcast(te), "s")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    te = (
+        shingle_rows(docs.where(bucket >= 90), n=5)
+        .select("s")
+        .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    n_cont = F.coalesce(F.col("n_contaminated"), F.lit(0))
-    return sizes.join(hits, "doc_id", "left").select(
-        "doc_id",
-        "n_shingles",
-        n_cont.cast("long").alias("n_contaminated"),
-        (10 * n_cont >= F.col("n_shingles")).alias("contaminated"),
+    n_cont = F.count("hit")  # count() skips the nulls of non-matches
+    return (
+        tr.join(F.broadcast(te), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            n_cont.cast("long").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contaminated",
+            10 * F.col("n_contaminated") >= F.col("n_shingles"),
+        )
     )
 
 
