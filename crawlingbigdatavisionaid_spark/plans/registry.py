@@ -76,8 +76,13 @@ _PRIORITY: tuple[str, ...] = (
     "crawl_pysource_ingest",     # OP-SRC-01/02 via Python Data Source API
     "ingest_observed_metrics",   # OP-STR-03, OP-SRC-04, OP-AGG-06
     "approx_distinct_users",     # OP-X-APPROX-01
-    "stream_hourly_counts",      # OP-STR-01, OP-X-WIN-01
-    "corpus_tfidf",              # OP-X-TXT-04
+    # (corpus_tfidf and stream_hourly_counts — both driver-green r03 —
+    # rotated out late in r4 for the two operators written this round;
+    # their OP-IDs stay covered: X-TXT-04 via repetition_signals +
+    # token_rarity_score, STR-01 via stream_multimodal_decode, X-WIN-01
+    # via window_sliding_1h_30m.)
+    "token_rarity_score",        # OP-X-TXT-04 corpus-frequency quality
+    "train_test_ngram_overlap",  # OP-X-DEDUP-02 n-gram decontamination
     # --- honest rows-only entries (no SQL twin by construction)
     "stream_neardup_minhash",    # OP-STR-01 + OP-X-DEDUP-02 (rows-only)
     "dedup_simhash",             # OP-X-DEDUP-02 (rows-only)
