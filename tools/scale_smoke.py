@@ -39,6 +39,8 @@ QUERIES = [
     "word_topk",
     "quality_score",
     "bpe_token_count",
+    "token_rarity_score",
+    "train_test_ngram_overlap",
 ]
 
 
