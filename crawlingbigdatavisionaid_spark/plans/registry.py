@@ -171,6 +171,7 @@ def _load_all() -> None:
         multimodal,
         observability,
         olap,
+        selection,
         similarity,
         star,
         streaming,

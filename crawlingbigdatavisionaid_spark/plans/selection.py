@@ -1,0 +1,324 @@
+"""Training-data SELECTION & CURATION queries — the decision layer that
+sits between the cleaning operators (plans/text.py, plans/dedup.py) and
+the training corpus: which documents to keep, how to weight sources, and
+where duplicated byte-ranges live inside kept documents.
+
+All four text queries re-use the one shared tokenization
+(functions/text.py ``tokens``), so at 100 TB they pipeline over the same
+scan shape as word_topk; outputs follow the registry determinism rules
+(integer digests + at most one rounded IEEE division per column).
+
+Methods re-expressed here (public papers, Spark-first plans):
+- DSIR importance weighting (Xie et al. 2023, arXiv:2302.03169) —
+  ``dsir_target_affinity``.
+- Exact duplicated-substring spans (Lee et al. 2021, arXiv:2107.06499,
+  the suffix-array dedup; approximated as shingle-run merging) —
+  ``duplicate_spans``.
+- SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — cluster-scoped
+  embedding cosine pruning — ``semdedup_prune``.
+- Source-mixture reweighting (uniform-token target; the DoReMi-style
+  static mixing baseline, Xie et al. 2023, arXiv:2305.10429) —
+  ``domain_mix_weights``.
+- Per-domain politeness scheduling for the crawl frontier (the
+  distributed form of the reference's serial 6-hourly loop,
+  /root/reference/crawl.py:78,155-162) — ``crawl_frontier_schedule``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions import text as T, vectors as V
+from ..sources import load_table
+from .registry import register
+
+_SQL_TOKENS = f"regexp_extract_all(lower(text), '{T.TOKEN_PATTERN}')"
+
+# Shared SQL cosine (DuckDB twin of functions/vectors.py cosine).
+_SQL_COS = """
+    list_inner_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))
+    / (sqrt(list_inner_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))
+       * sqrt(list_inner_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))
+"""
+
+
+@register(
+    "dsir_target_affinity",
+    ops=("OP-X-TXT-04", "OP-FLT-01"),
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, lang, unnest({_SQL_TOKENS}) AS w FROM documents
+        ), vocab AS (
+            SELECT w,
+                   CAST(COUNT(*) AS BIGINT) AS cnt_raw,
+                   CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS cnt_tgt
+            FROM tok GROUP BY w
+        )
+        SELECT t.doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(v.cnt_tgt) AS BIGINT) AS tgt_mass,
+               CAST(SUM(v.cnt_raw) AS BIGINT) AS raw_mass,
+               ROUND(SUM(v.cnt_tgt) * 1.0 / SUM(v.cnt_raw), 4)
+                   AS target_affinity
+        FROM tok t JOIN vocab v ON t.w = v.w
+        GROUP BY t.doc_id
+    """,
+)
+def dsir_target_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance score for data selection (Xie et al. 2023,
+    arXiv:2302.03169): score each document by how much its token mass
+    comes from a target distribution (here the ``lang='en'`` stratum)
+    relative to the raw corpus. DSIR's hashed-ngram log-ratio becomes an
+    integer-exact linear ratio — sum of per-token target counts over sum
+    of per-token corpus counts — because cross-engine ``ln()`` is not
+    bit-stable (the token_rarity_score rationale). Plan shape: one
+    tokenize+explode, a vocab-sized aggregate broadcast back onto the
+    token stream (Zipf-hot tokens never shuffle), one per-doc hash
+    aggregate. Selection = ORDER BY target_affinity DESC LIMIT budget."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(T.tokens("text")).alias("w")
+    )
+    vocab = tok.groupBy("w").agg(
+        F.count(F.lit(1)).alias("cnt_raw"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("cnt_tgt"),
+    )
+    return (
+        tok.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt_tgt").alias("tgt_mass"),
+            F.sum("cnt_raw").alias("raw_mass"),
+            F.round(
+                F.sum("cnt_tgt") * F.lit(1.0) / F.sum("cnt_raw"), 4
+            ).alias("target_affinity"),
+        )
+    )
+
+
+@register(
+    "domain_mix_weights",
+    ops=("OP-AGG-01", "OP-AGG-02"),
+    oracle=f"""
+        WITH per AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ), tot AS (
+            SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_sources
+            FROM per
+        )
+        SELECT p.source, p.n_docs, p.n_tokens,
+               ROUND(p.n_tokens * 1.0 / t.total_tokens, 6) AS token_share,
+               ROUND(t.total_tokens * 1.0 / (t.n_sources * p.n_tokens), 6)
+                   AS uniform_weight
+        FROM per p CROSS JOIN tot t
+    """,
+)
+def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture reweighting for training (the static-mixing
+    baseline of DoReMi, arXiv:2305.10429): per-source token mass and the
+    sampling weight that equalizes token contribution across sources
+    (``uniform_weight > 1`` = upsample, ``< 1`` = downsample). Token
+    counts come from ``size(tokens)`` on the scan — no explode — so the
+    whole query is one source-keyed hash aggregate plus a broadcast
+    1-row totals join. Each float column is a single rounded division
+    over exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(T.tokens("text")).cast("bigint")).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") * F.lit(1.0) / F.col("total_tokens"), 6).alias(
+            "token_share"
+        ),
+        F.round(
+            F.col("total_tokens")
+            * F.lit(1.0)
+            / (F.col("n_sources") * F.col("n_tokens")),
+            6,
+        ).alias("uniform_weight"),
+    )
+
+
+_SPAN_K = 5  # shingle width (tokens); spans are maximal runs of dup shingles
+
+
+@register(
+    "duplicate_spans",
+    ops=("OP-X-DEDUP-02",),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CAST(unnest(generate_series(1, len(toks) - {_SPAN_K - 1}))
+                        AS BIGINT) AS pos,
+                   toks
+            FROM t WHERE len(toks) >= {_SPAN_K}
+        ), s2 AS (
+            SELECT doc_id, pos,
+                   array_to_string(toks[pos:pos + {_SPAN_K - 1}], ' ')
+                       AS shingle
+            FROM sh
+        ), dup AS (
+            SELECT shingle FROM s2
+            GROUP BY shingle HAVING COUNT(DISTINCT doc_id) > 1
+        ), hits AS (
+            SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM s2 SEMI JOIN dup USING (shingle)
+        )
+        SELECT doc_id,
+               MIN(pos) AS span_start,
+               MAX(pos) + {_SPAN_K - 1} AS span_end,
+               COUNT(*) AS n_shingles
+        FROM hits GROUP BY doc_id, grp
+    """,
+)
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring spans inside documents — the deduplicate-
+    training-data operator of Lee et al. 2021 (arXiv:2107.06499), whose
+    suffix-array "all substrings of length >= 50 that repeat" becomes,
+    in shingle space, every maximal run of {K}-token shingles that occur
+    in more than one document. Consumers cut ``[span_start, span_end]``
+    (1-based token positions, inclusive) out of the kept text instead of
+    dropping whole near-dup docs. Plan: positional shingles from one
+    tokenization (no self-join), the dup-shingle set via a count-
+    distinct aggregate (map-side combine absorbs Zipf-hot shingles),
+    a shuffle semi-join back onto the positional stream, then per-doc
+    run-merging with ONE window (pos - row_number islands trick) — the
+    window shuffle is keyed by doc_id, so it scales with documents, not
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", T.tokens("text").alias("toks")).where(
+        F.size("toks") >= _SPAN_K
+    )
+    s2 = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {_SPAN_K - 1}),"
+                f" i -> struct(CAST(i AS BIGINT) AS pos,"
+                f" concat_ws(' ', slice(toks, i, {_SPAN_K})) AS shingle))"
+            )
+        ).alias("ps"),
+    ).select("doc_id", F.col("ps.pos").alias("pos"), F.col("ps.shingle").alias("shingle"))
+    dup = (
+        s2.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("shingle")
+    )
+    hits = s2.join(dup, "shingle", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(_SPAN_K - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_shingles")
+    )
+
+
+_SEM_TAU = 0.38  # within-cluster cosine above which the later doc is pruned
+
+
+@register(
+    "semdedup_prune",
+    ops=("OP-X-DEDUP-02", "OP-X-SIM-01"),
+    oracle=f"""
+        SELECT a.vec_id, a.label
+        FROM embeddings a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM embeddings b
+            WHERE b.label = a.label AND b.vec_id < a.vec_id
+              AND {_SQL_COS.format(a="a.embedding", b="b.embedding")}
+                  >= {_SEM_TAU}
+        )
+    """,
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication scoped to embedding clusters — here the ``label``
+    column plays the k-means cluster id (plans/similarity.py ivf_topk
+    owns the quantizer). Within each cluster, a document is pruned when
+    an earlier-id cluster-mate sits within cosine >= {tau} — the paper's
+    deterministic keep-one-per-near-dup-set rule. The pair join is keyed
+    on the cluster id, so the quadratic term is bounded per cluster (the
+    whole point of clustering first) and the shuffle scales with cluster
+    population, never all-pairs. Output: the KEPT rows, ids only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id"),
+        F.col("label"),
+        V.as_double("embedding").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        V.as_double("embedding").alias("vb"),
+    )
+    dropped = (
+        a.join(
+            b,
+            (a.label == b.b_label) & (a.vec_id > b.b_id),
+        )
+        .where(V.cosine(F.col("va"), F.col("vb")) >= _SEM_TAU)
+        .select("vec_id")
+        .distinct()
+    )
+    return emb.join(dropped, "vec_id", "left_anti").select("vec_id", "label")
+
+
+_POLITE_DELAY_S = 6  # per-domain seconds between fetches
+
+
+@register(
+    "crawl_frontier_schedule",
+    ops=("OP-SRC-01", "OP-TOPK-02"),
+    oracle=f"""
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                    - 1 AS BIGINT) AS slot,
+               CAST((ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                    - 1) * {_POLITE_DELAY_S} AS BIGINT) AS scheduled_offset_s
+        FROM documents
+    """,
+)
+def crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling for a distributed crawl frontier. The
+    reference fetches serially and re-runs every 6 hours
+    (/root/reference/crawl.py:78,155-162) — serial order IS its
+    politeness. Distributed, that becomes: per-domain (``source``)
+    deterministic slots, each offset {delay}s from the last, domains
+    fanned out in parallel. One window shuffle keyed by domain; at
+    100 TB the frontier partitions by domain hash, and a skewed mega-
+    domain bounds its own lane without stalling others."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    slot = (F.row_number().over(w) - F.lit(1)).cast("bigint")
+    return docs.select(
+        "doc_id",
+        "source",
+        slot.alias("slot"),
+        (slot * F.lit(_POLITE_DELAY_S)).cast("bigint").alias(
+            "scheduled_offset_s"
+        ),
+    )

@@ -1,0 +1,162 @@
+"""Unit tests for plans/selection.py on planted fixtures.
+
+Oracle parity at sf0.001 is covered by tests/test_oracle_parity.py; here
+each operator's semantics are pinned against hand-computed expectations.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from crawlingbigdatavisionaid_spark.plans.selection import (
+    crawl_frontier_schedule,
+    domain_mix_weights,
+    dsir_target_affinity,
+    duplicate_spans,
+    semdedup_prune,
+)
+
+_DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def _write_docs(spark, tmp_path, rows):
+    docs = [
+        Row(doc_id=i, text=t, lang=lang, source=src, n_chars=len(t))
+        for (i, t, lang, src) in rows
+    ]
+    spark.createDataFrame(docs, _DOC_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_duplicate_spans_run_merging(spark, tmp_path):
+    # docs 1 and 2 share a 7-token run => 3 overlapping 5-gram shingles,
+    # merged into ONE span each; doc 3 shares nothing.
+    shared = "one two three four five six seven"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, f"aa bb {shared} cc", "en", "s0"),
+            (2, f"{shared} zz yy", "en", "s0"),
+            (3, "totally different words here now okay fine", "en", "s1"),
+        ],
+    )
+    got = {
+        r.doc_id: (r.span_start, r.span_end, r.n_shingles)
+        for r in duplicate_spans(spark, sf).collect()
+    }
+    # doc 1 tokens: aa bb one..seven cc -> run at positions 3..9,
+    # dup shingle starts 3,4,5 -> span [3, 9]
+    assert got == {1: (3, 9, 3), 2: (1, 7, 3)}
+
+
+def test_duplicate_spans_splits_non_adjacent_runs(spark, tmp_path):
+    # two shared runs separated by unique tokens => TWO spans, not one
+    run_a = "alpha beta gamma delta epsilon"
+    run_b = "zeta eta theta iota kappa"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, f"{run_a} unique middle words {run_b}", "en", "s0"),
+            (2, f"{run_a} other stuff", "en", "s0"),
+            (3, f"filler {run_b} tail", "en", "s0"),
+        ],
+    )
+    spans = sorted(
+        (r.span_start, r.span_end)
+        for r in duplicate_spans(spark, sf).collect()
+        if r.doc_id == 1
+    )
+    # doc 1: run_a at 1..5 (one shingle), run_b at 9..13 (one shingle)
+    assert spans == [(1, 5), (9, 13)]
+
+
+def test_dsir_target_affinity_hand_computed(spark, tmp_path):
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, "cat cat dog", "en", "s0"), (2, "cat fish", "fr", "s0")],
+    )
+    got = {r.doc_id: r for r in dsir_target_affinity(spark, sf).collect()}
+    # vocab: cat raw=3 tgt=2; dog raw=1 tgt=1; fish raw=1 tgt=0
+    assert (got[1].n_tokens, got[1].tgt_mass, got[1].raw_mass) == (3, 5, 7)
+    assert got[1].target_affinity == pytest.approx(round(5 / 7, 4))
+    assert (got[2].n_tokens, got[2].tgt_mass, got[2].raw_mass) == (2, 2, 4)
+    assert got[2].target_affinity == pytest.approx(0.5)
+
+
+def test_domain_mix_weights_uniform_target(spark, tmp_path):
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, "a b c d", "en", "big"), (2, "e", "en", "small")],
+    )
+    got = {r.source: r for r in domain_mix_weights(spark, sf).collect()}
+    assert got["big"].n_tokens == 4 and got["small"].n_tokens == 1
+    assert got["big"].token_share == pytest.approx(0.8)
+    assert got["big"].uniform_weight == pytest.approx(0.625)  # 5/(2*4)
+    assert got["small"].uniform_weight == pytest.approx(2.5)  # 5/(2*1)
+
+
+def test_crawl_frontier_schedule_per_domain_slots(spark, tmp_path):
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (10, "x", "en", "a.com"),
+            (20, "x", "en", "a.com"),
+            (30, "x", "en", "a.com"),
+            (5, "x", "en", "b.com"),
+        ],
+    )
+    got = {
+        r.doc_id: (r.slot, r.scheduled_offset_s)
+        for r in crawl_frontier_schedule(spark, sf).collect()
+    }
+    assert got == {10: (0, 0), 20: (1, 6), 30: (2, 12), 5: (0, 0)}
+
+
+_EMB_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ]
+)
+
+
+def test_semdedup_prunes_later_near_dup_in_cluster(spark, tmp_path):
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    e_orth = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        Row(vec_id=1, embedding=e1, label=0),  # kept (first in cluster)
+        Row(vec_id=2, embedding=e1, label=0),  # pruned (dup of 1)
+        Row(vec_id=3, embedding=e_orth, label=0),  # kept (orthogonal)
+        Row(vec_id=4, embedding=e1, label=1),  # kept (other cluster)
+    ]
+    spark.createDataFrame(rows, _EMB_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/embeddings.parquet")
+    kept = sorted(r.vec_id for r in semdedup_prune(spark, str(tmp_path)).collect())
+    assert kept == [1, 3, 4]
