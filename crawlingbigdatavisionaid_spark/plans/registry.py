@@ -68,12 +68,18 @@ _PRIORITY: tuple[str, ...] = (
     "timeline_gapfill",          # OP-GAP-01, OP-AGG-03/04, OP-FLT-02
     "source_distribution",       # OP-AGG-01/02, OP-PRJ-01/02, OP-SRC-03
     "total_count",               # OP-AGG-05
-    "recent_events",             # OP-TOPK-01
-    "latest_ingested",           # OP-TOPK-02
-    "dedup_anti_join",           # OP-DEDUP-01
+    # (recent_events / latest_ingested / dedup_anti_join /
+    # crawl_pysource_ingest — all driver-green r01-r03 — rotated out for
+    # the four never-checked selection-layer queries below; their OP-IDs
+    # stay covered: TOPK-01 via top_customers, TOPK-02 via
+    # crawl_frontier_schedule, DEDUP-01 via users_without_orders_except,
+    # SRC-01/02 + EXT-01/07 via html_extraction.)
     "html_extraction",           # OP-EXT-01..07, OP-SRC-01/02, OP-STR-02
     "crawl_batch_dedup",         # OP-SNK-01, OP-AGG-06
-    "crawl_pysource_ingest",     # OP-SRC-01/02 via Python Data Source API
+    "duplicate_spans",           # OP-X-DEDUP-02 dup-substring spans (new r4)
+    "crawl_frontier_schedule",   # OP-SRC-01, OP-TOPK-02 politeness slots (new r4)
+    "semdedup_prune",            # OP-X-DEDUP-02/X-SIM-01 SemDeDup (new r4)
+    "dsir_target_affinity",      # OP-X-TXT-04 DSIR importance score (new r4)
     "ingest_observed_metrics",   # OP-STR-03, OP-SRC-04, OP-AGG-06
     "approx_distinct_users",     # OP-X-APPROX-01
     # (corpus_tfidf and stream_hourly_counts — both driver-green r03 —
