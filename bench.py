@@ -66,6 +66,11 @@ HEADLINE = [
     "multimodal_decode_video",
     "token_rarity_score",
     "train_test_ngram_overlap",
+    "dsir_target_affinity",
+    "domain_mix_weights",
+    "duplicate_spans",
+    "semdedup_prune",
+    "crawl_frontier_schedule",
 ]
 
 

@@ -393,3 +393,48 @@ def ivf_topk(
         .applyInPandas(_cogroup_rerank(k + 1), _PARTIAL_SCHEMA)
     )
     return _rank_topk(partial, k)
+
+
+def semdedup_keep(
+    emb: DataFrame,
+    tau: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    block: int = 2048,
+) -> DataFrame:
+    """SemDeDup within-cluster pruning (Abbas et al. 2023,
+    arXiv:2303.09540): inside each cluster (``label_col``), drop a row
+    when ANY earlier-id cluster-mate sits within cosine >= ``tau``;
+    return the kept (id, label) rows.
+
+    One shuffle keyed by the cluster id, then per-cluster BLAS: rows
+    sort by id, normalize once, and the gram matrix is computed in
+    ``block``-row slabs (memory O(block * cluster_size), never a full
+    c x c allocation) with each row compared only against EARLIER
+    columns — the deterministic keep-first rule, identical to the SQL
+    ``NOT EXISTS (b.id < a.id AND cos >= tau)`` form. Clusters bound
+    the quadratic term by construction (the reason SemDeDup clusters
+    before comparing); a cluster too big for its slab sweep is a
+    quantizer problem, not a dedup problem."""
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort", ignore_index=True)
+        x = _normalize_rows(_stack(pdf[vec_col]))
+        n = x.shape[0]
+        dropped = np.zeros(n, dtype=bool)
+        cols = np.arange(n)
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            sims = x[s:e] @ x[:e].T  # (slab, e)
+            mask = sims >= tau
+            mask &= cols[None, :e] < np.arange(s, e)[:, None]
+            dropped[s:e] = mask.any(axis=1)
+        return pdf.loc[~dropped, [id_col, label_col]]
+
+    return (
+        emb.select(id_col, vec_col, label_col)
+        .groupBy(label_col)
+        .applyInPandas(prune, f"{id_col} long, {label_col} int")
+    )

@@ -28,7 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions import text as T, vectors as V
+from ..functions import text as T
+from ..operators import similarity as S
 from ..sources import load_table
 from .registry import register
 
@@ -260,31 +261,17 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     column plays the k-means cluster id (plans/similarity.py ivf_topk
     owns the quantizer). Within each cluster, a document is pruned when
     an earlier-id cluster-mate sits within cosine >= {tau} — the paper's
-    deterministic keep-one-per-near-dup-set rule. The pair join is keyed
-    on the cluster id, so the quadratic term is bounded per cluster (the
-    whole point of clustering first) and the shuffle scales with cluster
-    population, never all-pairs. Output: the KEPT rows, ids only."""
+    deterministic keep-one-per-near-dup-set rule. One shuffle keyed on
+    the cluster id, so the quadratic term is bounded per cluster (the
+    whole point of clustering first); dense math runs as a per-cluster
+    blockwise BLAS gram matrix (operators/similarity.semdedup_keep) —
+    the interpreted-HOF pair-join form measured ~4.8 s warm at sf0.1 vs
+    sub-second for the Arrow/numpy form, the same ~1000x per-dot gap
+    the ANN family showed. Cosine margins at tau dwarf BLAS-vs-DuckDB
+    fold-order divergence (the ann_brute_force_topk_np determinism
+    argument). Output: the KEPT rows, ids only."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id"),
-        F.col("label"),
-        V.as_double("embedding").alias("va"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("label").alias("b_label"),
-        V.as_double("embedding").alias("vb"),
-    )
-    dropped = (
-        a.join(
-            b,
-            (a.label == b.b_label) & (a.vec_id > b.b_id),
-        )
-        .where(V.cosine(F.col("va"), F.col("vb")) >= _SEM_TAU)
-        .select("vec_id")
-        .distinct()
-    )
-    return emb.join(dropped, "vec_id", "left_anti").select("vec_id", "label")
+    return S.semdedup_keep(emb, _SEM_TAU)
 
 
 _POLITE_DELAY_S = 6  # per-domain seconds between fetches
