@@ -198,12 +198,20 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     in more than one document. Consumers cut ``[span_start, span_end]``
     (1-based token positions, inclusive) out of the kept text instead of
     dropping whole near-dup docs. Plan: positional shingles from one
-    tokenization (no self-join), the dup-shingle set via a count-
-    distinct aggregate (map-side combine absorbs Zipf-hot shingles),
-    a shuffle semi-join back onto the positional stream, then per-doc
-    run-merging with ONE window (pos - row_number islands trick) — the
-    window shuffle is keyed by doc_id, so it scales with documents, not
-    corpus size."""
+    tokenization (no self-join), keyed by xxhash64 of the shingle text
+    (a 16x smaller shuffle payload than the 5-word strings; the 2^-64
+    birthday risk of a false dup is the MinHash-family tradeoff, and
+    the ORACLE stays string-exact so a collision would surface as a
+    hash-red, not silently), materialized ONCE (localCheckpoint, the
+    dedup-family pattern) so the dup-set aggregate and the probe side
+    share one computation. "Seen in >1 distinct doc" is min(doc_id) <>
+    max(doc_id) — no count-distinct dedup structure, plain min/max
+    map-side combine that absorbs Zipf-hot shingles. A semi-join pulls
+    dup positions (kept distributed — a per-shingle position list would
+    concentrate a viral shingle's occurrences in one reducer), then
+    per-doc run-merging with ONE window (pos - row_number islands
+    trick) keyed by doc_id, so it scales with documents, not corpus
+    size."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", T.tokens("text").alias("toks")).where(
         F.size("toks") >= _SPAN_K
@@ -214,17 +222,19 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 f"transform(sequence(1, size(toks) - {_SPAN_K - 1}),"
                 f" i -> struct(CAST(i AS BIGINT) AS pos,"
-                f" concat_ws(' ', slice(toks, i, {_SPAN_K})) AS shingle))"
+                f" xxhash64(concat_ws(' ', slice(toks, i, {_SPAN_K}))) AS sh))"
             )
         ).alias("ps"),
-    ).select("doc_id", F.col("ps.pos").alias("pos"), F.col("ps.shingle").alias("shingle"))
+    ).select(
+        "doc_id", F.col("ps.pos").alias("pos"), F.col("ps.sh").alias("sh")
+    ).localCheckpoint(eager=False)
     dup = (
-        s2.groupBy("shingle")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where(F.col("nd") > 1)
-        .select("shingle")
+        s2.groupBy("sh")
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .where(F.col("d0") != F.col("d1"))
+        .select("sh")
     )
-    hits = s2.join(dup, "shingle", "left_semi")
+    hits = s2.join(dup, "sh", "left_semi")
     w = Window.partitionBy("doc_id").orderBy("pos")
     runs = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
     return (
