@@ -162,26 +162,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: snowflake dimension chain broadcast into the fact
-    join. region⋈nation⋈customer collapses to one small broadcast side.
-    lineitem pre-aggregates per order BEFORE the fact join, so the
-    shuffle carries order-cardinality partial sums instead of raw line
-    rows (decimal sums are exact, so sum-of-sums is value-identical),
-    and the join reuses the aggregate's hash partitioning on the order
-    key — measured ~1.3x faster at sf0.1, and at 100 TB the win scales
-    with lines-per-order."""
+    join. region⋈nation⋈customer collapses to one small broadcast side;
+    only orders⋈lineitem shuffles."""
     r = load_table(spark, sf_dir, "region")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = _li_money(load_table(spark, sf_dir, "lineitem"))
-    li_agg = (
-        li.select(
-            "l_orderkey",
-            (F.col("price_d") * (F.lit(1) - F.col("disc_d"))).alias("m"),
-        )
-        .groupBy("l_orderkey")
-        .agg(F.sum("m").alias("rev_part"), F.count(F.lit(1)).alias("lc"))
-    )
     dims = (
         c.join(
             F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey)),
@@ -192,13 +179,13 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         o.join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
         .select("o_orderkey", "n_name", "r_name")
-        .join(li_agg, F.col("o_orderkey") == li_agg.l_orderkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
     )
     return (
         joined.groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
-            F.sum("rev_part").alias("rev_d"),
-            F.sum("lc").alias("line_count"),
+            F.sum(F.col("price_d") * (F.lit(1) - F.col("disc_d"))).alias("rev_d"),
+            F.count(F.lit(1)).alias("line_count"),
         )
         .select(
             "region",
