@@ -438,3 +438,46 @@ def semdedup_keep(
         .groupBy(label_col)
         .applyInPandas(prune, f"{id_col} long, {label_col} int")
     )
+
+
+def semdedup_pairs(
+    emb: DataFrame,
+    tau: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    block: int = 2048,
+) -> DataFrame:
+    """All within-cluster near-duplicate PAIRS (cosine >= ``tau``,
+    lower id first) — the pair-list form of :func:`semdedup_keep`, for
+    audits and connected-components input. Same shuffle/memory shape:
+    one shuffle keyed by cluster, per-cluster slab-wise BLAS."""
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort", ignore_index=True)
+        x = _normalize_rows(_stack(pdf[vec_col]))
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        n = x.shape[0]
+        a_out, b_out = [], []
+        cols = np.arange(n)
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            sims = x[s:e] @ x[:e].T  # (slab, e)
+            mask = sims >= tau
+            mask &= cols[None, :e] < np.arange(s, e)[:, None]
+            bi, ai = np.nonzero(mask)  # row = later id, col = earlier id
+            a_out.append(ids[ai])
+            b_out.append(ids[bi + s])
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(a_out) if a_out else np.array([], dtype=np.int64),
+                "vec_b": np.concatenate(b_out) if b_out else np.array([], dtype=np.int64),
+            }
+        )
+
+    return (
+        emb.select(id_col, vec_col, label_col)
+        .groupBy(label_col)
+        .applyInPandas(pairs, "vec_a long, vec_b long")
+    )

@@ -344,3 +344,80 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum(F.col("cluster_size") - 1).alias("removable_docs"),
     )
+
+
+_SQL_ENSEMBLE_COS = """
+    list_inner_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))
+    / (sqrt(list_inner_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))
+       * sqrt(list_inner_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))
+"""
+
+
+@register(
+    "dedup_ensemble_audit",
+    ops=("OP-X-DEDUP-02", "OP-X-SIM-01"),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_SQL_SHINGLES} AS sh
+            FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+                  FROM documents)
+        ), nz AS (
+            SELECT doc_id, sh FROM t WHERE len(sh) > 0
+        ), e AS (
+            SELECT doc_id, unnest(sh) AS s FROM nz
+        ), jp AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), sizes AS (
+            SELECT doc_id, len(sh) AS n_sh FROM nz
+        ), text_pairs AS (
+            SELECT p.doc_a, p.doc_b
+            FROM jp p
+            JOIN sizes sa ON p.doc_a = sa.doc_id
+            JOIN sizes sb ON p.doc_b = sb.doc_id
+            WHERE 10 * p.inter >= 8 * (sa.n_sh + sb.n_sh - p.inter)
+        ), emb_pairs AS (
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+            FROM embeddings a
+            JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE {_SQL_ENSEMBLE_COS.format(a="a.embedding", b="b.embedding")}
+                  >= 0.38
+        )
+        SELECT
+            (SELECT COUNT(*) FROM text_pairs) AS n_text_pairs,
+            (SELECT COUNT(*) FROM emb_pairs) AS n_emb_pairs,
+            (SELECT COUNT(*) FROM text_pairs t
+             JOIN emb_pairs v ON t.doc_a = v.doc_a AND t.doc_b = v.doc_b)
+                AS n_both
+    """,
+)
+def dedup_ensemble_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup agreement audit — do the TEXT near-dup detector
+    (exact 3-gram Jaccard >= 0.8) and the SEMANTIC one (within-cluster
+    embedding cosine >= 0.38, the SemDeDup criterion; doc_id and vec_id
+    share the id space) flag the same pairs? Curators read the overlap
+    to calibrate thresholds before committing to a dedup sweep: lexical
+    dup sets and semantic dup sets usually intersect only partially
+    (SemDeDup, arXiv:2303.09540 §4 makes the same comparison). Both
+    pair generators are the audited scale paths (df-capped inverted
+    index; per-cluster blockwise BLAS); the final counts are three tiny
+    aggregates broadcast-joined into one row — integer-only output."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import semdedup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    text_pairs = ND.jaccard_pairs(docs, threshold_tenths=8, n=3).select(
+        F.col("doc_a"), F.col("doc_b")
+    )
+    emb_pairs = semdedup_pairs(emb, 0.38).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    n_text = text_pairs.agg(F.count(F.lit(1)).alias("n_text_pairs"))
+    n_emb = emb_pairs.agg(F.count(F.lit(1)).alias("n_emb_pairs"))
+    n_both = text_pairs.join(emb_pairs, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_both")
+    )
+    return n_text.crossJoin(F.broadcast(n_emb)).crossJoin(F.broadcast(n_both))

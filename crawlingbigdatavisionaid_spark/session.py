@@ -42,6 +42,21 @@ def get_spark(app_name: str = "crawlingbigdatavisionaid-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if os.environ.get("SPARK_GRAFT_PRETOUCH"):
+        # Preallocate + pre-touch the whole heap at JVM start: measured
+        # 10x-replica joins spent 30-50s of KERNEL time (page-zeroing
+        # during heap growth) on their first executions with a growable
+        # heap — -Xms=-Xmx + AlwaysPreTouch moves that one-time fault
+        # cost to startup (~2.5 s/GiB on this host) so query timings
+        # measure the query, not the allocator. Opt-in because the
+        # startup tax is wrong for short-lived test/tool sessions;
+        # bench.py and tools/scale_smoke.py set it.
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            "-Xms"
+            + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+            + " -XX:+AlwaysPreTouch",
+        )
     return builder.getOrCreate()
 
 

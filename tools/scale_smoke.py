@@ -25,6 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # K-replicated fact tables in one local-mode JVM: claim a bigger heap
 # than the 8g session default unless the caller chose one
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+# pre-touch the heap at startup so first-execution timings don't pay
+# the kernel page-fault bill for growing it (see session.py)
+os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
 
 QUERIES = [
     "q1_pricing_summary",
@@ -41,6 +44,9 @@ QUERIES = [
     "bpe_token_count",
     "token_rarity_score",
     "train_test_ngram_overlap",
+    "dsir_target_affinity",
+    "duplicate_spans",
+    "semdedup_prune",
 ]
 
 
@@ -54,9 +60,11 @@ def build_scaled(spark, base: str, out: str, k: int) -> None:
     lineitem = load_table(spark, base, "lineitem")
     events = load_table(spark, base, "events")
     documents = load_table(spark, base, "documents")
+    embeddings = load_table(spark, base, "embeddings")
     ok_span = orders.agg(F.max("o_orderkey")).first()[0] + 1
     ev_span = events.agg(F.max("event_id")).first()[0] + 1
     doc_span = documents.agg(F.max("doc_id")).first()[0] + 1
+    vec_span = embeddings.agg(F.max("vec_id")).first()[0] + 1
 
     def rep(df, col, span):
         parts = [
@@ -79,8 +87,14 @@ def build_scaled(spark, base: str, out: str, k: int) -> None:
     rep(documents, "doc_id", doc_span).write.mode("overwrite").parquet(
         f"{out}/documents.parquet"
     )
+    # labels (cluster ids) are deliberately NOT remapped: clusters grow
+    # K-fold, which is exactly the stress semdedup's per-cluster
+    # quadratic term should see
+    rep(embeddings, "vec_id", vec_span).write.mode("overwrite").parquet(
+        f"{out}/embeddings.parquet"
+    )
     for t in TABLES:
-        if t in ("orders", "lineitem", "events", "documents"):
+        if t in ("orders", "lineitem", "events", "documents", "embeddings"):
             continue
         load_table(spark, base, t).write.mode("overwrite").parquet(
             f"{out}/{t}.parquet"
