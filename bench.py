@@ -71,6 +71,7 @@ HEADLINE = [
     "duplicate_spans",
     "semdedup_prune",
     "crawl_frontier_schedule",
+    "dedup_ensemble_audit",
 ]
 
 

@@ -319,3 +319,49 @@ def crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             "scheduled_offset_s"
         ),
     )
+
+
+@register(
+    "lang_temperature_weights",
+    ops=("OP-AGG-01", "OP-AGG-02"),
+    oracle=f"""
+        WITH per AS (
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY lang
+        ), tot AS (
+            SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per
+        )
+        SELECT p.lang, p.n_docs, p.n_tokens,
+               ROUND(p.n_tokens * 1.0 / t.total_tokens, 6) AS token_share,
+               ROUND(sqrt(p.n_tokens * 1.0 / t.total_tokens), 6)
+                   AS tempered_share
+        FROM per p CROSS JOIN tot t
+    """,
+)
+def lang_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling (the multilingual-pretraining
+    standard: sample language l with probability proportional to
+    p_l^alpha, alpha < 1, so low-resource languages are upsampled —
+    XLM/XLM-R, arXiv:1911.02116 §3). alpha is pinned at 0.5 because
+    p^0.5 = sqrt(p) is a SINGLE IEEE-deterministic operation — a general
+    pow() is not bit-stable across engines (the token_rarity_score
+    ln() rationale). ``tempered_share`` is the unnormalized weight;
+    consumers renormalize by the sum (kept out of the query so every
+    float column stays one-rounded-op-deep). Same one-aggregate +
+    broadcast-totals shape as domain_mix_weights."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(T.tokens("text")).cast("bigint")).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("total_tokens"))
+    share = F.col("n_tokens") * F.lit(1.0) / F.col("total_tokens")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(F.sqrt(share), 6).alias("tempered_share"),
+    )

@@ -160,3 +160,70 @@ def test_semdedup_prunes_later_near_dup_in_cluster(spark, tmp_path):
     ).parquet(f"{tmp_path}/embeddings.parquet")
     kept = sorted(r.vec_id for r in semdedup_prune(spark, str(tmp_path)).collect())
     assert kept == [1, 3, 4]
+
+
+# ---------------------------------------------------------------------------
+# Property test: duplicate_spans agrees with a pure-Python reference
+# ---------------------------------------------------------------------------
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _ref_spans(texts: dict[int, str]) -> set[tuple[int, int, int, int]]:
+    toks = {d: re.findall(r"[a-z]+", t.lower()) for d, t in texts.items()}
+    owners: dict[str, set[int]] = {}
+    pos: dict[int, list[tuple[int, str]]] = {}
+    for d, ts in toks.items():
+        pos[d] = []
+        for i in range(len(ts) - 4):
+            s = " ".join(ts[i : i + 5])
+            owners.setdefault(s, set()).add(d)
+            pos[d].append((i + 1, s))
+    dup = {s for s, ds in owners.items() if len(ds) > 1}
+    out: set[tuple[int, int, int, int]] = set()
+    for d, ps in pos.items():
+        run: list[int] = []
+        for p, s in ps:
+            if s in dup:
+                if run and p == run[-1] + 1:
+                    run.append(p)
+                else:
+                    if run:
+                        out.add((d, run[0], run[-1] + 4, len(run)))
+                    run = [p]
+            else:
+                if run:
+                    out.add((d, run[0], run[-1] + 4, len(run)))
+                run = []
+        if run:
+            out.add((d, run[0], run[-1] + 4, len(run)))
+    return out
+
+
+_word = st.sampled_from(["aa", "bb", "cc"])
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(_word, min_size=0, max_size=14).map(" ".join),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_duplicate_spans_matches_reference(spark, tmp_path, docs):
+    texts = dict(enumerate(docs))
+    sf = _write_docs(
+        spark, tmp_path, [(i, t, "en", "s0") for i, t in texts.items()]
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_shingles)
+        for r in duplicate_spans(spark, sf).collect()
+    }
+    assert got == _ref_spans(texts)
