@@ -365,3 +365,108 @@ def lang_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 6).alias("token_share"),
         F.round(F.sqrt(share), 6).alias("tempered_share"),
     )
+
+
+@register(
+    "span_dedup_stats",
+    ops=("OP-X-DEDUP-02", "OP-AGG-01"),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CAST(unnest(generate_series(1, len(toks) - {_SPAN_K - 1}))
+                        AS BIGINT) AS pos,
+                   toks
+            FROM t WHERE len(toks) >= {_SPAN_K}
+        ), s2 AS (
+            SELECT doc_id, pos,
+                   array_to_string(toks[pos:pos + {_SPAN_K - 1}], ' ')
+                       AS shingle
+            FROM sh
+        ), dup AS (
+            SELECT shingle FROM s2
+            GROUP BY shingle HAVING COUNT(DISTINCT doc_id) > 1
+        ), hits AS (
+            SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM s2 SEMI JOIN dup USING (shingle)
+        ), spans AS (
+            SELECT doc_id,
+                   MIN(pos) AS span_start,
+                   MAX(pos) + {_SPAN_K - 1} AS span_end
+            FROM hits GROUP BY doc_id, grp
+        ), clipped AS (
+            SELECT doc_id,
+                   GREATEST(0, span_end - GREATEST(span_start,
+                       COALESCE(MAX(span_end) OVER (
+                           PARTITION BY doc_id ORDER BY span_start
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) + 1) + 1)
+                       AS covered
+            FROM spans
+        ), per_doc AS (
+            SELECT doc_id, CAST(SUM(covered) AS BIGINT) AS n_dup_tokens
+            FROM clipped GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               COALESCE(p.n_dup_tokens, 0) AS n_dup_tokens,
+               CAST(len(t.toks) AS BIGINT) - COALESCE(p.n_dup_tokens, 0)
+                   AS kept_tokens,
+               ROUND(COALESCE(p.n_dup_tokens, 0) * 1.0
+                     / NULLIF(len(t.toks), 0), 4) AS dup_frac
+        FROM t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+    """,
+)
+def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting for span-cutting (the consumer side of
+    ``duplicate_spans``): per document, how many tokens sit inside SOME
+    duplicated span — the exact volume Lee et al.'s dedup removes —
+    against the doc's total. Spans from the same doc can OVERLAP in
+    token range (runs are maximal in position space, not token space),
+    so coverage is an interval union: each span is clipped at the
+    running max of preceding span ends (one window over the tiny span
+    set, keyed by doc). Every doc gets a row (zeros when clean), so the
+    output drives both the cut itself and corpus-level dup-rate
+    dashboards. Adds one doc-keyed window + one left join over the
+    duplicate_spans plan; all costs stay document-keyed."""
+    spans = duplicate_spans(spark, sf_dir)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("span_start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    clipped = spans.select(
+        "doc_id",
+        F.greatest(
+            F.lit(0),
+            F.col("span_end")
+            - F.greatest(
+                F.col("span_start"),
+                F.coalesce(F.max("span_end").over(w), F.lit(0)) + F.lit(1),
+            )
+            + F.lit(1),
+        ).alias("covered"),
+    )
+    per_doc = clipped.groupBy("doc_id").agg(
+        F.sum("covered").alias("n_dup_tokens")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(T.tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    return docs.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
+        (F.col("n_tokens") - F.coalesce("n_dup_tokens", F.lit(0))).alias(
+            "kept_tokens"
+        ),
+        F.round(
+            F.coalesce("n_dup_tokens", F.lit(0))
+            * F.lit(1.0)
+            / F.nullif(F.col("n_tokens"), F.lit(0)),
+            4,
+        ).alias("dup_frac"),
+    )

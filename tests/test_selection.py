@@ -227,3 +227,18 @@ def test_duplicate_spans_matches_reference(spark, tmp_path, docs):
         for r in duplicate_spans(spark, sf).collect()
     }
     assert got == _ref_spans(texts)
+
+
+def test_span_dedup_stats_overlapping_spans_counted_once(spark, tmp_path):
+    from crawlingbigdatavisionaid_spark.plans.selection import span_dedup_stats
+
+    # doc 1 gets two spans overlapping in token range: positions 1 and 3
+    # are dup shingles but position 2 is not -> spans [1,5] and [3,7];
+    # the union covers tokens 1..7, so n_dup_tokens must be 7, not 10.
+    a = "aa bb cc dd ee ff gg hh ii"
+    b = "aa bb cc dd ee qq cc dd ee ff gg"
+    sf = _write_docs(spark, tmp_path, [(1, a, "en", "s0"), (2, b, "en", "s0")])
+    got = {r.doc_id: r for r in span_dedup_stats(spark, sf).collect()}
+    assert got[1].n_tokens == 9
+    assert got[1].n_dup_tokens == 7
+    assert got[1].kept_tokens == 2
