@@ -433,10 +433,17 @@ def semdedup_keep(
             dropped[s:e] = mask.any(axis=1)
         return pdf.loc[~dropped, [id_col, label_col]]
 
+    # output schema mirrors the INPUT column types (a bigint cluster id
+    # must not be squeezed into a declared int)
+    from pyspark.sql.types import StructType
+
+    schema = StructType(
+        [emb.schema[id_col], emb.schema[label_col]]
+    )
     return (
         emb.select(id_col, vec_col, label_col)
         .groupBy(label_col)
-        .applyInPandas(prune, f"{id_col} long, {label_col} int")
+        .applyInPandas(prune, schema)
     )
 
 
@@ -476,8 +483,14 @@ def semdedup_pairs(
             }
         )
 
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = emb.schema[id_col].dataType  # pair ids mirror the input id type
+    schema = StructType(
+        [StructField("vec_a", id_type), StructField("vec_b", id_type)]
+    )
     return (
         emb.select(id_col, vec_col, label_col)
         .groupBy(label_col)
-        .applyInPandas(pairs, "vec_a long, vec_b long")
+        .applyInPandas(pairs, schema)
     )

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import neardup as ND
 from ..sources import load_table
+from ._sql import SQL_COS as _SQL_COS
 from .registry import register
 
 _SQL_SHINGLES = """
@@ -346,48 +347,24 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_ENSEMBLE_COS = """
-    list_inner_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))
-    / (sqrt(list_inner_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))
-       * sqrt(list_inner_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))
-"""
-
-
 @register(
     "dedup_ensemble_audit",
     ops=("OP-X-DEDUP-02", "OP-X-SIM-01"),
-    oracle=f"""
-        WITH t AS (
-            SELECT doc_id, {_SQL_SHINGLES} AS sh
-            FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
-                  FROM documents)
-        ), nz AS (
-            SELECT doc_id, sh FROM t WHERE len(sh) > 0
-        ), e AS (
-            SELECT doc_id, unnest(sh) AS s FROM nz
-        ), jp AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-            FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ), sizes AS (
-            SELECT doc_id, len(sh) AS n_sh FROM nz
-        ), text_pairs AS (
-            SELECT p.doc_a, p.doc_b
-            FROM jp p
-            JOIN sizes sa ON p.doc_a = sa.doc_id
-            JOIN sizes sb ON p.doc_b = sb.doc_id
-            WHERE 10 * p.inter >= 8 * (sa.n_sh + sb.n_sh - p.inter)
-        ), emb_pairs AS (
+    # reuses the shared jaccard chain (its final CTE is ``dup_pairs``)
+    # and the shared cosine fragment — no drift-prone copies
+    oracle=_SQL_JACCARD_PAIRS
+    + f"""
+        , emb_pairs AS (
             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
             FROM embeddings a
             JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE {_SQL_ENSEMBLE_COS.format(a="a.embedding", b="b.embedding")}
+            WHERE {_SQL_COS.format(a="a.embedding", b="b.embedding")}
                   >= 0.38
         )
         SELECT
-            (SELECT COUNT(*) FROM text_pairs) AS n_text_pairs,
+            (SELECT COUNT(*) FROM dup_pairs) AS n_text_pairs,
             (SELECT COUNT(*) FROM emb_pairs) AS n_emb_pairs,
-            (SELECT COUNT(*) FROM text_pairs t
+            (SELECT COUNT(*) FROM dup_pairs t
              JOIN emb_pairs v ON t.doc_a = v.doc_a AND t.doc_b = v.doc_b)
                 AS n_both
     """,
@@ -409,11 +386,18 @@ def dedup_ensemble_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    text_pairs = ND.jaccard_pairs(docs, threshold_tenths=8, n=3).select(
-        F.col("doc_a"), F.col("doc_b")
+    # each pair set feeds TWO branches (its count and the n_both join) —
+    # materialize once (the dedup-family localCheckpoint pattern) so the
+    # inverted-index self-join and the BLAS gram don't execute twice
+    text_pairs = (
+        ND.jaccard_pairs(docs, threshold_tenths=8, n=3)
+        .select(F.col("doc_a"), F.col("doc_b"))
+        .localCheckpoint(eager=False)
     )
-    emb_pairs = semdedup_pairs(emb, 0.38).select(
-        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    emb_pairs = (
+        semdedup_pairs(emb, 0.38)
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+        .localCheckpoint(eager=False)
     )
     n_text = text_pairs.agg(F.count(F.lit(1)).alias("n_text_pairs"))
     n_emb = emb_pairs.agg(F.count(F.lit(1)).alias("n_emb_pairs"))

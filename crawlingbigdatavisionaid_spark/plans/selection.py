@@ -35,12 +35,7 @@ from .registry import register
 
 _SQL_TOKENS = f"regexp_extract_all(lower(text), '{T.TOKEN_PATTERN}')"
 
-# Shared SQL cosine (DuckDB twin of functions/vectors.py cosine).
-_SQL_COS = """
-    list_inner_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))
-    / (sqrt(list_inner_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))
-       * sqrt(list_inner_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))
-"""
+from ._sql import SQL_COS as _SQL_COS  # shared oracle cosine fragment
 
 
 @register(
@@ -74,9 +69,14 @@ def dsir_target_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact linear ratio — sum of per-token target counts over sum
     of per-token corpus counts — because cross-engine ``ln()`` is not
     bit-stable (the token_rarity_score rationale). Plan shape: one
-    tokenize+explode, a vocab-sized aggregate broadcast back onto the
-    token stream (Zipf-hot tokens never shuffle), one per-doc hash
-    aggregate. Selection = ORDER BY target_affinity DESC LIMIT budget."""
+    tokenize+explode, a vocab-sized aggregate joined back onto the
+    token stream, one per-doc hash aggregate. The vocab side carries NO
+    broadcast hint: a hint would bypass the size threshold and fail
+    outright at web scale where the distinct-token table is GBs — AQE
+    converts the join to broadcast at runtime when the vocab actually
+    fits (it does at every test sf), and degrades to a shuffle join
+    with skew handling when it doesn't. Selection = ORDER BY
+    target_affinity DESC LIMIT budget."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "lang", F.explode(T.tokens("text")).alias("w")
@@ -86,7 +86,7 @@ def dsir_target_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("cnt_tgt"),
     )
     return (
-        tok.join(F.broadcast(vocab), "w")
+        tok.join(vocab, "w")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -156,11 +156,12 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPAN_K = 5  # shingle width (tokens); spans are maximal runs of dup shingles
 
-
-@register(
-    "duplicate_spans",
-    ops=("OP-X-DEDUP-02",),
-    oracle=f"""
+# Shared oracle CTE chain for the span family: tokenization → positional
+# shingles → corpus dup set → islands run-merge. Ends with ``spans``
+# (doc_id, span_start, span_end, n_shingles); ``t`` (doc_id, toks) is
+# also visible to downstream consumers. ONE definition so
+# duplicate_spans and span_dedup_stats can never drift apart.
+_SQL_SPAN_CTES = f"""
         WITH t AS (
             SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
         ), sh AS (
@@ -182,12 +183,22 @@ _SPAN_K = 5  # shingle width (tokens); spans are maximal runs of dup shingles
                    pos - ROW_NUMBER() OVER (PARTITION BY doc_id
                                             ORDER BY pos) AS grp
             FROM s2 SEMI JOIN dup USING (shingle)
+        ), spans AS (
+            SELECT doc_id,
+                   MIN(pos) AS span_start,
+                   MAX(pos) + {_SPAN_K - 1} AS span_end,
+                   COUNT(*) AS n_shingles
+            FROM hits GROUP BY doc_id, grp
         )
-        SELECT doc_id,
-               MIN(pos) AS span_start,
-               MAX(pos) + {_SPAN_K - 1} AS span_end,
-               COUNT(*) AS n_shingles
-        FROM hits GROUP BY doc_id, grp
+"""
+
+
+@register(
+    "duplicate_spans",
+    ops=("OP-X-DEDUP-02",),
+    oracle=_SQL_SPAN_CTES
+    + """
+        SELECT doc_id, span_start, span_end, n_shingles FROM spans
     """,
 )
 def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -370,34 +381,9 @@ def lang_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "span_dedup_stats",
     ops=("OP-X-DEDUP-02", "OP-AGG-01"),
-    oracle=f"""
-        WITH t AS (
-            SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
-        ), sh AS (
-            SELECT doc_id,
-                   CAST(unnest(generate_series(1, len(toks) - {_SPAN_K - 1}))
-                        AS BIGINT) AS pos,
-                   toks
-            FROM t WHERE len(toks) >= {_SPAN_K}
-        ), s2 AS (
-            SELECT doc_id, pos,
-                   array_to_string(toks[pos:pos + {_SPAN_K - 1}], ' ')
-                       AS shingle
-            FROM sh
-        ), dup AS (
-            SELECT shingle FROM s2
-            GROUP BY shingle HAVING COUNT(DISTINCT doc_id) > 1
-        ), hits AS (
-            SELECT doc_id, pos,
-                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id
-                                            ORDER BY pos) AS grp
-            FROM s2 SEMI JOIN dup USING (shingle)
-        ), spans AS (
-            SELECT doc_id,
-                   MIN(pos) AS span_start,
-                   MAX(pos) + {_SPAN_K - 1} AS span_end
-            FROM hits GROUP BY doc_id, grp
-        ), clipped AS (
+    oracle=_SQL_SPAN_CTES
+    + """
+        , clipped AS (
             SELECT doc_id,
                    GREATEST(0, span_end - GREATEST(span_start,
                        COALESCE(MAX(span_end) OVER (

@@ -15,11 +15,7 @@ from ..operators import similarity as S
 from ..sources import load_table
 from .registry import register
 
-_SQL_COS = """
-    list_inner_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))
-    / (sqrt(list_inner_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))
-       * sqrt(list_inner_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))
-"""
+from ._sql import SQL_COS as _SQL_COS
 
 
 @register(

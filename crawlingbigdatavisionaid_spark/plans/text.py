@@ -152,9 +152,11 @@ def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     are mostly corpus-rare (OCR noise, gibberish, boilerplate-stripped
     fragments) scores a LOW mean corpus frequency, while fluent text
     rides the Zipf head. Two aggregations over one tokenization: the
-    corpus unigram table (vocab-sized — broadcast, so the Zipf-skewed
-    'the'-bucket never shuffles the token stream) joined back to the
-    exploded tokens. Outputs are integer digests plus ONE rounded
+    corpus unigram table joined back to the exploded tokens — with NO
+    broadcast hint, since a hint would hard-fail at web scale where the
+    distinct-token table is GBs; AQE broadcasts it at runtime whenever
+    it actually fits (every test sf) and otherwise falls back to a
+    shuffle join with skew handling. Outputs are integer digests plus ONE rounded
     division (the source_distribution determinism pattern), so the hash
     compare never sees an engine-divergent float. A true log-perplexity
     variant would need cross-engine-identical transcendentals — ln()
@@ -164,7 +166,7 @@ def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("w"))
     freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
     return (
-        tok.join(F.broadcast(freq), "w")
+        tok.join(freq, "w")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

@@ -42,7 +42,7 @@ def get_spark(app_name: str = "crawlingbigdatavisionaid-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    if os.environ.get("SPARK_GRAFT_PRETOUCH"):
+    if os.environ.get("SPARK_GRAFT_PRETOUCH", "") not in ("", "0"):
         # Preallocate + pre-touch the whole heap at JVM start: measured
         # 10x-replica joins spent 30-50s of KERNEL time (page-zeroing
         # during heap growth) on their first executions with a growable
