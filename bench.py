@@ -72,6 +72,8 @@ HEADLINE = [
     "semdedup_prune",
     "crawl_frontier_schedule",
     "dedup_ensemble_audit",
+    "span_dedup_stats",
+    "lang_temperature_weights",
 ]
 
 
