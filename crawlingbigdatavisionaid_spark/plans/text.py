@@ -945,3 +945,56 @@ def boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("s").alias("phrase"), "doc_freq")
     )
+
+
+@register(
+    "bpe_top_merges",
+    ops=("OP-TXT-01", "OP-TXT-02", "OP-TOPK-01"),
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest({_SQL_TOKENS}) AS w FROM documents
+        ), pairs AS (
+            SELECT unnest(list_transform(
+                       generate_series(1, length(w) - 1),
+                       i -> substring(w, i, 1) || ' ' || substring(w, i + 1, 1)
+                   )) AS pair
+            FROM tok WHERE length(w) >= 2
+        )
+        SELECT pair, COUNT(*) AS cnt
+        FROM pairs
+        GROUP BY pair
+        ORDER BY cnt DESC, pair ASC
+        LIMIT 20
+    """,
+)
+def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting step of BPE tokenizer TRAINING (Sennrich et al.
+    2016, arXiv:1508.07909): the most frequent adjacent-symbol pairs
+    across all token occurrences — each top pair is the next merge rule
+    a BPE trainer would emit. Counting runs over token INSTANCES, which
+    is exactly the word-frequency weighting the algorithm specifies
+    (no separate vocab pass needed). Plan: tokenize → per-token
+    adjacent-char pairs via one ``transform(sequence)`` (no self-join,
+    no UDF) → explode → hash aggregate (map-side combine soaks the
+    Zipf-hot 'e r'-style pairs) → TakeOrderedAndProject top-20 with a
+    total (cnt desc, pair asc) order. The full trainer is this query
+    iterated with the winning merge applied — each round the same scan
+    shape over the re-segmented corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(T.tokens("text")).alias("w")).where(
+        F.length("w") >= 2
+    )
+    pairs = tok.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> concat(substring(w, i, 1), ' ', substring(w, i + 1, 1)))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(20)
+    )
