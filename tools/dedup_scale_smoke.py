@@ -98,6 +98,19 @@ def main() -> None:
         run("jaccard_pairs", lambda: ND.jaccard_pairs(sdocs).count())
         run("minhash_pairs", lambda: ND.minhash_pairs(sdocs).count())
         run("simhash_pairs", lambda: ND.simhash_pairs(sdocs).count())
+
+        # the iterative step downstream of the pair list: connected
+        # components over the Kx jaccard graph — rounds should stay flat
+        # (clique graphs converge in 1 productive + 1 confirming round)
+        # while per-round cost scales with the edge list
+        def _cc() -> int:
+            from crawlingbigdatavisionaid_spark.operators.components import (
+                connected_components,
+            )
+
+            return connected_components(ND.jaccard_pairs(sdocs)).count()
+
+        run("connected_components", _cc)
         queries = semb.where(F.col("vec_id") < 100)
         # the checkpoint must be constructed INSIDE the timed lambda:
         # pyspark 4.1 localCheckpoint materializes at construction even
