@@ -242,3 +242,63 @@ def test_span_dedup_stats_overlapping_spans_counted_once(spark, tmp_path):
     assert got[1].n_tokens == 9
     assert got[1].n_dup_tokens == 7
     assert got[1].kept_tokens == 2
+
+
+# ---------------------------------------------------------------------------
+# Property test: blockwise semdedup_keep agrees with a brute-force reference
+# ---------------------------------------------------------------------------
+import math
+
+
+def _ref_semdedup_keep(rows, tau):
+    """rows: list of (vec_id, vec(list), label) — keep id unless an
+    earlier id in the same label has cosine >= tau."""
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return dot / (na * nb)
+
+    kept = []
+    for vid, v, lab in sorted(rows):
+        dropped = any(
+            b_lab == lab and b_id < vid and cos(v, b_v) >= tau
+            for b_id, b_v, b_lab in rows
+        )
+        if not dropped:
+            kept.append(vid)
+    return sorted(kept)
+
+
+_vec = st.lists(
+    st.floats(-1.0, 1.0, allow_nan=False, width=32), min_size=4, max_size=4
+).filter(lambda v: any(abs(x) > 1e-3 for x in v))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(st.tuples(_vec, st.integers(0, 1)), min_size=1, max_size=12)
+)
+def test_semdedup_keep_matches_bruteforce(spark, tmp_path, vecs):
+    from crawlingbigdatavisionaid_spark.operators.similarity import semdedup_keep
+
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in v], label=lab)
+        for i, (v, lab) in enumerate(vecs)
+    ]
+    df = spark.createDataFrame(rows, _EMB_SCHEMA)
+    # small block size forces the slab loop to take multiple iterations
+    got = sorted(
+        r.vec_id for r in semdedup_keep(df, 0.9, block=3).collect()
+    )
+    # float32 storage: compute the reference on the STORED values
+    stored = [
+        (r.vec_id, [float(x) for x in r.embedding], r.label)
+        for r in df.collect()
+    ]
+    assert got == _ref_semdedup_keep(stored, 0.9)
