@@ -211,3 +211,32 @@ def stream_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_byte_sum"),
     )
     return SP._run_to_memory(agg, "complete")
+
+
+from ..functions import text as _T
+
+@register(
+    "stream_quality_filter",
+    ops=("OP-STR-01", "OP-X-TXT-04", "OP-FLT-03"),
+    oracle=f"""
+        WITH t AS (
+            SELECT source,
+                   len(regexp_extract_all(lower(text), '[a-z]+')) AS n_tok,
+                   len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                                   w -> w IN ({_T.sql_stopword_list()})))
+                       AS n_sw
+            FROM documents
+        )
+        SELECT source,
+               COUNT(*) AS kept_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS kept_tokens
+        FROM t
+        WHERE n_tok >= 5 AND 2 * n_sw <= n_tok
+        GROUP BY source
+    """,
+)
+def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selection layer's quality gates running INSIDE Structured
+    Streaming (stateless per-micro-batch filter, availableNow drain) —
+    must equal the batch filter exactly."""
+    return SP.quality_filter_stream(spark, sf_dir)

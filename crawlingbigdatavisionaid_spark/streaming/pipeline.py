@@ -273,3 +273,31 @@ def neardup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.groupBy("band").agg(
         F.count(F.lit(1)).alias("distinct_buckets")
     )
+
+
+def quality_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filtering ON THE INGEST PATH: the selection layer's
+    stopword/length gates applied inside Structured Streaming, so
+    low-quality documents never reach the silver table at all (the
+    shape a 100 TB crawl actually wants — filter at ingest, not in a
+    nightly sweep). Stateless map+filter per micro-batch (no state
+    store), then a per-source aggregate over the drained sink. All
+    predicates are integer comparisons (2*stopwords <= tokens,
+    tokens >= 5) — deterministic regardless of micro-batch slicing."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    toks = T.tokens("text")
+    n = F.size(toks)
+    sw = F.size(F.filter(toks, lambda x: x.isin(*T.STOPWORDS)))
+    kept = raw.select(
+        "source", n.alias("n_tok"), sw.alias("n_sw")
+    ).where((F.col("n_tok") >= 5) & (2 * F.col("n_sw") <= F.col("n_tok")))
+    sink = _run_to_memory(kept, "append")
+    return sink.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum(F.col("n_tok").cast("bigint")).alias("kept_tokens"),
+    )
