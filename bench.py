@@ -74,6 +74,7 @@ HEADLINE = [
     "dedup_ensemble_audit",
     "span_dedup_stats",
     "lang_temperature_weights",
+    "bpe_top_merges",
 ]
 
 

@@ -302,3 +302,15 @@ def test_semdedup_keep_matches_bruteforce(spark, tmp_path, vecs):
         for r in df.collect()
     ]
     assert got == _ref_semdedup_keep(stored, 0.9)
+
+
+def test_bpe_top_merges_counts_weighted_by_occurrence(spark, tmp_path):
+    from crawlingbigdatavisionaid_spark.plans.text import bpe_top_merges
+
+    # "abab" contributes pairs (a b), (b a), (a b); two occurrences of
+    # the word double the counts; "cd" adds one (c d).
+    sf = _write_docs(
+        spark, tmp_path, [(1, "abab abab", "en", "s0"), (2, "cd", "en", "s0")]
+    )
+    got = {r.pair: r.cnt for r in bpe_top_merges(spark, sf).collect()}
+    assert got == {"a b": 4, "b a": 2, "c d": 1}
