@@ -75,6 +75,7 @@ HEADLINE = [
     "span_dedup_stats",
     "lang_temperature_weights",
     "bpe_top_merges",
+    "incremental_ingest_dedup",
 ]
 
 

@@ -383,3 +383,79 @@ def simhash_pairs(docs: DataFrame, bits: int = 48, maxd: int = 3) -> DataFrame:
         .where(F.col("hamming") <= maxd)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def jaccard_pairs_incremental(
+    batch: DataFrame,
+    base: DataFrame,
+    threshold_tenths: int = 8,
+    n: int = 3,
+    df_max: int | float | None = 0.03,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs of a NEW BATCH against an existing
+    corpus — the continuous-ingest shape: a daily crawl delta is
+    near-dup-checked against the historical index without ever
+    re-pairing the corpus with itself. doc_ids must be disjoint across
+    the two inputs.
+
+    Returns (doc_new, doc_base, inter, union_size), integers only.
+
+    Cost shape: the join probes |batch| shingles against the corpus
+    index — O(batch x avg-bucket) instead of the self-join's
+    O(corpus x avg-bucket); the corpus side is exactly the inverted
+    index a production system keeps materialized between runs. The
+    df cap (same corpus-relative semantics as :func:`jaccard_pairs`)
+    is computed over the COMBINED universe and applied to BOTH sides,
+    so inter/union/threshold stay mutually consistent."""
+    inv_new = shingle_rows(batch, n).localCheckpoint(eager=False)
+    inv_old = shingle_rows(base, n).localCheckpoint(eager=False)
+    both = inv_new.unionByName(inv_old)
+    if df_max is not None:
+        n_docs, max_df = (
+            both.agg(F.countDistinct("doc_id").alias("n_docs"))
+            .crossJoin(
+                both.groupBy("s")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .agg(F.max("df").alias("max_df"))
+            )
+            .collect()[0]
+        )
+        max_df = max_df or 0
+        if isinstance(df_max, float):
+            import math
+
+            df_max = max(DF_MAX_DEFAULT, math.ceil(df_max * n_docs))
+        if max_df > df_max:
+            hot = (
+                both.groupBy("s")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .where(F.col("df") > df_max)
+                .select("s")
+            )
+            inv_new = inv_new.join(
+                F.broadcast(hot), "s", "left_anti"
+            ).localCheckpoint(eager=False)
+            inv_old = inv_old.join(
+                F.broadcast(hot), "s", "left_anti"
+            ).localCheckpoint(eager=False)
+    sizes_new = inv_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
+    sizes_old = inv_old.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
+    a = inv_new.select(F.col("doc_id").alias("doc_new"), "s")
+    b = inv_old.select(F.col("doc_id").alias("doc_base"), "s")
+    pairs = (
+        a.join(b, "s")
+        .groupBy("doc_new", "doc_base")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.join(
+            sizes_new.select(F.col("doc_id").alias("doc_new"), "na"), "doc_new"
+        )
+        .join(
+            sizes_old.select(F.col("doc_id").alias("doc_base"), "nb"),
+            "doc_base",
+        )
+        .withColumn("union_size", F.col("na") + F.col("nb") - F.col("inter"))
+        .where(10 * F.col("inter") >= threshold_tenths * F.col("union_size"))
+        .select("doc_new", "doc_base", "inter", "union_size")
+    )

@@ -405,3 +405,55 @@ def dedup_ensemble_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_both")
     )
     return n_text.crossJoin(F.broadcast(n_emb)).crossJoin(F.broadcast(n_both))
+
+
+@register(
+    "incremental_ingest_dedup",
+    ops=("OP-X-DEDUP-02", "OP-DEDUP-01"),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_SQL_SHINGLES} AS sh
+            FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+                  FROM documents)
+        ), nz AS (
+            SELECT doc_id, sh FROM t WHERE len(sh) > 0
+        ), e AS (
+            SELECT doc_id, unnest(sh) AS s FROM nz
+        ), en AS (
+            SELECT doc_id, s FROM e WHERE doc_id % 10 = 9
+        ), eo AS (
+            SELECT doc_id, s FROM e WHERE doc_id % 10 <> 9
+        ), prs AS (
+            SELECT a.doc_id AS doc_new, b.doc_id AS doc_base,
+                   COUNT(*) AS inter
+            FROM en a JOIN eo b ON a.s = b.s
+            GROUP BY 1, 2
+        ), sizes AS (
+            SELECT doc_id, len(sh) AS n_sh FROM nz
+        )
+        SELECT p.doc_new, p.doc_base, p.inter,
+               sa.n_sh + sb.n_sh - p.inter AS union_size
+        FROM prs p
+        JOIN sizes sa ON p.doc_new = sa.doc_id
+        JOIN sizes sb ON p.doc_base = sb.doc_id
+        WHERE 10 * p.inter >= 8 * (sa.n_sh + sb.n_sh - p.inter)
+    """,
+)
+def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup check of an ingest DELTA against the historical corpus —
+    the shape a continuously-crawling system actually runs (the
+    reference re-crawls every 6 h; /root/reference/crawl.py:155): the
+    new batch (here the ``doc_id % 10 == 9`` decile, standing in for
+    today's crawl) probes the corpus inverted index without any
+    corpus-with-itself self-join, so per-run cost scales with the DELTA
+    times bucket width, not the archive. Exact-Jaccard semantics are
+    identical to dedup_ngram_jaccard (same df-cap policy over the
+    combined universe)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    decile = F.col("doc_id") % 10
+    return ND.jaccard_pairs_incremental(
+        docs.where(decile == 9), docs.where(decile != 9),
+        threshold_tenths=8, n=3,
+    )
