@@ -459,3 +459,81 @@ def jaccard_pairs_incremental(
         .where(10 * F.col("inter") >= threshold_tenths * F.col("union_size"))
         .select("doc_new", "doc_base", "inter", "union_size")
     )
+
+
+def minhash_pairs_incremental(
+    batch: DataFrame,
+    base: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    threshold_tenths: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """Banded-LSH near-dup candidates of a NEW BATCH against the corpus,
+    exact-verified — the scale path for continuous ingest: the corpus
+    keeps its (doc, band, bucket) index materialized between runs, the
+    delta computes signatures only for itself, and the candidate join is
+    bucket-equality (batch buckets x corpus buckets), never a corpus
+    self-join. Same banding/verification semantics as
+    :func:`minhash_pairs`; doc_ids must be disjoint.
+
+    Returns (doc_new, doc_base, inter, union_size)."""
+    rows = k // bands
+
+    def _buckets(docs: DataFrame, inv: DataFrame) -> DataFrame:
+        sigs = minhash_signatures(docs, k, n, inv=inv)
+        band_cols = [
+            F.xxhash64(
+                *[F.col(f"h{b * rows + r}") for r in range(rows)]
+            ).alias(f"band{b}")
+            for b in range(bands)
+        ]
+        banded = sigs.select("doc_id", *band_cols)
+        return (
+            banded.select(
+                "doc_id",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(b).alias("b"),
+                                F.col(f"band{b}").alias("h"),
+                            )
+                            for b in range(bands)
+                        ]
+                    )
+                ).alias("bk"),
+            )
+            .select("doc_id", "bk.b", "bk.h")
+            .localCheckpoint(eager=False)
+        )
+
+    inv_new = shingle_rows(batch, n).localCheckpoint(eager=False)
+    inv_old = shingle_rows(base, n).localCheckpoint(eager=False)
+    bk_new = _buckets(batch, inv_new).select(
+        F.col("doc_id").alias("doc_new"), "b", "h"
+    )
+    bk_old = _buckets(base, inv_old).select(
+        F.col("doc_id").alias("doc_base"), "b", "h"
+    )
+    cand = (
+        bk_new.join(bk_old, ["b", "h"])
+        .select("doc_new", "doc_base")
+        .distinct()
+    )
+    sh_new = _with_shingles(batch, n, inv=inv_new).select(
+        F.col("doc_id").alias("doc_new"), F.col("sh").alias("sh_a")
+    )
+    sh_old = _with_shingles(base, n, inv=inv_old).select(
+        F.col("doc_id").alias("doc_base"), F.col("sh").alias("sh_b")
+    )
+    return (
+        cand.join(sh_new, "doc_new")
+        .join(sh_old, "doc_base")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "union_size", F.size("sh_a") + F.size("sh_b") - F.col("inter")
+        )
+        .where(10 * F.col("inter") >= threshold_tenths * F.col("union_size"))
+        .select("doc_new", "doc_base", "inter", "union_size")
+    )

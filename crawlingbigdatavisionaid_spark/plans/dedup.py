@@ -457,3 +457,41 @@ def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(decile == 9), docs.where(decile != 9),
         threshold_tenths=8, n=3,
     )
+
+
+@register(
+    "incremental_minhash_recall",
+    ops=("OP-X-DEDUP-02", "OP-DEDUP-01"),
+    # the LSH candidate set is hash-defined (no SQL twin); quality is
+    # oracle-checked the dedup_minhash_recall way — precision is exactly
+    # 1 (candidates are exact-verified) and banding recall vs the exact
+    # incremental pair set measures 1.0 at sf0.001/sf0.01, pinned >= 0.8
+    oracle="SELECT TRUE AS precision_ok, TRUE AS recall_ok",
+)
+def incremental_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verdict for the LSH form of delta-vs-corpus dedup: the bucket
+    join (batch signatures probing the corpus's materialized band
+    index — the shape that scales past the exact index probe) must
+    exact-match precision 1 and recover >= 0.8 of the exact incremental
+    pair set."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    decile = F.col("doc_id") % 10
+    batch, base = docs.where(decile == 9), docs.where(decile != 9)
+    exact = ND.jaccard_pairs_incremental(
+        batch, base, threshold_tenths=8, n=3
+    ).select("doc_new", "doc_base")
+    approx = ND.minhash_pairs_incremental(
+        batch, base, k=16, bands=4, threshold_tenths=8, n=3
+    ).select("doc_new", "doc_base")
+    hit = _count1(approx.join(exact, ["doc_new", "doc_base"]), "n_hit")
+    return (
+        _count1(exact, "n_exact")
+        .crossJoin(_count1(approx, "n_approx"))
+        .crossJoin(hit)
+        .select(
+            (F.col("n_hit") == F.col("n_approx")).alias("precision_ok"),
+            (5 * F.col("n_hit") >= 4 * F.col("n_exact")).alias("recall_ok"),
+        )
+    )
