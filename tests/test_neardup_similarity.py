@@ -276,3 +276,39 @@ def test_recall_verdicts_true_at_driver_sf(spark):
     assert row.precision_ok and row.recall_ok, row
     assert q["ann_lsh_recall"](spark, sf).collect()[0].recall_ok
     assert q["ann_ivf_recall"](spark, sf).collect()[0].recall_ok
+
+
+def test_incremental_jaccard_cross_side_only(spark):
+    # batch doc 109 duplicates base doc 1; batch docs 209/309 duplicate
+    # EACH OTHER but no base doc — incremental must report only the
+    # cross-side pair, never batch-batch or base-base pairs.
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    batch_dup = "red orange yellow green blue indigo violet pink brown grey"
+    rows = [
+        (1, dup), (2, other),                 # base (doc_id % 10 != 9)
+        (109, dup), (209, batch_dup), (309, batch_dup),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    decile = F.col("doc_id") % 10
+    got = ND.jaccard_pairs_incremental(
+        docs.where(decile == 9), docs.where(decile != 9),
+        threshold_tenths=8, n=3, df_max=None,
+    ).collect()
+    assert {(r.doc_new, r.doc_base) for r in got} == {(109, 1)}
+
+
+def test_incremental_minhash_matches_incremental_jaccard(spark, docs):
+    decile = F.col("doc_id") % 10
+    batch, base = docs.where(decile == 9), docs.where(decile != 9)
+    exact = {
+        (r.doc_new, r.doc_base)
+        for r in ND.jaccard_pairs_incremental(batch, base).collect()
+    }
+    approx = {
+        (r.doc_new, r.doc_base)
+        for r in ND.minhash_pairs_incremental(batch, base).collect()
+    }
+    assert approx <= exact  # precision 1: candidates are exact-verified
+    if exact:
+        assert len(approx) / len(exact) >= 0.8
