@@ -295,3 +295,39 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(q, F.lit(0).cast("bigint"), lambda a, b: a + b).alias("q_sum"),
         F.size("embedding").cast("bigint").alias("dim"),
     )
+
+
+@register(
+    "ann_filtered_topk",
+    ops=("OP-X-SIM-01", "OP-FLT-01"),
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 10
+        ), scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   {_SQL_COS.format(a="q.qv", b="e.embedding")} AS cos
+            FROM q CROSS JOIN embeddings e
+            WHERE e.label = 2 AND e.vec_id <> q.query_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search (the "where label = 2" top-k every
+    retrieval product needs): the predicate composes BEFORE the
+    similarity scan, so Catalyst pushes it into the parquet read and the
+    BLAS matmuls only ever see the qualifying slice — filter-then-search,
+    never search-then-filter (which would need k' >> k to survive the
+    cut). Same Arrow-batched exact math as ann_brute_force_topk_np; at
+    scale the same predicate composes with the IVF/LSH candidate
+    generators unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    corpus = emb.where(F.col("label") == 2)
+    return S.brute_force_topk_np(corpus, queries, k=10)
