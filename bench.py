@@ -76,6 +76,7 @@ HEADLINE = [
     "lang_temperature_weights",
     "bpe_top_merges",
     "incremental_ingest_dedup",
+    "ann_filtered_topk",
 ]
 
 
