@@ -153,11 +153,14 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # xxhash64-based signature — no DuckDB twin
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequency-weighted 32-bit SimHash pairs within Hamming distance 3;
-    4-band (byte) banding gives exact recall for the distance bound
-    (pigeonhole)."""
+    """Frequency-weighted 48-bit SimHash pairs within Hamming distance 3;
+    4-band (12-bit) banding gives exact recall for the distance bound
+    (pigeonhole). 48 bits matches the operator default — the 100x smoke
+    (SURVEY §6) showed 32 bits degenerates toward all-pairs on
+    homogeneous corpora (67k pairs over 5k docs vs 5k at 48), and pair
+    blowup is exactly the scale failure the banding exists to avoid."""
     docs = load_table(spark, sf_dir, "documents")
-    return ND.simhash_pairs(docs, bits=32, maxd=3)
+    return ND.simhash_pairs(docs, bits=48, maxd=3)
 
 
 _SQL_JACCARD_PAIRS = f"""

@@ -40,7 +40,7 @@ def test_minhash_subset_of_exact_with_high_recall(docs):
 def test_simhash_catches_planted_neardups(docs):
     exact = _pairs(ND.jaccard_pairs(docs, threshold_tenths=9))
     sim = _pairs(
-        ND.simhash_pairs(docs, bits=32, maxd=3).select("doc_a", "doc_b")
+        ND.simhash_pairs(docs, bits=48, maxd=3).select("doc_a", "doc_b")
     )
     if exact:
         hit = len(exact & sim) / len(exact)
@@ -49,7 +49,7 @@ def test_simhash_catches_planted_neardups(docs):
 
 def test_simhash_banding_equals_naive_hamming(docs):
     """Banding must not lose pairs within the distance bound (pigeonhole)."""
-    sigs = ND.simhash(docs.limit(100), bits=32).collect()
+    sigs = ND.simhash(docs.limit(100), bits=48).collect()
     naive = set()
     for i, a in enumerate(sigs):
         for b in sigs[i + 1 :]:
@@ -57,7 +57,7 @@ def test_simhash_banding_equals_naive_hamming(docs):
             if bin(a.simhash ^ b.simhash).count("1") <= 3:
                 naive.add((x, y))
     banded = _pairs(
-        ND.simhash_pairs(docs.limit(100), bits=32, maxd=3).select("doc_a", "doc_b")
+        ND.simhash_pairs(docs.limit(100), bits=48, maxd=3).select("doc_a", "doc_b")
     )
     assert banded == naive
 
