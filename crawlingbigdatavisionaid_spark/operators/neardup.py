@@ -183,7 +183,12 @@ def _pair_counts(inv: DataFrame) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    return pairs.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    # sizes is one row per DOCUMENT — it grows with the corpus, so no
+    # static broadcast hint (billions of rows at 100 TB would hard-fail
+    # the broadcast ceiling); AQE converts these joins to broadcast at
+    # runtime at every test sf, and at web scale they degrade to
+    # shuffles co-partitioned with the (far larger) pair table.
+    return pairs.join(sa, "doc_a").join(sb, "doc_b")
 
 
 def containment_pairs(

@@ -52,7 +52,9 @@ def revenue_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey)),
         c.c_nationkey == F.col("n_nationkey"),
     ).select("c_custkey", F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
-    joined = o.join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+    # dims contains customer (grows with sf) — no static hint; AQE
+    # broadcasts at runtime when it fits (plans/star.py docstring rule)
+    joined = o.join(dims, o.o_custkey == dims.c_custkey)
     return (
         joined.rollup("region", "nation")
         .agg(

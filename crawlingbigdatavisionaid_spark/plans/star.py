@@ -9,10 +9,17 @@ DECIMAL(18,2) at the scan, all sums/products run in exact decimal, and
 only the final value is rounded and cast back to double — bit-identical
 between Spark and DuckDB regardless of partitioning/summation order.
 
-100 TB notes: dimension joins (region/nation/customer/supplier/part)
-are explicitly ``broadcast()`` — no shuffle of the fact table; the
-fact-fact join (orders⋈lineitem) shuffles on the join key, which AQE can
-re-plan (skew split / broadcast conversion) at runtime. Group-bys are
+100 TB notes: only CONSTANT-SIZE dimensions (region: 5 rows, nation:
+25) carry an explicit ``broadcast()`` hint. Dimensions that grow with
+the scale factor (customer/supplier/part) carry NO hint — a static hint
+on a side that is billions of rows at 100 TB either OOMs the driver or
+hard-fails at the broadcast size ceiling, while AQE converts the join
+to broadcast at runtime whenever the side actually fits (it does at
+every test sf, so local plans are identical) and degrades to a
+shuffled join with skew splitting when it doesn't. This is the same
+rule plans/selection.py applies to vocab joins. The fact-fact join
+(orders⋈lineitem) shuffles on the join key, which AQE can re-plan
+(skew split / broadcast conversion) at runtime. Group-bys are
 partial-aggregated map-side so the shuffle carries group cardinality,
 not row cardinality.
 """
@@ -109,8 +116,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: broadcast the filtered customer dim into orders,
-    shuffle-join lineitem, aggregate, top-10. Revenue in exact decimal."""
+    """TPC-H Q3 shape: join the filtered customer dim into orders (no
+    static hint — customer grows with the corpus; AQE broadcasts the
+    1/5-segment slice at runtime when it fits), shuffle-join lineitem,
+    aggregate, top-10. Revenue in exact decimal."""
     cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
     cust = (
         load_table(spark, sf_dir, "customer")
@@ -125,7 +134,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _li_money(
         load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
     ).select("l_orderkey", "price_d", "disc_d")
-    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).join(
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey).join(
         li, F.col("o_orderkey") == li.l_orderkey
     )
     return (
@@ -161,9 +170,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: snowflake dimension chain broadcast into the fact
-    join. region⋈nation⋈customer collapses to one small broadcast side;
-    only orders⋈lineitem shuffles."""
+    """TPC-H Q5 shape: snowflake dimension chain into the fact join.
+    nation⋈region is constant-size (25x5 rows) and keeps its broadcast
+    hint; the customer-enriched dims side grows with the corpus, so it
+    carries NO hint — AQE broadcasts it at runtime when it fits (every
+    test sf) and shuffles with skew handling when it doesn't. Only
+    orders⋈lineitem must shuffle."""
     r = load_table(spark, sf_dir, "region")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
@@ -177,7 +189,7 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "n_name", "r_name")
     )
     joined = (
-        o.join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        o.join(dims, o.o_custkey == dims.c_custkey)
         .select("o_orderkey", "n_name", "r_name")
         .join(li, F.col("o_orderkey") == li.l_orderkey)
     )
@@ -211,12 +223,15 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend top-10: orders⋈customer then TakeOrderedAndProject. No
+    static broadcast hint on customer (it scales with the fact data —
+    the module-docstring rule); AQE converts at runtime locally."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     o = load_table(spark, sf_dir, "orders").withColumn(
         "price_d", F.col("o_totalprice").cast(_DEC)
     )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
             F.sum("price_d").alias("spent_d"),
@@ -474,7 +489,8 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("price_d") * (F.lit(1) - F.col("disc_d"))
     zero = F.lit(0).cast(_DEC)
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        # part grows with sf — no static hint; AQE broadcasts when it fits
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(zero)).alias("pr"),
             F.sum(rev).alias("tr"),
@@ -627,7 +643,8 @@ def q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        sole.join(F.broadcast(s), sole.sk == s.s_suppkey)
+        # supplier grows with sf — no static hint; AQE converts at runtime
+        sole.join(s, sole.sk == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))

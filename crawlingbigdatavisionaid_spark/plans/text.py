@@ -91,8 +91,12 @@ def train_test_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere in the TEST split, flagged at >= 10%. Catches partial and
     quoted contamination that ``split_contamination``'s whole-document
     fingerprints miss. The test-split shingle set is deduplicated and
-    BROADCAST — real benchmark suites are tiny next to a training
-    corpus, so the train-side token stream never shuffles; and because
+    BROADCAST — this is the one deliberate exception to the no-hint-on-
+    growing-sides rule (plans/star.py docstring): the operator models
+    decontamination against a FIXED benchmark suite, which is bounded
+    by construction (the registered query's corpus-decile stand-in is
+    a test harness artifact, not the production shape), so the
+    train-side token stream never shuffles; and because
     the broadcast side is distinct, the probe join is fan-out-free
     (output <= train shingles) even on corpus-hot shingles. Integer
     threshold arithmetic (10*hits >= size) keeps it engine-exact.
