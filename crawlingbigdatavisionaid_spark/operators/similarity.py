@@ -403,21 +403,38 @@ def semdedup_keep(
     vec_col: str = "embedding",
     label_col: str = "label",
     block: int = 2048,
+    greedy: bool = False,
 ) -> DataFrame:
     """SemDeDup within-cluster pruning (Abbas et al. 2023,
-    arXiv:2303.09540): inside each cluster (``label_col``), drop a row
-    when ANY earlier-id cluster-mate sits within cosine >= ``tau``;
-    return the kept (id, label) rows.
+    arXiv:2303.09540): return the kept (id, label) rows.
+
+    Two keep rules, both deterministic (id order):
+
+    - ``greedy=False`` (default, the oracle-checked variant): drop a row
+      when ANY earlier-id cluster-mate sits within cosine >= ``tau`` —
+      the SQL ``NOT EXISTS (b.id < a.id AND cos >= tau)`` form. This is
+      DELIBERATELY STRICTER than the paper: similarity chains over-prune
+      transitively (a~b and b~c drops both b and c even when a~c is
+      below tau, where the paper's rule would retain c). The deviation
+      is accepted because the rule is expressible as one vectorized
+      slab sweep AND as plain SQL, so the driver can oracle-check it;
+      it only ever prunes MORE near-duplicates, never fewer.
+    - ``greedy=True`` (the paper-faithful rule): keep a row unless an
+      earlier-id cluster-mate that was itself KEPT sits within tau —
+      the greedy keep-against-kept-set scan. Sequential by definition
+      (each verdict depends on earlier verdicts), so rows iterate
+      per-slab in Python with numpy row vectors; no SQL twin — its
+      relation to the strict rule (strict-kept ⊆ greedy-kept) is
+      oracle-pinned by the ``semdedup_greedy_audit`` query and
+      property-tested against a pure-Python reference.
 
     One shuffle keyed by the cluster id, then per-cluster BLAS: rows
     sort by id, normalize once, and the gram matrix is computed in
     ``block``-row slabs (memory O(block * cluster_size), never a full
     c x c allocation) with each row compared only against EARLIER
-    columns — the deterministic keep-first rule, identical to the SQL
-    ``NOT EXISTS (b.id < a.id AND cos >= tau)`` form. Clusters bound
-    the quadratic term by construction (the reason SemDeDup clusters
-    before comparing); a cluster too big for its slab sweep is a
-    quantizer problem, not a dedup problem."""
+    columns. Clusters bound the quadratic term by construction (the
+    reason SemDeDup clusters before comparing); a cluster too big for
+    its slab sweep is a quantizer problem, not a dedup problem."""
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="mergesort", ignore_index=True)
@@ -430,7 +447,14 @@ def semdedup_keep(
             sims = x[s:e] @ x[:e].T  # (slab, e)
             mask = sims >= tau
             mask &= cols[None, :e] < np.arange(s, e)[:, None]
-            dropped[s:e] = mask.any(axis=1)
+            if greedy:
+                # keep-against-kept-set: row s+i consults the verdicts
+                # of all earlier rows, so the slab resolves sequentially
+                for i in range(e - s):
+                    hit = mask[i, : s + i]
+                    dropped[s + i] = bool((hit & ~dropped[: s + i]).any())
+            else:
+                dropped[s:e] = mask.any(axis=1)
         return pdf.loc[~dropped, [id_col, label_col]]
 
     # output schema mirrors the INPUT column types (a bigint cluster id
@@ -464,7 +488,10 @@ def semdedup_pairs(
     def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="mergesort", ignore_index=True)
         x = _normalize_rows(_stack(pdf[vec_col]))
-        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        # no dtype forced: the declared output schema mirrors the input
+        # id type, so the arrays must too (an int32 or string id column
+        # round-trips as-is instead of being hard-cast to int64)
+        ids = pdf[id_col].to_numpy()
         n = x.shape[0]
         a_out, b_out = [], []
         cols = np.arange(n)
@@ -478,8 +505,8 @@ def semdedup_pairs(
             b_out.append(ids[bi + s])
         return pd.DataFrame(
             {
-                "vec_a": np.concatenate(a_out) if a_out else np.array([], dtype=np.int64),
-                "vec_b": np.concatenate(b_out) if b_out else np.array([], dtype=np.int64),
+                "vec_a": np.concatenate(a_out) if a_out else ids[:0],
+                "vec_b": np.concatenate(b_out) if b_out else ids[:0],
             }
         )
 

@@ -18,6 +18,28 @@ _SQL_SHINGLES = """
         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
 """
 
+# Corpus-relative df cap, modelled in SQL exactly as the Spark operator
+# applies it (operators/neardup.jaccard_pairs: cap = max(128,
+# ceil(0.03 * docs-with-shingles)), shingles above the cap dropped from
+# the index BEFORE pairing, per-doc sizes counted on the FILTERED
+# index). Including the cap in the oracle removes the latent hash
+# divergence the r4 advice flagged: if corpus boilerplate ever crosses
+# the cap at an oracle-checked scale, both engines now prune it
+# identically instead of silently disagreeing. Assumes a CTE ``e``
+# (doc_id, s) of distinct per-doc shingles is in scope; emits ``ef``,
+# the capped index, from which pairs AND sizes must both be derived.
+_SQL_DF_CAP_CTES = """
+        , hot AS (
+            SELECT s FROM e GROUP BY s
+            HAVING COUNT(*) > (
+                SELECT GREATEST(128,
+                       CAST(CEIL(0.03 * COUNT(DISTINCT doc_id)) AS BIGINT))
+                FROM e)
+        ), ef AS (
+            SELECT doc_id, s FROM e ANTI JOIN hot USING (s)
+        )
+"""
+
 
 @register(
     "dedup_ngram_jaccard",
@@ -31,12 +53,12 @@ _SQL_SHINGLES = """
             SELECT doc_id, sh FROM t WHERE len(sh) > 0
         ), e AS (
             SELECT doc_id, unnest(sh) AS s FROM nz
-        ), pairs AS (
+        ){_SQL_DF_CAP_CTES}, pairs AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-            FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+            FROM ef a JOIN ef b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         ), sizes AS (
-            SELECT doc_id, len(sh) AS n_sh FROM nz
+            SELECT doc_id, COUNT(*) AS n_sh FROM ef GROUP BY doc_id
         )
         SELECT p.doc_a, p.doc_b, p.inter,
                sa.n_sh + sb.n_sh - p.inter AS union_size
@@ -48,7 +70,10 @@ _SQL_SHINGLES = """
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard >= 0.8 via inverted-index self-join.
-    Threshold test is pure integer arithmetic — engine-exact."""
+    Threshold test is pure integer arithmetic — engine-exact. The
+    corpus-relative df cap is part of the ORACLE too (_SQL_DF_CAP_CTES),
+    so the semantics stay oracle-pinned even at scales where the cap
+    actually prunes."""
     docs = load_table(spark, sf_dir, "documents")
     return ND.jaccard_pairs(docs, threshold_tenths=8, n=3)
 
@@ -172,12 +197,12 @@ _SQL_JACCARD_PAIRS = f"""
         SELECT doc_id, sh FROM t WHERE len(sh) > 0
     ), e AS (
         SELECT doc_id, unnest(sh) AS s FROM nz
-    ), prs AS (
+    ){_SQL_DF_CAP_CTES}, prs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        FROM ef a JOIN ef b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ), sizes AS (
-        SELECT doc_id, len(sh) AS n_sh FROM nz
+        SELECT doc_id, COUNT(*) AS n_sh FROM ef GROUP BY doc_id
     ), dup_pairs AS (
         SELECT p.doc_a, p.doc_b
         FROM prs p
@@ -422,17 +447,17 @@ def dedup_ensemble_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, sh FROM t WHERE len(sh) > 0
         ), e AS (
             SELECT doc_id, unnest(sh) AS s FROM nz
-        ), en AS (
-            SELECT doc_id, s FROM e WHERE doc_id % 10 = 9
+        ){_SQL_DF_CAP_CTES}, en AS (
+            SELECT doc_id, s FROM ef WHERE doc_id % 10 = 9
         ), eo AS (
-            SELECT doc_id, s FROM e WHERE doc_id % 10 <> 9
+            SELECT doc_id, s FROM ef WHERE doc_id % 10 <> 9
         ), prs AS (
             SELECT a.doc_id AS doc_new, b.doc_id AS doc_base,
                    COUNT(*) AS inter
             FROM en a JOIN eo b ON a.s = b.s
             GROUP BY 1, 2
         ), sizes AS (
-            SELECT doc_id, len(sh) AS n_sh FROM nz
+            SELECT doc_id, COUNT(*) AS n_sh FROM ef GROUP BY doc_id
         )
         SELECT p.doc_new, p.doc_base, p.inter,
                sa.n_sh + sb.n_sh - p.inter AS union_size

@@ -114,8 +114,10 @@ def dsir_target_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM per
         )
         SELECT p.source, p.n_docs, p.n_tokens,
-               ROUND(p.n_tokens * 1.0 / t.total_tokens, 6) AS token_share,
-               ROUND(t.total_tokens * 1.0 / (t.n_sources * p.n_tokens), 6)
+               ROUND(p.n_tokens * 1.0 / NULLIF(t.total_tokens, 0), 6)
+                   AS token_share,
+               ROUND(t.total_tokens * 1.0
+                     / NULLIF(t.n_sources * p.n_tokens, 0), 6)
                    AS uniform_weight
         FROM per p CROSS JOIN tot t
     """,
@@ -128,7 +130,9 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts come from ``size(tokens)`` on the scan — no explode — so the
     whole query is one source-keyed hash aggregate plus a broadcast
     1-row totals join. Each float column is a single rounded division
-    over exact integers."""
+    over exact integers; denominators are NULLIF-guarded on both sides
+    (a source whose documents all tokenize empty yields NULL weights,
+    identically in Spark and DuckDB — the span_dedup_stats pattern)."""
     docs = load_table(spark, sf_dir, "documents")
     per = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -142,13 +146,16 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "n_tokens",
-        F.round(F.col("n_tokens") * F.lit(1.0) / F.col("total_tokens"), 6).alias(
-            "token_share"
-        ),
+        F.round(
+            F.col("n_tokens")
+            * F.lit(1.0)
+            / F.nullif(F.col("total_tokens"), F.lit(0)),
+            6,
+        ).alias("token_share"),
         F.round(
             F.col("total_tokens")
             * F.lit(1.0)
-            / (F.col("n_sources") * F.col("n_tokens")),
+            / F.nullif(F.col("n_sources") * F.col("n_tokens"), F.lit(0)),
             6,
         ).alias("uniform_weight"),
     )
@@ -281,8 +288,13 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduplication scoped to embedding clusters — here the ``label``
     column plays the k-means cluster id (plans/similarity.py ivf_topk
     owns the quantizer). Within each cluster, a document is pruned when
-    an earlier-id cluster-mate sits within cosine >= {tau} — the paper's
-    deterministic keep-one-per-near-dup-set rule. One shuffle keyed on
+    an earlier-id cluster-mate sits within cosine >= {tau} — the STRICT
+    variant of the paper's rule: similarity chains over-prune
+    transitively (a~b, b~c drops both b and c even when a is not within
+    tau of c), a documented deviation chosen because this form is
+    SQL-expressible and therefore oracle-checkable; the paper-faithful
+    greedy keep-against-kept-set rule is ``semdedup_keep(greedy=True)``,
+    audited by ``semdedup_greedy_audit``. One shuffle keyed on
     the cluster id, so the quadratic term is bounded per cluster (the
     whole point of clustering first); dense math runs as a per-cluster
     blockwise BLAS gram matrix (operators/similarity.semdedup_keep) —
@@ -293,6 +305,58 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     argument). Output: the KEPT rows, ids only."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.semdedup_keep(emb, _SEM_TAU)
+
+
+@register(
+    "semdedup_greedy_audit",
+    ops=("OP-X-DEDUP-02", "OP-X-SIM-01"),
+    # n_strict_kept is fully SQL-expressible (the NOT EXISTS form);
+    # the greedy kept-set is sequential by definition (no SQL twin), so
+    # its CORRECTNESS is pinned relationally: strict-kept must be a
+    # subset of greedy-kept (greedy only ever retains more — the
+    # chain-rescue property), booleans the oracle pins to TRUE. The
+    # pytest property suite checks greedy against a pure-Python
+    # reference; this query gives the driver the same guarantee.
+    oracle=f"""
+        SELECT (SELECT COUNT(*) FROM embeddings a
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM embeddings b
+                    WHERE b.label = a.label AND b.vec_id < a.vec_id
+                      AND {_SQL_COS.format(a="a.embedding", b="b.embedding")}
+                          >= {_SEM_TAU})) AS n_strict_kept,
+               TRUE AS greedy_keeps_at_least_strict,
+               TRUE AS strict_subset_of_greedy
+    """,
+)
+def semdedup_greedy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit of the paper-faithful GREEDY SemDeDup rule (keep a row
+    unless an earlier KEPT cluster-mate is within tau) against the
+    registered strict rule: emits the strict kept-count (oracle-checked
+    exactly) plus two relational invariants — greedy keeps a superset
+    of strict (chains rescue later members), both pinned TRUE. Runs
+    both rules through the same per-cluster slab sweep, so the audit
+    exercises the sequential greedy path end-to-end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    strict = S.semdedup_keep(emb, _SEM_TAU).select("vec_id")
+    greedy = S.semdedup_keep(emb, _SEM_TAU, greedy=True).select("vec_id")
+    n_strict = strict.agg(F.count(F.lit(1)).alias("n_strict_kept"))
+    n_greedy = greedy.agg(F.count(F.lit(1)).alias("n_greedy"))
+    n_common = strict.join(greedy, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    return (
+        n_strict.crossJoin(F.broadcast(n_greedy))
+        .crossJoin(F.broadcast(n_common))
+        .select(
+            "n_strict_kept",
+            (F.col("n_greedy") >= F.col("n_strict_kept")).alias(
+                "greedy_keeps_at_least_strict"
+            ),
+            (F.col("n_common") == F.col("n_strict_kept")).alias(
+                "strict_subset_of_greedy"
+            ),
+        )
+    )
 
 
 _POLITE_DELAY_S = 6  # per-domain seconds between fetches

@@ -51,11 +51,21 @@ def get_spark(app_name: str = "crawlingbigdatavisionaid-spark") -> SparkSession:
         # measure the query, not the allocator. Opt-in because the
         # startup tax is wrong for short-lived test/tool sessions;
         # bench.py and tools/scale_smoke.py set it.
-        builder = builder.config(
-            "spark.driver.extraJavaOptions",
+        #
+        # Caller-supplied driver JVM options are APPENDED to, not
+        # clobbered (SPARK_GRAFT_EXTRA_JAVA_OPTIONS, since a plain
+        # python process has no started JVM to read spark-defaults
+        # from). Caveat: like every config here, this is a no-op when
+        # getOrCreate() reuses an already-started JVM — bench/tools
+        # always build the session first in a fresh process.
+        extra = os.environ.get("SPARK_GRAFT_EXTRA_JAVA_OPTIONS", "")
+        pretouch = (
             "-Xms"
             + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
-            + " -XX:+AlwaysPreTouch",
+            + " -XX:+AlwaysPreTouch"
+        )
+        builder = builder.config(
+            "spark.driver.extraJavaOptions", (extra + " " + pretouch).strip()
         )
     return builder.getOrCreate()
 

@@ -304,6 +304,72 @@ def test_semdedup_keep_matches_bruteforce(spark, tmp_path, vecs):
     assert got == _ref_semdedup_keep(stored, 0.9)
 
 
+def _ref_semdedup_greedy(rows, tau):
+    """Paper-faithful greedy: keep id unless an earlier KEPT id in the
+    same label has cosine >= tau (keep-against-kept-set)."""
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return dot / (na * nb)
+
+    kept = {}  # label -> list of (id, vec)
+    out = []
+    for vid, v, lab in sorted(rows):
+        if not any(cos(v, kv) >= tau for _, kv in kept.get(lab, [])):
+            kept.setdefault(lab, []).append((vid, v))
+            out.append(vid)
+    return sorted(out)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(st.tuples(_vec, st.integers(0, 1)), min_size=1, max_size=12)
+)
+def test_semdedup_keep_greedy_matches_bruteforce(spark, tmp_path, vecs):
+    from crawlingbigdatavisionaid_spark.operators.similarity import semdedup_keep
+
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in v], label=lab)
+        for i, (v, lab) in enumerate(vecs)
+    ]
+    df = spark.createDataFrame(rows, _EMB_SCHEMA)
+    got = sorted(
+        r.vec_id for r in semdedup_keep(df, 0.9, block=3, greedy=True).collect()
+    )
+    stored = [
+        (r.vec_id, [float(x) for x in r.embedding], r.label)
+        for r in df.collect()
+    ]
+    assert got == _ref_semdedup_greedy(stored, 0.9)
+    # relational invariant: the strict rule only ever prunes MORE
+    strict = sorted(r.vec_id for r in semdedup_keep(df, 0.9, block=3).collect())
+    assert set(strict) <= set(got)
+
+
+def test_semdedup_greedy_rescues_chain_tail(spark):
+    """a~b and b~c with a!~c: strict drops b AND c; greedy keeps c
+    (b was dropped, so c is only compared against kept a) — the exact
+    deviation the strict variant documents."""
+    from crawlingbigdatavisionaid_spark.operators.similarity import semdedup_keep
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0], label=0),   # a
+        Row(vec_id=1, embedding=[0.8, 0.6, 0.0, 0.0], label=0),   # b: cos(a,b)=.8
+        Row(vec_id=2, embedding=[0.28, 0.96, 0.0, 0.0], label=0), # c: cos(b,c)=.8, cos(a,c)=.28
+    ]
+    df = spark.createDataFrame(rows, _EMB_SCHEMA)
+    strict = sorted(r.vec_id for r in semdedup_keep(df, 0.75).collect())
+    greedy = sorted(r.vec_id for r in semdedup_keep(df, 0.75, greedy=True).collect())
+    assert strict == [0]
+    assert greedy == [0, 2]
+
+
 def test_bpe_top_merges_counts_weighted_by_occurrence(spark, tmp_path):
     from crawlingbigdatavisionaid_spark.plans.text import bpe_top_merges
 
