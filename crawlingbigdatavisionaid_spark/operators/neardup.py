@@ -336,13 +336,21 @@ def simhash(docs: DataFrame, bits: int = 48) -> DataFrame:
     return agg.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, bits: int = 48, maxd: int = 3) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame,
+    bits: int = 48,
+    maxd: int = 3,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
     """Pairs within Hamming distance ``maxd`` of their SimHash.
 
     4-nibble banding: with maxd <= 3 and 4 bands, at least one band is
     identical (pigeonhole), so the candidate join is pure equality.
-    """
-    sigs = simhash(docs, bits)
+    Pass precomputed ``sigs`` (doc_id, simhash) to share the vote
+    aggregation with another consumer (dedup_simhash_recall's
+    brute-force side)."""
+    if sigs is None:
+        sigs = simhash(docs, bits)
     nib = bits // 4
     mask = (1 << nib) - 1
     banded = sigs.select(
