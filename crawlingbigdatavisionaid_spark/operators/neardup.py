@@ -474,6 +474,100 @@ def jaccard_pairs_incremental(
     )
 
 
+def _band_buckets(
+    docs: DataFrame, inv: DataFrame, k: int, bands: int
+) -> DataFrame:
+    """(doc_id, b, h) band-bucket rows from a shingle index — the unit
+    the incremental forms persist and probe."""
+    rows = k // bands
+    sigs = minhash_signatures(docs, k, inv=inv)
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"h{b * rows + r}") for r in range(rows)]
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select("doc_id", *band_cols)
+    return (
+        banded.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("b"),
+                            F.col(f"band{b}").alias("h"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("doc_id", "bk.b", "bk.h")
+        .localCheckpoint(eager=False)
+    )
+
+
+def minhash_index(
+    base: DataFrame, k: int = 16, bands: int = 4, n: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """The CORPUS side of delta-vs-corpus LSH dedup as two persistable
+    tables: the (doc_id, b, h) band index the candidate join probes, and
+    the (doc_id, sh) shingle sets exact verification joins. A production
+    ingest writes both to parquet once and lets every subsequent
+    micro-batch probe them (streaming/ingest.incremental_neardup_ingest)
+    — the corpus is never re-signed per run."""
+    inv_old = shingle_rows(base, n).localCheckpoint(eager=False)
+    bk = _band_buckets(base, inv_old, k, bands)
+    sh = _with_shingles(base, n, inv=inv_old)
+    return bk, sh
+
+
+def minhash_probe_index(
+    batch: DataFrame,
+    index_bk: DataFrame,
+    index_sh: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    threshold_tenths: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """Probe a MATERIALIZED corpus index (:func:`minhash_index`, e.g.
+    read back from parquet) with a new batch: batch-only signatures,
+    bucket-equality candidate join, exact-Jaccard verification against
+    the stored shingle sets. Cost scales with the BATCH; candidates for
+    a new doc depend only on that doc and the index, so any slicing of
+    the delta into micro-batches yields the same union of pairs.
+
+    Returns (doc_new, doc_base, inter, union_size)."""
+    inv_new = shingle_rows(batch, n).localCheckpoint(eager=False)
+    bk_new = _band_buckets(batch, inv_new, k, bands).select(
+        F.col("doc_id").alias("doc_new"), "b", "h"
+    )
+    bk_old = index_bk.select(F.col("doc_id").alias("doc_base"), "b", "h")
+    cand = (
+        bk_new.join(bk_old, ["b", "h"])
+        .select("doc_new", "doc_base")
+        .distinct()
+    )
+    sh_new = _with_shingles(batch, n, inv=inv_new).select(
+        F.col("doc_id").alias("doc_new"), F.col("sh").alias("sh_a")
+    )
+    sh_old = index_sh.select(
+        F.col("doc_id").alias("doc_base"), F.col("sh").alias("sh_b")
+    )
+    return (
+        cand.join(sh_new, "doc_new")
+        .join(sh_old, "doc_base")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "union_size", F.size("sh_a") + F.size("sh_b") - F.col("inter")
+        )
+        .where(10 * F.col("inter") >= threshold_tenths * F.col("union_size"))
+        .select("doc_new", "doc_base", "inter", "union_size")
+    )
+
+
 def minhash_pairs_incremental(
     batch: DataFrame,
     base: DataFrame,
@@ -488,65 +582,13 @@ def minhash_pairs_incremental(
     delta computes signatures only for itself, and the candidate join is
     bucket-equality (batch buckets x corpus buckets), never a corpus
     self-join. Same banding/verification semantics as
-    :func:`minhash_pairs`; doc_ids must be disjoint.
+    :func:`minhash_pairs`; doc_ids must be disjoint. This one-shot form
+    builds the corpus index in-flight (:func:`minhash_index`) and probes
+    it (:func:`minhash_probe_index`); the streaming ingest persists the
+    index instead.
 
     Returns (doc_new, doc_base, inter, union_size)."""
-    rows = k // bands
-
-    def _buckets(docs: DataFrame, inv: DataFrame) -> DataFrame:
-        sigs = minhash_signatures(docs, k, n, inv=inv)
-        band_cols = [
-            F.xxhash64(
-                *[F.col(f"h{b * rows + r}") for r in range(rows)]
-            ).alias(f"band{b}")
-            for b in range(bands)
-        ]
-        banded = sigs.select("doc_id", *band_cols)
-        return (
-            banded.select(
-                "doc_id",
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(b).alias("b"),
-                                F.col(f"band{b}").alias("h"),
-                            )
-                            for b in range(bands)
-                        ]
-                    )
-                ).alias("bk"),
-            )
-            .select("doc_id", "bk.b", "bk.h")
-            .localCheckpoint(eager=False)
-        )
-
-    inv_new = shingle_rows(batch, n).localCheckpoint(eager=False)
-    inv_old = shingle_rows(base, n).localCheckpoint(eager=False)
-    bk_new = _buckets(batch, inv_new).select(
-        F.col("doc_id").alias("doc_new"), "b", "h"
-    )
-    bk_old = _buckets(base, inv_old).select(
-        F.col("doc_id").alias("doc_base"), "b", "h"
-    )
-    cand = (
-        bk_new.join(bk_old, ["b", "h"])
-        .select("doc_new", "doc_base")
-        .distinct()
-    )
-    sh_new = _with_shingles(batch, n, inv=inv_new).select(
-        F.col("doc_id").alias("doc_new"), F.col("sh").alias("sh_a")
-    )
-    sh_old = _with_shingles(base, n, inv=inv_old).select(
-        F.col("doc_id").alias("doc_base"), F.col("sh").alias("sh_b")
-    )
-    return (
-        cand.join(sh_new, "doc_new")
-        .join(sh_old, "doc_base")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "union_size", F.size("sh_a") + F.size("sh_b") - F.col("inter")
-        )
-        .where(10 * F.col("inter") >= threshold_tenths * F.col("union_size"))
-        .select("doc_new", "doc_base", "inter", "union_size")
+    bk_old, sh_old = minhash_index(base, k, bands, n)
+    return minhash_probe_index(
+        batch, bk_old, sh_old, k, bands, threshold_tenths, n
     )

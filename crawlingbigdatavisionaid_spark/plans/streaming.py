@@ -257,6 +257,77 @@ def stream_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP._run_to_memory(agg, "complete")
 
 
+@register(
+    "stream_incremental_neardup",
+    ops=("OP-STR-01", "OP-X-DEDUP-02", "OP-DEDUP-01"),
+    # the pair set is hash-defined (LSH — no SQL twin); the
+    # oracle-checkable property is micro-batch invariance: the pairs
+    # accumulated by foreachBatch probes of the persisted corpus index
+    # must EQUAL the one-shot batch incremental pair set on the same
+    # delta (candidates per new doc depend only on that doc + the
+    # index). n_batches > 1 pins that the drain actually exercised
+    # multiple micro-batches rather than degenerating to one.
+    oracle="""
+        SELECT TRUE AS multi_batch, TRUE AS no_missing, TRUE AS no_extra
+    """,
+)
+def stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The judge-r4 production shape, end-to-end: the corpus (deciles
+    0-8) persists its LSH band index + shingle sets to parquet ONCE;
+    the ingest delta (decile 9) is drained as a multi-file stream with
+    ``maxFilesPerTrigger=1``, each micro-batch probing the stored index
+    inside ``foreachBatch`` and appending verified pairs. The verdict
+    compares the accumulated pair set against
+    ``minhash_pairs_incremental`` on the same split."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators import neardup as ND
+    from ..sources import load_table
+    from ..streaming.ingest import incremental_neardup_ingest
+
+    docs = load_table(spark, sf_dir, "documents")
+    decile = F.col("doc_id") % 10
+    batch, base = docs.where(decile == 9), docs.where(decile != 9)
+
+    root = tempfile.mkdtemp(prefix="inc_neardup_")
+    delta_dir = f"{root}/delta"
+    bk_dir, sh_dir = f"{root}/index_bk", f"{root}/index_sh"
+    out_dir, ckpt = f"{root}/pairs", f"{root}/ckpt"
+    # the 6-hourly drop: the delta lands as multiple files so the
+    # availableNow drain runs several real micro-batches
+    batch.repartition(4).write.parquet(delta_dir)
+    bk, sh = ND.minhash_index(base)
+    bk.write.parquet(bk_dir)
+    sh.write.parquet(sh_dir)
+    n_batches = incremental_neardup_ingest(
+        spark, delta_dir, bk_dir, sh_dir, out_dir, ckpt, docs.schema
+    )
+    oneshot_full = ND.minhash_pairs_incremental(batch, base)
+    # explicit schema: an all-empty drain leaves no schema-bearing part
+    # files to infer from, and the pair schema is known
+    streamed = spark.read.schema(oneshot_full.schema).parquet(out_dir).select(
+        "doc_new", "doc_base"
+    )
+    oneshot = oneshot_full.select("doc_new", "doc_base")
+
+    def _n(df, alias):
+        return df.agg(F.count(F.lit(1)).alias(alias))
+
+    common = _n(streamed.join(oneshot, ["doc_new", "doc_base"]), "n_common")
+    return (
+        _n(streamed, "n_stream")
+        .crossJoin(_n(oneshot, "n_batch"))
+        .crossJoin(common)
+        .select(
+            F.lit(n_batches > 1).alias("multi_batch"),
+            (F.col("n_common") == F.col("n_batch")).alias("no_missing"),
+            (F.col("n_common") == F.col("n_stream")).alias("no_extra"),
+        )
+    )
+
+
 from ..functions import text as _T
 
 @register(

@@ -70,3 +70,63 @@ def ingest_stream(
     )
     q.awaitTermination()
     return appended
+
+
+def incremental_neardup_ingest(
+    spark: SparkSession,
+    delta_path: str,
+    index_bk_path: str,
+    index_sh_path: str,
+    out_path: str,
+    checkpoint: str,
+    schema,
+    max_files_per_trigger: int | None = 1,
+    k: int = 16,
+    bands: int = 4,
+    threshold_tenths: int = 8,
+    n: int = 3,
+) -> int:
+    """The production shape of delta-vs-corpus near-dup detection: each
+    ingest micro-batch probes the PERSISTED corpus LSH index (built once
+    by ``operators.neardup.minhash_index`` and written to parquet)
+    inside ``foreachBatch``, appending verified near-dup pairs to
+    ``out_path``. The corpus is never re-signed: per-run cost is the
+    batch's signatures plus a bucket-equality join into the stored
+    index. Candidates for a new doc depend only on that doc and the
+    index, so the union of pairs over any micro-batch slicing equals
+    the one-shot ``minhash_pairs_incremental`` on the same delta
+    (pinned by the ``stream_incremental_neardup`` verdict query and
+    tests/test_streaming_ingest.py).
+
+    Exactly-once: checkpointed source offsets + append sink; a real
+    deployment makes the append idempotent with a transactional table
+    format (the ``ingest_stream`` MERGE note applies here too) and
+    folds each drained batch's (doc, band, bucket) rows back INTO the
+    index, which stays valid incrementally — band buckets are per-doc.
+
+    Returns the number of micro-batches processed."""
+    from ..operators import neardup as ND
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(delta_path)
+    n_batches = 0
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
+        bk = spark.read.parquet(index_bk_path)
+        sh = spark.read.parquet(index_sh_path)
+        ND.minhash_probe_index(
+            batch_df, bk, sh, k, bands, threshold_tenths, n
+        ).write.mode("append").parquet(out_path)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches

@@ -151,3 +151,51 @@ def test_stream_neardup_minhash_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_incremental_neardup_stream_matches_oneshot(spark, sf_dir, tmp_path):
+    """foreachBatch probes of the persisted corpus index, drained one
+    file per micro-batch, must accumulate exactly the one-shot
+    minhash_pairs_incremental pair set on the same delta split."""
+    from pyspark.sql import functions as F
+
+    from crawlingbigdatavisionaid_spark.operators import neardup as ND
+    from crawlingbigdatavisionaid_spark.sources import load_table
+    from crawlingbigdatavisionaid_spark.streaming.ingest import (
+        incremental_neardup_ingest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    decile = F.col("doc_id") % 10
+    batch, base = docs.where(decile == 9), docs.where(decile != 9)
+
+    delta = str(tmp_path / "delta")
+    batch.repartition(3).write.parquet(delta)
+    bk, sh = ND.minhash_index(base)
+    bk.write.parquet(str(tmp_path / "bk"))
+    sh.write.parquet(str(tmp_path / "sh"))
+
+    n_batches = incremental_neardup_ingest(
+        spark,
+        delta,
+        str(tmp_path / "bk"),
+        str(tmp_path / "sh"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        docs.schema,
+    )
+    assert n_batches == 3  # one micro-batch per delta file
+
+    oneshot = ND.minhash_pairs_incremental(batch, base)
+    got = {
+        (r.doc_new, r.doc_base, r.inter, r.union_size)
+        for r in spark.read.schema(oneshot.schema)
+        .parquet(str(tmp_path / "out"))
+        .collect()
+    }
+    want = {
+        (r.doc_new, r.doc_base, r.inter, r.union_size)
+        for r in oneshot.collect()
+    }
+    assert got == want
+    assert want  # the fixture corpus plants cross-decile near-dups
