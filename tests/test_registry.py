@@ -37,23 +37,14 @@ def test_every_opid_in_driver_window() -> None:
     assert not missing, f"OP-IDs with no query in the first {WINDOW}: {sorted(missing)}"
 
 
-def test_window_queries_mostly_oracled() -> None:
-    """Rows-only (no-oracle) queries in the window are the documented
-    sketch/LSH set only — anything else must carry a DuckDB oracle."""
+def test_window_queries_all_oracled() -> None:
+    """As of r5 the window is 100% oracle-checked: the last two
+    rows-only entries (dedup_simhash, stream_neardup_minhash) rotated
+    out in favor of their oracle-pinned quality twins
+    (dedup_simhash_recall, stream_neardup_recall)."""
     names = list(query_map())[:WINDOW]
     oracles = oracle_sql_map()
-    allowed_rows_only = {
-        # the hash-defined pair/top-k sets (dedup_minhash_lsh,
-        # ann_lsh_topk, ann_ivf_topk) rotated out of the window in r4;
-        # their QUALITY is now oracle-checked in-window through the
-        # *_recall tolerance-verdict twins
-        "dedup_simhash",
-        # arrival-order-dependent streaming LSH state: deterministic
-        # distinct-bucket counts, but no SQL twin — parity-tested in
-        # tests/test_streaming_ingest.py against the batch signatures
-        "stream_neardup_minhash",
-    }
-    unexpected = [n for n in names if n not in oracles and n not in allowed_rows_only]
+    unexpected = [n for n in names if n not in oracles]
     assert not unexpected, f"un-oracled queries in driver window: {unexpected}"
 
 

@@ -47,6 +47,13 @@ QUERIES = [
     "dsir_target_affinity",
     "duplicate_spans",
     "semdedup_prune",
+    # dedup heavies (judge r4 next-round #8): the most expensive family
+    # was only being judged at sf0.1, where 0.3s of scheduling noise
+    # flips round-over-round ratios — give it a standing 10x row
+    "dedup_components",
+    "training_corpus",
+    "incremental_ingest_dedup",
+    "dedup_containment",
 ]
 
 
