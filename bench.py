@@ -77,6 +77,11 @@ HEADLINE = [
     "bpe_top_merges",
     "incremental_ingest_dedup",
     "ann_filtered_topk",
+    # round 5 additions (batch-side; stream_* verdicts run streaming
+    # queries with checkpoint setup and stay out of the timing list)
+    "dedup_simhash_recall",
+    "incremental_minhash_recall",
+    "semdedup_greedy_audit",
 ]
 
 

@@ -91,9 +91,34 @@ def build_scaled(spark, base: str, out: str, k: int) -> None:
     rep(events, "event_id", ev_span).write.mode("overwrite").parquet(
         f"{out}/events.parquet"
     )
-    rep(documents, "doc_id", doc_span).write.mode("overwrite").parquet(
-        f"{out}/documents.parquet"
-    )
+    # documents replicate with per-replica TOKEN TAGS (the
+    # dedup_scale_smoke scheme: every token suffixed, so per-replica
+    # frequency profiles are preserved but vocabularies are disjoint):
+    # exact copies would make every doc a K-clique in the near-dup
+    # graph — pair output quadratic in K and the dedup heavies
+    # pathological rather than representative (a real Kx corpus does
+    # not contain K exact copies of everything). With tags, TRUE pairs
+    # scale exactly Kx and the sf1 dedup rows measure a linear world.
+    doc_parts = [
+        documents.select(
+            (F.col("doc_id") + F.lit(i * doc_span)).alias("doc_id"),
+            F.regexp_replace(
+                "text",
+                r"([A-Za-z]+)",
+                "$1q"
+                + chr(ord("a") + i % 26)
+                + chr(ord("a") + (i // 26) % 26),
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for i in range(k)
+    ]
+    du = doc_parts[0]
+    for p in doc_parts[1:]:
+        du = du.unionByName(p)
+    du.write.mode("overwrite").parquet(f"{out}/documents.parquet")
     # labels (cluster ids) are deliberately NOT remapped: clusters grow
     # K-fold, which is exactly the stress semdedup's per-cluster
     # quadratic term should see
