@@ -86,6 +86,7 @@ def jaccard_pairs(
     threshold_tenths: int = 8,
     n: int = 3,
     df_max: int | float | None = 0.03,
+    inv: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs: jaccard >= threshold_tenths/10.
 
@@ -122,8 +123,11 @@ def jaccard_pairs(
     # dominant cost; observed 16 parquet scans / 0 reused exchanges in
     # the physical plan). Index materialization is O(index) executor-
     # local storage — the same order as one shuffle of it, which any
-    # consumer pays anyway.
-    inv = shingle_rows(docs, n).localCheckpoint(eager=False)
+    # consumer pays anyway. A caller comparing pair strategies over the
+    # same corpus (the *_recall verdicts) passes a pre-checkpointed
+    # ``inv`` so tokenization runs once per corpus, not once per side.
+    if inv is None:
+        inv = shingle_rows(docs, n).localCheckpoint(eager=False)
     if df_max is not None:
         # ONE scalar job for both sizing probes (r2 had a separate
         # docs.count() scan, r3 two separate collects): n_docs (the
@@ -234,6 +238,7 @@ def minhash_pairs(
     bands: int = 4,
     threshold_tenths: int = 8,
     n: int = 3,
+    inv: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs, verified with exact Jaccard.
 
@@ -246,8 +251,10 @@ def minhash_pairs(
     """
     rows = k // bands
     # one materialized shingle index feeds BOTH the signature build and
-    # the exact verification sets (same pattern as jaccard_pairs)
-    inv = shingle_rows(docs, n).localCheckpoint(eager=False)
+    # the exact verification sets (same pattern as jaccard_pairs);
+    # callers comparing strategies pass a shared pre-checkpointed index
+    if inv is None:
+        inv = shingle_rows(docs, n).localCheckpoint(eager=False)
     sigs = minhash_signatures(docs, k, n, inv=inv)
     band_cols = [
         F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
@@ -404,6 +411,8 @@ def jaccard_pairs_incremental(
     threshold_tenths: int = 8,
     n: int = 3,
     df_max: int | float | None = 0.03,
+    inv_new: DataFrame | None = None,
+    inv_old: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs of a NEW BATCH against an existing
     corpus — the continuous-ingest shape: a daily crawl delta is
@@ -419,9 +428,13 @@ def jaccard_pairs_incremental(
     index a production system keeps materialized between runs. The
     df cap (same corpus-relative semantics as :func:`jaccard_pairs`)
     is computed over the COMBINED universe and applied to BOTH sides,
-    so inter/union/threshold stay mutually consistent."""
-    inv_new = shingle_rows(batch, n).localCheckpoint(eager=False)
-    inv_old = shingle_rows(base, n).localCheckpoint(eager=False)
+    so inter/union/threshold stay mutually consistent. Callers
+    comparing tiers over the same split (incremental_minhash_recall)
+    pass shared pre-checkpointed indexes."""
+    if inv_new is None:
+        inv_new = shingle_rows(batch, n).localCheckpoint(eager=False)
+    if inv_old is None:
+        inv_old = shingle_rows(base, n).localCheckpoint(eager=False)
     both = inv_new.unionByName(inv_old)
     if df_max is not None:
         n_docs, max_df = (
@@ -509,7 +522,11 @@ def _band_buckets(
 
 
 def minhash_index(
-    base: DataFrame, k: int = 16, bands: int = 4, n: int = 3
+    base: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    inv: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The CORPUS side of delta-vs-corpus LSH dedup as two persistable
     tables: the (doc_id, b, h) band index the candidate join probes, and
@@ -517,7 +534,11 @@ def minhash_index(
     ingest writes both to parquet once and lets every subsequent
     micro-batch probe them (streaming/ingest.incremental_neardup_ingest)
     — the corpus is never re-signed per run."""
-    inv_old = shingle_rows(base, n).localCheckpoint(eager=False)
+    inv_old = (
+        shingle_rows(base, n).localCheckpoint(eager=False)
+        if inv is None
+        else inv
+    )
     bk = _band_buckets(base, inv_old, k, bands)
     sh = _with_shingles(base, n, inv=inv_old)
     return bk, sh
@@ -531,6 +552,7 @@ def minhash_probe_index(
     bands: int = 4,
     threshold_tenths: int = 8,
     n: int = 3,
+    inv: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a MATERIALIZED corpus index (:func:`minhash_index`, e.g.
     read back from parquet) with a new batch: batch-only signatures,
@@ -540,7 +562,11 @@ def minhash_probe_index(
     the delta into micro-batches yields the same union of pairs.
 
     Returns (doc_new, doc_base, inter, union_size)."""
-    inv_new = shingle_rows(batch, n).localCheckpoint(eager=False)
+    inv_new = (
+        shingle_rows(batch, n).localCheckpoint(eager=False)
+        if inv is None
+        else inv
+    )
     bk_new = _band_buckets(batch, inv_new, k, bands).select(
         F.col("doc_id").alias("doc_new"), "b", "h"
     )
@@ -575,6 +601,8 @@ def minhash_pairs_incremental(
     bands: int = 4,
     threshold_tenths: int = 8,
     n: int = 3,
+    inv_new: DataFrame | None = None,
+    inv_old: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH near-dup candidates of a NEW BATCH against the corpus,
     exact-verified — the scale path for continuous ingest: the corpus
@@ -588,7 +616,7 @@ def minhash_pairs_incremental(
     index instead.
 
     Returns (doc_new, doc_base, inter, union_size)."""
-    bk_old, sh_old = minhash_index(base, k, bands, n)
+    bk_old, sh_old = minhash_index(base, k, bands, n, inv=inv_old)
     return minhash_probe_index(
-        batch, bk_old, sh_old, k, bands, threshold_tenths, n
+        batch, bk_old, sh_old, k, bands, threshold_tenths, n, inv=inv_new
     )

@@ -154,12 +154,15 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
-    exact = ND.jaccard_pairs(docs, threshold_tenths=8, n=3).select(
+    # one tokenize/shingle pass feeds BOTH strategies (the index is the
+    # dominant cost; separate builds measured ~2x the whole query)
+    inv = ND.shingle_rows(docs, 3).localCheckpoint(eager=False)
+    exact = ND.jaccard_pairs(docs, threshold_tenths=8, n=3, inv=inv).select(
         "doc_a", "doc_b"
     )
-    approx = ND.minhash_pairs(docs, k=16, bands=4, threshold_tenths=8, n=3).select(
-        "doc_a", "doc_b"
-    )
+    approx = ND.minhash_pairs(
+        docs, k=16, bands=4, threshold_tenths=8, n=3, inv=inv
+    ).select("doc_a", "doc_b")
     hit = _count1(approx.join(exact, ["doc_a", "doc_b"]), "n_hit")
     return (
         _count1(exact, "n_exact")
@@ -555,11 +558,15 @@ def incremental_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     decile = F.col("doc_id") % 10
     batch, base = docs.where(decile == 9), docs.where(decile != 9)
+    # shared shingle indexes: both tiers tokenize each side exactly once
+    inv_new = ND.shingle_rows(batch, 3).localCheckpoint(eager=False)
+    inv_old = ND.shingle_rows(base, 3).localCheckpoint(eager=False)
     exact = ND.jaccard_pairs_incremental(
-        batch, base, threshold_tenths=8, n=3
+        batch, base, threshold_tenths=8, n=3, inv_new=inv_new, inv_old=inv_old
     ).select("doc_new", "doc_base")
     approx = ND.minhash_pairs_incremental(
-        batch, base, k=16, bands=4, threshold_tenths=8, n=3
+        batch, base, k=16, bands=4, threshold_tenths=8, n=3,
+        inv_new=inv_new, inv_old=inv_old,
     ).select("doc_new", "doc_base")
     hit = _count1(approx.join(exact, ["doc_new", "doc_base"]), "n_hit")
     return (
