@@ -279,6 +279,7 @@ def stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside ``foreachBatch`` and appending verified pairs. The verdict
     compares the accumulated pair set against
     ``minhash_pairs_incremental`` on the same split."""
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
@@ -292,39 +293,49 @@ def stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch, base = docs.where(decile == 9), docs.where(decile != 9)
 
     root = tempfile.mkdtemp(prefix="inc_neardup_")
-    delta_dir = f"{root}/delta"
-    bk_dir, sh_dir = f"{root}/index_bk", f"{root}/index_sh"
-    out_dir, ckpt = f"{root}/pairs", f"{root}/ckpt"
-    # the 6-hourly drop: the delta lands as multiple files so the
-    # availableNow drain runs several real micro-batches
-    batch.repartition(4).write.parquet(delta_dir)
-    bk, sh = ND.minhash_index(base)
-    bk.write.parquet(bk_dir)
-    sh.write.parquet(sh_dir)
-    n_batches = incremental_neardup_ingest(
-        spark, delta_dir, bk_dir, sh_dir, out_dir, ckpt, docs.schema
-    )
-    oneshot_full = ND.minhash_pairs_incremental(batch, base)
-    # explicit schema: an all-empty drain leaves no schema-bearing part
-    # files to infer from, and the pair schema is known
-    streamed = spark.read.schema(oneshot_full.schema).parquet(out_dir).select(
-        "doc_new", "doc_base"
-    )
-    oneshot = oneshot_full.select("doc_new", "doc_base")
-
-    def _n(df, alias):
-        return df.agg(F.count(F.lit(1)).alias(alias))
-
-    common = _n(streamed.join(oneshot, ["doc_new", "doc_base"]), "n_common")
-    return (
-        _n(streamed, "n_stream")
-        .crossJoin(_n(oneshot, "n_batch"))
-        .crossJoin(common)
-        .select(
-            F.lit(n_batches > 1).alias("multi_batch"),
-            (F.col("n_common") == F.col("n_batch")).alias("no_missing"),
-            (F.col("n_common") == F.col("n_stream")).alias("no_extra"),
+    try:
+        delta_dir = f"{root}/delta"
+        bk_dir, sh_dir = f"{root}/index_bk", f"{root}/index_sh"
+        out_dir, ckpt = f"{root}/pairs", f"{root}/ckpt"
+        # the 6-hourly drop: the delta lands as multiple files so the
+        # availableNow drain runs several real micro-batches
+        batch.repartition(4).write.parquet(delta_dir)
+        bk, sh = ND.minhash_index(base)
+        bk.write.parquet(bk_dir)
+        sh.write.parquet(sh_dir)
+        n_batches = incremental_neardup_ingest(
+            spark, delta_dir, bk_dir, sh_dir, out_dir, ckpt, docs.schema
         )
+        oneshot_full = ND.minhash_pairs_incremental(batch, base)
+        # explicit schema: an all-empty drain leaves no schema-bearing
+        # part files to infer from, and the pair schema is known
+        streamed = spark.read.schema(oneshot_full.schema).parquet(out_dir).select(
+            "doc_new", "doc_base"
+        )
+        oneshot = oneshot_full.select("doc_new", "doc_base")
+
+        def _n(df, alias):
+            return df.agg(F.count(F.lit(1)).alias(alias))
+
+        common = _n(streamed.join(oneshot, ["doc_new", "doc_base"]), "n_common")
+        # collect the 1-row verdict BEFORE the finally deletes the
+        # corpus-sized temp parquet it reads from, then hand back a
+        # literal-row DataFrame with the same schema
+        [row] = (
+            _n(streamed, "n_stream")
+            .crossJoin(_n(oneshot, "n_batch"))
+            .crossJoin(common)
+            .select(
+                F.lit(n_batches > 1).alias("multi_batch"),
+                (F.col("n_common") == F.col("n_batch")).alias("no_missing"),
+                (F.col("n_common") == F.col("n_stream")).alias("no_extra"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [row], "multi_batch boolean, no_missing boolean, no_extra boolean"
     )
 
 

@@ -52,12 +52,14 @@ def get_spark(app_name: str = "crawlingbigdatavisionaid-spark") -> SparkSession:
         # startup tax is wrong for short-lived test/tool sessions;
         # bench.py and tools/scale_smoke.py set it.
         #
-        # Caller-supplied driver JVM options are APPENDED to, not
-        # clobbered (SPARK_GRAFT_EXTRA_JAVA_OPTIONS, since a plain
-        # python process has no started JVM to read spark-defaults
-        # from). Caveat: like every config here, this is a no-op when
-        # getOrCreate() reuses an already-started JVM — bench/tools
-        # always build the session first in a fresh process.
+        # Caller-supplied driver JVM options (SPARK_GRAFT_EXTRA_JAVA_OPTIONS,
+        # since a plain python process has no started JVM to read
+        # spark-defaults from) go LAST: the JVM resolves duplicate flags
+        # last-wins, so a caller -Xms/-XX override actually takes effect
+        # instead of being shadowed by the pretouch defaults. Caveat:
+        # like every config here, this is a no-op when getOrCreate()
+        # reuses an already-started JVM — bench/tools always build the
+        # session first in a fresh process.
         extra = os.environ.get("SPARK_GRAFT_EXTRA_JAVA_OPTIONS", "")
         pretouch = (
             "-Xms"
@@ -65,7 +67,7 @@ def get_spark(app_name: str = "crawlingbigdatavisionaid-spark") -> SparkSession:
             + " -XX:+AlwaysPreTouch"
         )
         builder = builder.config(
-            "spark.driver.extraJavaOptions", (extra + " " + pretouch).strip()
+            "spark.driver.extraJavaOptions", (pretouch + " " + extra).strip()
         )
     return builder.getOrCreate()
 

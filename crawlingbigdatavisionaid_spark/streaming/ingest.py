@@ -112,12 +112,15 @@ def incremental_neardup_ingest(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(delta_path)
     n_batches = 0
+    # the index is immutable for the whole drain: build the two scan
+    # DataFrames ONCE and close over them, so each micro-batch reuses
+    # the same plan instead of repeating file-listing/footer reads
+    bk = spark.read.parquet(index_bk_path)
+    sh = spark.read.parquet(index_sh_path)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         nonlocal n_batches
         n_batches += 1
-        bk = spark.read.parquet(index_bk_path)
-        sh = spark.read.parquet(index_sh_path)
         ND.minhash_probe_index(
             batch_df, bk, sh, k, bands, threshold_tenths, n
         ).write.mode("append").parquet(out_path)

@@ -138,15 +138,20 @@ def main() -> None:
             "incr_lsh_probe",
             lambda: ND.minhash_probe_index(delta, bk_idx, sh_idx).count(),
         )
-        run(  # the one-shot exact tier (builds its index in-flight)
+        run(  # the one-shot exact tier (builds its index in-flight);
+            # df_max=None so the denominator matches the UNcapped LSH
+            # probe's pair semantics — with a cap the ratio could
+            # exceed 1 at a K where the cap starts pruning
             "incr_exact_oneshot",
-            lambda: ND.jaccard_pairs_incremental(delta, sdocs).count(),
+            lambda: ND.jaccard_pairs_incremental(delta, sdocs, df_max=None).count(),
         )
         results["incr_recall"] = {
             "s": 0.0,
             # probe candidates are exact-verified => precision 1; recall
-            # is the verified-pair ratio vs the exact incremental set
-            "out_rows": round(
+            # is the verified-pair ratio vs the exact incremental set.
+            # Emitted under a dedicated key — "out_rows" everywhere else
+            # in this JSON is an integer row count, not a ratio.
+            "recall": round(
                 results["incr_lsh_probe"]["out_rows"]
                 / max(results["incr_exact_oneshot"]["out_rows"], 1),
                 4,
