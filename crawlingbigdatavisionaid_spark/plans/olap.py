@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..sources import load_table
+from ..sources import broadcast_if_small, load_table
 from .registry import register
 
 _DEC = "decimal(18,2)"
@@ -38,10 +38,16 @@ _DEC = "decimal(18,2)"
         GROUP BY ROLLUP(r.r_name, n.n_name)
     """,
 )
-def revenue_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def revenue_rollup_region_nation(
+    spark: SparkSession, sf_dir: str, *, _hint_dims: bool = False
+) -> DataFrame:
     """ROLLUP region → nation → grand total in ONE pass: Catalyst Expand
     emits each input row once per grouping level into a single hash
-    aggregate — no three separate scans at 100 TB."""
+    aggregate — no three separate scans at 100 TB.
+
+    ``_hint_dims`` is for tools/olap_ab.py ONLY (forces the static hint
+    for the A/B); the registered query uses the statistics-driven hint
+    below instead."""
     r = load_table(spark, sf_dir, "region")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
@@ -52,8 +58,18 @@ def revenue_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey)),
         c.c_nationkey == F.col("n_nationkey"),
     ).select("c_custkey", F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
-    # dims contains customer (grows with sf) — no static hint; AQE
-    # broadcasts at runtime when it fits (plans/star.py docstring rule)
+    # dims contains customer (grows with sf) — no UNCONDITIONAL hint, but
+    # hint-free Catalyst picked the FACT side as the broadcast build here
+    # (pruned-scan estimate beat the dims join-output estimate; measured
+    # 2.75x slower at 10x — r6 A/B, PLANS.md). The statistics-driven hint
+    # broadcasts dims exactly when its source tables' bytes prove it
+    # small, and vanishes at scale (sources/tables.broadcast_if_small).
+    if _hint_dims:
+        dims = F.broadcast(dims)
+    else:
+        dims = broadcast_if_small(
+            dims, spark, sf_dir, ("customer", "nation", "region")
+        )
     joined = o.join(dims, o.o_custkey == dims.c_custkey)
     return (
         joined.rollup("region", "nation")

@@ -1,3 +1,15 @@
-from .tables import TABLES, load_table, register_views
+from .tables import (
+    TABLES,
+    broadcast_if_small,
+    load_table,
+    register_views,
+    table_bytes,
+)
 
-__all__ = ["TABLES", "load_table", "register_views"]
+__all__ = [
+    "TABLES",
+    "broadcast_if_small",
+    "load_table",
+    "register_views",
+    "table_bytes",
+]

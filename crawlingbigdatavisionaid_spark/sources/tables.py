@@ -101,3 +101,55 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so ``spark.sql`` works too."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# Ceiling for the statistics-driven broadcast hint below. 64 MB of
+# parquet expands to a few hundred MB as an in-memory HashedRelation —
+# comfortably inside executor memory on any cluster this engine targets,
+# and far past every test sf (10x customer is ~10 MB).
+DIM_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+
+
+def table_bytes(spark: SparkSession, sf_dir: str, name: str) -> int | None:
+    """On-disk byte size of one table — a driver-side filesystem metadata
+    probe (no Spark job), scheme-agnostic via the Hadoop FS API. Returns
+    None when the path can't be probed (caller must stay conservative).
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return int(fs.getContentSummary(hpath).getLength())
+    except Exception:  # noqa: BLE001 — any FS error means "unknown size"
+        return None
+
+
+def broadcast_if_small(
+    df: DataFrame,
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...],
+    limit: int = DIM_BROADCAST_MAX_BYTES,
+) -> DataFrame:
+    """Statistics-driven broadcast hint: attach ``F.broadcast(df)`` only
+    when the on-disk footprint of the side's SOURCE TABLES is provably
+    under ``limit`` — the poor man's CBO for a catalog-less parquet path.
+
+    Why this exists (r6 A/B, PLANS.md): with no hint, Catalyst estimates
+    a dims-chain join output as LARGER than a column-pruned fact scan and
+    broadcasts the FACT side (measured: 1.5M-row orders built as the
+    hashed relation — 2.75x slower than broadcasting the 150k-row dims,
+    final plans otherwise identical). A static hint fixes the build side
+    but hard-fails at 100 TB when the dim side outgrows memory. This
+    helper is the scale-safe middle: the hint appears exactly when the
+    bytes on disk prove the side small, and silently disappears at scale
+    (unknown or large sizes -> no hint -> AQE decides at runtime).
+
+    A deployment with a real catalog (ANALYZE TABLE / Delta stats) gets
+    this from the CBO instead; the FS probe is the parquet-path stand-in.
+    """
+    sizes = [table_bytes(spark, sf_dir, t) for t in tables]
+    if all(s is not None for s in sizes) and sum(sizes) <= limit:
+        return F.broadcast(df)
+    return df
