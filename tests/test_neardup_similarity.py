@@ -373,3 +373,24 @@ def test_bucket_cap_probe_collapses_oversized_corpus_bucket(spark):
     ]
     uncapped = ND.minhash_probe_index(batch, bk, sh, bucket_max=None)
     assert uncapped.count() == 3 * 200
+
+
+def test_containment_probe_catches_subsets_minhash_misses(spark):
+    """The bottom-k one-sided probe must flag a planted quote/subset
+    pair (every sampled shingle of the subset lives in the superset),
+    while plain MinHash-LSH misses it (the superset's minima come from
+    its own bulk, so the signatures disagree). Probe pairs must equal
+    the exact containment operator's pairs on the same corpus
+    (precision 1 by construction, recall 1 on the plant)."""
+    article = " ".join(f"tok{i}" for i in range(40))
+    page = article + " " + " ".join(f"extra{i}" for i in range(400))
+    other = " ".join(f"unrel{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, article), (2, page), (3, other)], "doc_id long, text string"
+    )
+    probe = _pairs(ND.containment_probe_pairs(docs, 9))
+    exact = _pairs(ND.containment_pairs(docs, 9))
+    lsh = _pairs(ND.minhash_pairs(docs, threshold_tenths=8))
+    assert (1, 2) in probe
+    assert probe == exact
+    assert (1, 2) not in lsh

@@ -380,3 +380,23 @@ def test_bpe_top_merges_counts_weighted_by_occurrence(spark, tmp_path):
     )
     got = {r.pair: r.cnt for r in bpe_top_merges(spark, sf).collect()}
     assert got == {"a b": 4, "b a": 2, "c d": 1}
+
+
+def test_semdedup_max_cluster_guard_trips_on_mega_cluster(spark):
+    """The quantizer contract is enforced: a cluster above max_cluster
+    fails fast (with the label and size in the message) instead of
+    silently serializing one executor on the quadratic greedy scan."""
+    import pytest as _pytest
+
+    from crawlingbigdatavisionaid_spark.operators.similarity import semdedup_keep
+
+    df = spark.range(50).selectExpr(
+        "id AS vec_id",
+        "array(cast(id as float), 1.0f) AS embedding",
+        "cast(7 as bigint) AS label",
+    )
+    with _pytest.raises(Exception, match="max_cluster=10"):
+        semdedup_keep(df, 0.9, greedy=True, max_cluster=10).collect()
+    # under the bound (or disabled) it runs fine
+    assert semdedup_keep(df, 0.9, greedy=True, max_cluster=None).count() > 0
+    assert semdedup_keep(df, 0.9, greedy=True, max_cluster=50).count() > 0
