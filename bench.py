@@ -82,6 +82,9 @@ HEADLINE = [
     "dedup_simhash_recall",
     "incremental_minhash_recall",
     "semdedup_greedy_audit",
+    # round 6 additions
+    "containment_minhash_recall",
+    "curated_corpus",
 ]
 
 

@@ -156,6 +156,7 @@ def _load_all() -> None:
     from . import (  # noqa: F401
         analytics,
         asof,
+        curation,
         dedup,
         extraction,
         multimodal,

@@ -54,6 +54,10 @@ QUERIES = [
     "training_corpus",
     "incremental_ingest_dedup",
     "dedup_containment",
+    # the composed funnel (judge r5 #3): the query a 100 TB curation
+    # user actually runs — standing 10x row so stage-composition cost
+    # is watched round over round
+    "curated_corpus",
 ]
 
 
