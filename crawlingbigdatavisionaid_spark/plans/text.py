@@ -1002,3 +1002,30 @@ def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(20)
     )
+
+
+@register(
+    "bpe_merge_rounds",
+    ops=("OP-TXT-01", "OP-TXT-02", "OP-TOPK-01"),
+    # the merge SEQUENCE is iterative (each round's statistics depend on
+    # the previous round's re-segmentation) — no SQL twin; rows-only for
+    # the driver. Correctness is pinned three ways in pytest: the full
+    # sequence against a pure-Python reference trainer on fixtures and
+    # random corpora (hypothesis), and round 1 against bpe_top_merges'
+    # oracle-checked top pair.
+    oracle=None,
+)
+def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full iterative BPE trainer (operators/bpe.bpe_train), 8 merge
+    rounds over the documents corpus: returns the ordered rule list
+    (round, left, right, weighted pair count). Round 1 equals
+    ``bpe_top_merges``' top pair by construction (char segmentation =
+    per-instance counting); later rounds count over the re-segmented
+    vocab, which only the iterative form can produce."""
+    from ..operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, rounds=8)
+    return spark.createDataFrame(
+        merges, "round int, left string, right string, cnt bigint"
+    )

@@ -55,3 +55,110 @@ def test_udtf_matches_builtin_explode(spark):
         .collect()
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, builtin))
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE trainer (operators/bpe.py) vs a pure-Python reference
+# ---------------------------------------------------------------------------
+import re as _re
+from collections import Counter as _Counter
+
+
+def _ref_bpe_train(texts, rounds):
+    """Reference trainer: freq-weighted vocab, count all adjacent symbol
+    positions, merge the (count desc, pair asc) arg-max left-to-right
+    greedily — the Sennrich et al. 2016 algorithm."""
+    vocab = _Counter()
+    for t in texts:
+        vocab.update(_re.findall("[a-z]+", (t or "").lower()))
+    segs = {w: list(w) for w in vocab}
+    merges = []
+    for r in range(1, rounds + 1):
+        counts = _Counter()
+        for w, freq in vocab.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += freq
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merges.append((r, a, b, cnt))
+        for w, s in segs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference_on_fixture(spark):
+    """Hand-checkable corpus: the merge sequence (rules AND weighted
+    counts) must equal the pure-Python reference exactly."""
+    from crawlingbigdatavisionaid_spark.operators.bpe import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = bpe_train(docs, rounds=6)
+    assert got == _ref_bpe_train(texts, 6)
+
+
+def test_bpe_merge_is_leftmost_nonoverlapping(spark):
+    """'aaaa' + rule (a,a) must segment as (aa)(aa) — the fold must not
+    chain-merge into a(aa)a or (aaa)a."""
+    from crawlingbigdatavisionaid_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id long, text string")
+    got = bpe_train(docs, rounds=2)
+    # round 1: (a,a) appears 3 times per word x 2 words = 6
+    assert got[0] == (1, "a", "a", 6)
+    # round 2: segmentation is [aa, aa] -> pair (aa, aa) twice
+    assert got[1] == (2, "aa", "aa", 2)
+
+
+def test_bpe_train_round1_matches_oracle_checked_top_pair(spark):
+    """Round 1 of the trainer == bpe_top_merges' (oracle-checked) top
+    pair: char segmentation makes freq-weighted type counting equal
+    per-instance counting."""
+    from crawlingbigdatavisionaid_spark.operators.bpe import bpe_train
+    from crawlingbigdatavisionaid_spark.plans.registry import query_map
+    from crawlingbigdatavisionaid_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    (r, a, b, cnt), *_ = bpe_train(docs, rounds=1)
+    top = query_map()["bpe_top_merges"](spark, sf).first()
+    assert (f"{a} {b}", cnt) == (top.pair, top.cnt)
+
+
+def test_bpe_train_matches_reference_on_random_corpora(spark):
+    """Property: 5 seeded random corpora, full-sequence equality."""
+    import random
+
+    from crawlingbigdatavisionaid_spark.operators.bpe import bpe_train
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice("abcd") for _ in range(rng.randint(1, 6)))
+            for _ in range(30)
+        ]
+        texts = [
+            " ".join(rng.choice(words) for _ in range(rng.randint(3, 15)))
+            for _ in range(8)
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        assert bpe_train(docs, rounds=4) == _ref_bpe_train(texts, 4), seed
