@@ -99,3 +99,38 @@ def test_canonical_url_is_idempotent(spark):
     assert "https://bloga.example/a%2Fb%ZZ%3D" in got
     # consecutive tracking params collapse cleanly, either position
     assert "https://bloga.example/p?id=2" in got
+
+
+def test_scheduled_fetch_serializes_per_domain(spark):
+    """The frontier-schedule slots are ENFORCED by the fetch stage: for
+    every domain, ordering its rows by slot gives strictly increasing
+    per-task execution sequence numbers (same-domain fetches never
+    interleave or share a slot), while distinct domains may run in
+    parallel tasks."""
+    from crawlingbigdatavisionaid_spark.crawl.pipeline import (
+        DictFetcher,
+        scheduled_fetch_stage,
+    )
+
+    rows = [
+        (f"d{d}.example", f"http://d{d}.example/p{i}")
+        for d in range(6)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "source string, url string").repartition(8)
+    pages = {u: f"<html>{u}</html>" for _, u in rows}
+    out = scheduled_fetch_stage(df, "url", "source", DictFetcher(pages)).collect()
+    assert len(out) == len(rows)
+    by_domain: dict[str, list] = {}
+    for r in out:
+        by_domain.setdefault(r.source, []).append(r)
+    for dom, rs in by_domain.items():
+        slots = sorted(r.slot for r in rs)
+        # slots are the dense politeness lane 0..n-1 — no shared slot
+        assert slots == list(range(len(rs))), dom
+        seqs = [r.fetch_seq for r in sorted(rs, key=lambda r: r.slot)]
+        # slot order == execution order within one sequential task
+        assert seqs == sorted(seqs), (dom, seqs)
+        assert len(set(seqs)) == len(seqs), dom
+    # every fetch actually ran (html present, per-item isolation intact)
+    assert all(r.html for r in out)
