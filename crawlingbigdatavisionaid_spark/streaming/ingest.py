@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..crawl.pipeline import STORE_SCHEMA, read_store
+from ..sources.maintenance import append_guard
 
 
 def ingest_stream(
@@ -49,18 +50,30 @@ def ingest_stream(
     appended: list[tuple[int, int]] = []
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        fresh = (
-            batch_df.dropDuplicates(["url"])
-            .join(read_store(spark, store_path).select("url"), "url", "left_anti")
-            .cache()
-        )
-        try:
-            n = fresh.count()
-            if n:
-                fresh.write.mode("append").parquet(store_path)
-            appended.append((batch_id, n))
-        finally:
-            fresh.unpersist()
+        # marker protocol vs a concurrent compact() rewrite+swap
+        # (sources/maintenance.append_guard). The guard wraps the WHOLE
+        # read->count->append sequence, not just the write: a row
+        # appended inside compaction's read..swap window would be
+        # silently dropped with the backup, and the dedup anti-join's
+        # store READ fails mid-swap too (file list goes stale —
+        # FAILED_READ_FILE, observed in the race test).
+        with append_guard(store_path):
+            fresh = (
+                batch_df.dropDuplicates(["url"])
+                .join(
+                    read_store(spark, store_path).select("url"),
+                    "url",
+                    "left_anti",
+                )
+                .cache()
+            )
+            try:
+                n = fresh.count()
+                if n:
+                    fresh.write.mode("append").parquet(store_path)
+                appended.append((batch_id, n))
+            finally:
+                fresh.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(sink)
