@@ -62,6 +62,20 @@ def http_fetcher(url: str) -> str:  # pragma: no cover - network stub
     raise NotImplementedError("network fetch is disabled in this environment")
 
 
+def _fetch_urls(urls, fetcher) -> list[str | None]:
+    """THE per-item fetch loop (OP-STR-02 isolation: a failing URL
+    yields None, never fails the batch) — one definition shared by the
+    plain and the politeness-scheduled stages so their failure
+    semantics can never drift apart."""
+    html: list[str | None] = []
+    for u in urls:
+        try:
+            html.append(fetcher(u))
+        except Exception:  # noqa: BLE001 — OP-STR-02 isolation
+            html.append(None)
+    return html
+
+
 def _fetch_stage(df: DataFrame, url_col: str, fetcher) -> DataFrame:
     """Generic fetch stage: adds an ``html`` column via mapInPandas —
     IO-bound work batched per partition, the Spark-native fetch shape."""
@@ -69,14 +83,8 @@ def _fetch_stage(df: DataFrame, url_col: str, fetcher) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            html = []
-            for u in pdf[url_col]:
-                try:
-                    html.append(fetcher(u))
-                except Exception:  # noqa: BLE001 — OP-STR-02 isolation
-                    html.append(None)
             out = pdf.copy()
-            out["html"] = html
+            out["html"] = _fetch_urls(pdf[url_col], fetcher)
             yield out
 
     return df.mapInPandas(run, schema)
@@ -115,17 +123,10 @@ def scheduled_fetch_stage(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         seq = 0  # per-task execution counter, monotone across batches
         for pdf in batches:
-            html, seqs = [], []
-            for u in pdf[url_col]:
-                try:
-                    html.append(fetcher(u))
-                except Exception:  # noqa: BLE001 — OP-STR-02 isolation
-                    html.append(None)
-                seqs.append(seq)
-                seq += 1
             out = pdf.copy()
-            out["html"] = html
-            out["fetch_seq"] = seqs
+            out["html"] = _fetch_urls(pdf[url_col], fetcher)
+            out["fetch_seq"] = range(seq, seq + len(pdf))
+            seq += len(pdf)
             yield out
 
     return slotted.mapInPandas(run, schema)

@@ -81,6 +81,45 @@ def _with_shingles(
 DF_MAX_DEFAULT = 128
 
 
+def _hot_keys(
+    index: DataFrame, df_max: int | float | None, key: str = "s"
+) -> DataFrame | None:
+    """Resolve the corpus-relative df cap over ``index`` (doc_id, key)
+    and return the hot-key set to anti-join away — or None when no key
+    exceeds the cap (the common case; callers skip the whole capping
+    stage). THE single definition of the cap rule: a float ``df_max``
+    is a fraction of the corpus floored at ``DF_MAX_DEFAULT`` (an
+    absolute cap silently redefines Jaccard as the corpus grows), and
+    both sizing probes (n_docs denominator + max-df short-circuit) run
+    as ONE scalar job over the caller's already-checkpointed index.
+    The DuckDB twin is plans/dedup._SQL_DF_CAP_CTES — change them
+    together."""
+    if df_max is None:
+        return None
+    n_docs, max_df = (
+        index.agg(F.countDistinct("doc_id").alias("n_docs"))
+        .crossJoin(
+            index.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(F.max("df").alias("max_df"))
+        )
+        .collect()[0]
+    )
+    max_df = max_df or 0
+    if isinstance(df_max, float):
+        import math
+
+        df_max = max(DF_MAX_DEFAULT, math.ceil(df_max * n_docs))
+    if max_df <= df_max:
+        return None
+    return (
+        index.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > df_max)
+        .select(key)
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     threshold_tenths: int = 8,
@@ -128,42 +167,15 @@ def jaccard_pairs(
     # ``inv`` so tokenization runs once per corpus, not once per side.
     if inv is None:
         inv = shingle_rows(docs, n).localCheckpoint(eager=False)
-    if df_max is not None:
-        # ONE scalar job for both sizing probes (r2 had a separate
-        # docs.count() scan, r3 two separate collects): n_docs (the
-        # fractional-cap denominator) and max(df) (the short-circuit
-        # probe) are two aggregate branches over the SAME checkpointed
-        # index, collected together through a 1x1 crossJoin. The df
-        # table is deliberately NOT materialized here — in the common
-        # (uncapped) case it has no further consumer, so checkpointing
-        # it was pure construction-time cost; the rare hot-set path
-        # below recomputes it once more instead.
-        n_docs, max_df = (
-            inv.agg(F.countDistinct("doc_id").alias("n_docs"))
-            .crossJoin(
-                inv.groupBy("s")
-                .agg(F.count(F.lit(1)).alias("df"))
-                .agg(F.max("df").alias("max_df"))
-            )
-            .collect()[0]
+    # cap rule + sizing probes single-sourced in _hot_keys; the df table
+    # is deliberately not materialized (no consumer in the uncapped
+    # common case). When a hot set exists, checkpoint the capped index
+    # so the anti-join runs once, not per consumer.
+    hot = _hot_keys(inv, df_max)
+    if hot is not None:
+        inv = inv.join(F.broadcast(hot), "s", "left_anti").localCheckpoint(
+            eager=False
         )
-        max_df = max_df or 0
-        if isinstance(df_max, float):
-            import math
-
-            df_max = max(DF_MAX_DEFAULT, math.ceil(df_max * n_docs))
-        if max_df > df_max:
-            hot = (
-                inv.groupBy("s")
-                .agg(F.count(F.lit(1)).alias("df"))
-                .where(F.col("df") > df_max)
-                .select("s")
-            )
-            # checkpoint the capped index too so the anti-join (and the
-            # hot-set broadcast feeding it) runs once, not per consumer
-            inv = inv.join(F.broadcast(hot), "s", "left_anti").localCheckpoint(
-                eager=False
-            )
     return (
         _pair_counts(inv)
         .withColumn("union_size", F.col("na") + F.col("nb") - F.col("inter"))
@@ -264,29 +276,11 @@ def containment_probe_pairs(
         .select("doc_id", F.explode("hs").alias("h"))
     )
     target = hashed
-    if df_max is not None:
-        n_docs, max_df = (
-            hashed.agg(F.countDistinct("doc_id").alias("n_docs"))
-            .crossJoin(
-                hashed.groupBy("h")
-                .agg(F.count(F.lit(1)).alias("df"))
-                .agg(F.max("df").alias("max_df"))
-            )
-            .collect()[0]
-        )
-        max_df = max_df or 0
-        if isinstance(df_max, float):
-            import math
-
-            df_max = max(DF_MAX_DEFAULT, math.ceil(df_max * n_docs))
-        if max_df > df_max:
-            hot = (
-                hashed.groupBy("h")
-                .agg(F.count(F.lit(1)).alias("df"))
-                .where(F.col("df") > df_max)
-                .select("h")
-            )
-            target = hashed.join(F.broadcast(hot), "h", "left_anti")
+    # cap the INDEX side of the probe join (rule single-sourced in
+    # _hot_keys; verification below stays over the FULL shingle sets)
+    hot = _hot_keys(hashed, df_max, key="h")
+    if hot is not None:
+        target = hashed.join(F.broadcast(hot), "h", "left_anti")
     a = bottomk.alias("a")
     b = target.alias("b")
     cand = (
@@ -338,15 +332,27 @@ def _bucket_pairs(
     mode the shingle df cap fixes one layer down (judge r5 #4). Buckets
     larger than ``bucket_max`` therefore switch from all-pairs to a
     STAR over the bucket representative (min doc_id): O(f) candidate
-    edges instead of O(f^2). Pair-level recall inside an oversized
-    bucket degrades to the star, but every member still exact-verifies
-    against the representative, so transitive cluster connectivity —
-    what connected-components dedup consumes downstream — is preserved,
-    and a bucket that large is near-certainly an identical-content
-    clique (16 shared minima over 4 bands). Small buckets (the entire
-    real-data regime; no current corpus has a bucket near the default)
-    keep exact all-pairs enumeration, so the *_recall verdicts are
-    unchanged.
+    edges instead of O(f^2).
+
+    Recall semantics, precisely: inside an oversized bucket only
+    member↔representative pairs are enumerated, so a member↔member pair
+    whose exact similarity passes while its representative pairs fail
+    is LOST *from this bucket*. For the bucket shape that actually
+    reaches the cap — an identical-content clique, where all pairs
+    verify against the representative — connectivity and the CC
+    clusters are fully preserved. For a mixed oversized bucket (shared
+    boilerplate band minima over genuinely different docs — mostly a
+    false-candidate factory the cap is right to suppress), a true pair
+    collapsed here is usually still found through its OTHER bands: a
+    >= threshold pair matches each band with high probability
+    (s^(k/bands) per band), and a bucket containing it plus >
+    ``bucket_max`` unrelated docs in EVERY matching band is the
+    pathological corner this cap deliberately trades away for bounded
+    cost. ``bucket_max=None`` restores exact enumeration. Small
+    buckets (the entire real-data regime; no current corpus has a
+    bucket near the default) keep exact all-pairs, so the *_recall
+    verdicts are unchanged — pinned by
+    test_bucket_cap_inactive_on_small_buckets.
 
     The size/representative pass is one window over the bucket key —
     the same (b, h) shuffle the self-join needs anyway, no extra scan.
@@ -590,34 +596,16 @@ def jaccard_pairs_incremental(
     if inv_old is None:
         inv_old = shingle_rows(base, n).localCheckpoint(eager=False)
     both = inv_new.unionByName(inv_old)
-    if df_max is not None:
-        n_docs, max_df = (
-            both.agg(F.countDistinct("doc_id").alias("n_docs"))
-            .crossJoin(
-                both.groupBy("s")
-                .agg(F.count(F.lit(1)).alias("df"))
-                .agg(F.max("df").alias("max_df"))
-            )
-            .collect()[0]
-        )
-        max_df = max_df or 0
-        if isinstance(df_max, float):
-            import math
-
-            df_max = max(DF_MAX_DEFAULT, math.ceil(df_max * n_docs))
-        if max_df > df_max:
-            hot = (
-                both.groupBy("s")
-                .agg(F.count(F.lit(1)).alias("df"))
-                .where(F.col("df") > df_max)
-                .select("s")
-            )
-            inv_new = inv_new.join(
-                F.broadcast(hot), "s", "left_anti"
-            ).localCheckpoint(eager=False)
-            inv_old = inv_old.join(
-                F.broadcast(hot), "s", "left_anti"
-            ).localCheckpoint(eager=False)
+    # cap computed over the COMBINED universe and applied to BOTH sides
+    # (rule single-sourced in _hot_keys)
+    hot = _hot_keys(both, df_max)
+    if hot is not None:
+        inv_new = inv_new.join(
+            F.broadcast(hot), "s", "left_anti"
+        ).localCheckpoint(eager=False)
+        inv_old = inv_old.join(
+            F.broadcast(hot), "s", "left_anti"
+        ).localCheckpoint(eager=False)
     sizes_new = inv_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
     sizes_old = inv_old.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
     a = inv_new.select(F.col("doc_id").alias("doc_new"), "s")
@@ -723,10 +711,14 @@ def minhash_probe_index(
     The shrink is restricted to buckets the batch actually probes (a
     broadcast semi-join on the batch's tiny bucket-key set), so the
     corpus index is still never shuffled per probe — per-ingest cost
-    keeps tracking the delta. A new doc matching an oversized bucket
-    still verifies against the representative, so the dup DECISION
-    (is this doc a near-dup of the corpus?) is unchanged; only the
-    enumeration of which clique members it duplicates collapses.
+    keeps tracking the delta. Recall semantics match
+    :func:`_bucket_pairs`: when the oversized bucket is the
+    identical-clique shape that actually reaches the cap, verifying
+    against the representative preserves the dup DECISION and only the
+    member enumeration collapses; for a mixed oversized bucket a new
+    doc similar to a member but not the representative loses this
+    bucket's vote and must be caught through its other bands (or by
+    ``bucket_max=None``).
 
     Returns (doc_new, doc_base, inter, union_size)."""
     inv_new = (

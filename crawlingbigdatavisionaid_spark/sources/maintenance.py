@@ -58,8 +58,27 @@ def _append_marker_glob(path: str) -> str:
     return path.rstrip("/") + "._append_*"
 
 
+# A lock/marker older than this is ORPHANED (its writer crashed without
+# the finally) and may be broken by the next writer. Compaction
+# refreshes its lock mtime while it works, so a live compaction of any
+# length is never mistaken for a crash; append markers live for one
+# batch write and never legitimately approach the TTL.
+STALE_LOCK_S = 900.0
+
+
+def _break_if_stale(f: str, stale_s: float = STALE_LOCK_S) -> bool:
+    """Remove an orphaned lock/marker file; True if it was broken."""
+    try:
+        if time.time() - os.path.getmtime(f) > stale_s:
+            os.remove(f)
+            return True
+    except FileNotFoundError:
+        pass
+    return False
+
+
 @contextlib.contextmanager
-def append_guard(path: str, wait_s: float = 60.0, poll_s: float = 0.05):
+def append_guard(path: str, wait_s: float = 600.0, poll_s: float = 0.05):
     """Marker half of the compaction-vs-append protocol (judge r5 #10).
 
     The race it closes: ``compact`` reads the directory, then swaps it
@@ -79,12 +98,20 @@ def append_guard(path: str, wait_s: float = 60.0, poll_s: float = 0.05):
     both can never proceed concurrently. A transactional table format
     (Delta/Iceberg MERGE/OPTIMIZE) replaces all of this with a metadata
     commit; this is the plain-parquet stand-in, same as the MERGE note
-    in streaming/ingest.py."""
+    in streaming/ingest.py.
+
+    Liveness: a crashed compactor must not wedge the store forever, so
+    a lock whose mtime exceeds ``STALE_LOCK_S`` is treated as orphaned
+    and broken (a LIVE compaction refreshes its lock mtime as it works,
+    so only a dead one can go stale). ``wait_s`` defaults to 10 minutes
+    because compaction duration is O(partition bytes) and the appender
+    — a streaming micro-batch — must wait it out rather than abort the
+    whole drain."""
     lock = _compact_lock(path)
     marker = path.rstrip("/") + f"._append_{uuid.uuid4().hex}"
     deadline = time.monotonic() + wait_s
     while True:
-        if not os.path.exists(lock):
+        if not os.path.exists(lock) or _break_if_stale(lock):
             open(marker, "x").close()
             if not os.path.exists(lock):  # re-check AFTER publishing
                 break
@@ -116,22 +143,45 @@ def compact(
     row-group stats prune better on that column afterward.
 
     Single-writer enforcement: takes the exclusive compact lock (a
-    concurrent compaction raises :class:`WriterConflict` immediately),
-    then waits for in-flight append markers to drain before reading —
-    see :func:`append_guard` for the protocol and the row-loss race it
-    closes."""
+    concurrent LIVE compaction raises :class:`WriterConflict`
+    immediately; an orphaned lock from a crashed compactor is broken
+    after ``STALE_LOCK_S``), then waits for in-flight append markers to
+    drain before reading — stale markers from crashed appenders are
+    broken the same way. A heartbeat thread refreshes the lock mtime
+    during the rewrite so a long-running live compaction is never
+    mistaken for a crash. See :func:`append_guard` for the protocol and
+    the row-loss race it closes."""
+    import threading
+
     lock = _compact_lock(path)
+    _break_if_stale(lock)
     try:
         os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
     except FileExistsError:
         raise WriterConflict(f"compaction already running on {path}") from None
+    stop = threading.Event()
+
+    def heartbeat() -> None:
+        while not stop.wait(STALE_LOCK_S / 3):
+            with contextlib.suppress(FileNotFoundError):
+                os.utime(lock)
+
+    hb = threading.Thread(target=heartbeat, daemon=True)
+    hb.start()
     try:
         deadline = time.monotonic() + wait_s
-        while glob.glob(_append_marker_glob(path)):
+        while True:
+            markers = [
+                m
+                for m in glob.glob(_append_marker_glob(path))
+                if not _break_if_stale(m)
+            ]
+            if not markers:
+                break
             if time.monotonic() > deadline:
                 raise WriterConflict(
                     f"compact {path}: append markers still present after "
-                    f"{wait_s}s: {glob.glob(_append_marker_glob(path))}"
+                    f"{wait_s}s: {markers}"
                 )
             time.sleep(poll_s)
         n_files = max(1, math.ceil(dir_bytes(path) / target_bytes))
@@ -148,5 +198,6 @@ def compact(
         shutil.rmtree(bak)
         return n_files
     finally:
+        stop.set()
         with contextlib.suppress(FileNotFoundError):
             os.remove(lock)

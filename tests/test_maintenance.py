@@ -148,3 +148,39 @@ def test_compaction_during_availablenow_drain_loses_no_rows(spark, tmp_path):
     assert [n for _, n in appended] == [50] * n_batches
     assert read_store(spark, store).count() == 1 + 50 * n_batches
     assert "ok" in outcomes  # compaction really ran during the drain
+
+
+def test_stale_locks_and_markers_are_broken_not_wedging(spark, tmp_path):
+    """A crashed writer must not wedge the store: locks/markers whose
+    mtime exceeds STALE_LOCK_S are treated as orphaned and broken by
+    the next writer (a live compaction keeps its lock fresh via the
+    heartbeat, so only a dead one can go stale)."""
+    import os
+    import time
+
+    from crawlingbigdatavisionaid_spark.sources.maintenance import (
+        STALE_LOCK_S,
+        append_guard,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(10).write.parquet(path)
+    old = time.time() - STALE_LOCK_S - 10
+    # orphaned compact lock (compactor crashed): appender breaks it
+    lock = path + "._compact_lock"
+    open(lock, "x").close()
+    os.utime(lock, (old, old))
+    with append_guard(path, wait_s=0.5):
+        pass
+    assert not os.path.exists(lock)
+    # orphaned compact lock: the next compaction retakes it
+    open(lock, "x").close()
+    os.utime(lock, (old, old))
+    assert compact(spark, path, target_bytes=1 << 40) == 1
+    assert not os.path.exists(lock)
+    # orphaned append marker (appender crashed): compaction breaks it
+    marker = path + "._append_deadbeef"
+    open(marker, "x").close()
+    os.utime(marker, (old, old))
+    assert compact(spark, path, target_bytes=1 << 40, wait_s=0.5) == 1
+    assert not os.path.exists(marker)

@@ -184,6 +184,14 @@ def main() -> None:
         # classes are offset-invariant. Any nonlinearity means a stage
         # (cap semantics, CC labeling, split) silently changed meaning
         # with scale.
+        #
+        # Premise check: the replicate-the-base-graph argument needs the
+        # BASE corpus to sit below the df cap — per-shingle dfs don't
+        # grow with K (disjoint vocabularies) while the fractional cap
+        # threshold does, so a base corpus that trips the cap would be
+        # pruned differently at 1x vs Kx and a false `linear: false`
+        # would blame the engine for the tool's broken premise. Recorded
+        # so a red flag is attributable.
         from crawlingbigdatavisionaid_spark.plans.registry import query_map
 
         qmap = query_map()
@@ -191,6 +199,10 @@ def main() -> None:
             f"doc_span={doc_span}: replica offsets would shift the "
             "doc_id%100 split classes and break the linear invariant"
         )
+        base_cap_tripped = (
+            ND._hot_keys(ND.shingle_rows(docs), df_max=0.03) is not None
+        )
+        results["base_cap_tripped"] = {"s": 0.0, "tripped": base_cap_tripped}
         run(
             "training_corpus_base",
             lambda: qmap["training_corpus"](spark, base).count(),
