@@ -354,25 +354,40 @@ def _bucket_pairs(
     verdicts are unchanged — pinned by
     test_bucket_cap_inactive_on_small_buckets.
 
-    The size/representative pass is one window over the bucket key —
-    the same (b, h) shuffle the self-join needs anyway, no extra scan.
+    Cost: the cap is probed first with ONE scalar job (map-side
+    partial-aggregated bucket counts → max — the df-cap max_df
+    pattern); in the common no-oversized-bucket case the probe is the
+    only overhead and the join stays the plain all-pairs self-join.
+    Only when a bucket actually exceeds the cap does the split pay a
+    window over the bucket key — the same (b, h) shuffle the self-join
+    needs anyway.
     """
     a = bucket.alias("a")
     b_ = bucket.alias("b")
-    if bucket_max is None:
-        return (
-            a.join(
-                b_,
-                (F.col("a.b") == F.col("b.b"))
-                & (F.col("a.h") == F.col("b.h"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-            )
-            .distinct()
+    plain = (
+        a.join(
+            b_,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    if bucket_max is None:
+        return plain
+    max_f = (
+        bucket.groupBy("b", "h")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .agg(F.max("f"))
+        .collect()[0][0]
+        or 0
+    )
+    if max_f <= bucket_max:
+        return plain
     w = Window.partitionBy("b", "h")
     sized = bucket.select(
         "doc_id",

@@ -133,3 +133,40 @@ def test_split_contamination_joins_semi_on_fingerprint(spark, sf_dir):
     # full join materializing matches
     join_lines = [l for l in plan.splitlines() if "LeftSemi" in l]
     assert join_lines and all("fp" in l for l in join_lines), join_lines
+
+
+def test_broadcast_if_small_is_statistics_driven(spark):
+    """The hint appears exactly when the side's source tables prove
+    small on disk, and degrades to no-hint (AQE decides) for unknown
+    paths or a too-small ceiling — the scale-safety contract."""
+    from pyspark.sql import functions as F
+
+    from crawlingbigdatavisionaid_spark.sources import (
+        broadcast_if_small,
+        load_table,
+        table_bytes,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    c = load_table(spark, sf, "customer").select("c_custkey")
+
+    def hinted(df):
+        return "UnresolvedHint" in df._jdf.queryExecution().logical().toString() \
+            or "ResolvedHint" in df._jdf.queryExecution().analyzed().toString()
+
+    assert table_bytes(spark, sf, "customer") > 0
+    assert hinted(broadcast_if_small(c, spark, sf, ("customer",)))
+    # ceiling below the table size -> no hint
+    assert not hinted(broadcast_if_small(c, spark, sf, ("customer",), limit=1))
+    # unknown table path -> conservative, no hint
+    assert table_bytes(spark, "/nonexistent", "customer") is None
+    assert not hinted(
+        broadcast_if_small(c, spark, "/nonexistent", ("customer",))
+    )
+    # and the hinted side actually plans as the broadcast build
+    o = load_table(spark, sf, "orders").select("o_custkey")
+    j = o.join(
+        broadcast_if_small(c, spark, sf, ("customer",)),
+        o.o_custkey == F.col("c_custkey"),
+    )
+    assert "BroadcastHashJoin" in j._jdf.queryExecution().executedPlan().toString()

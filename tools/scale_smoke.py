@@ -58,6 +58,9 @@ QUERIES = [
     # user actually runs — standing 10x row so stage-composition cost
     # is watched round over round
     "curated_corpus",
+    # judge r5 flagged its warm drift under the 2x bar (A/B-resolved as
+    # variance, PLANS.md r6 note) — a standing 10x row instruments it
+    "q21_sole_returned_supplier",
 ]
 
 
