@@ -19,10 +19,10 @@ curator actually runs.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.window import Window
 
 from ..functions import text as T
 from ..operators import neardup as ND
+from ..operators.prefix import chunked_cumsum
 from ..sources import load_table
 from .registry import register
 
@@ -242,25 +242,26 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("n_tok"), F.lit(0)).cast("bigint").alias("total"),
         F.countDistinct("source").alias("ns"),
     )
-    wsrc = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # per-source / per-bucket running sums via the chunked prefix sum
+    # (operators/prefix.py): a mega-source at 100 TB must not serialize
+    # one window task; semantics identical to the plain window, so the
+    # oracle's SUM OVER is unchanged
     mixed = (
-        dec.withColumn("cum", F.sum("n_tok").over(wsrc))
+        chunked_cumsum(dec, ["source"], "doc_id", F.col("n_tok"), "cum")
         .crossJoin(F.broadcast(tot))
         .where(F.col("cum") <= F.expr("total div greatest(ns, 1)"))
         .select("doc_id", "n_tok")
     )
-    wpk = (
-        Window.partitionBy("bucket")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     seqs = (
-        mixed.select("doc_id", "n_tok", (F.col("doc_id") % 32).alias("bucket"))
-        .withColumn("cum", F.sum("n_tok").over(wpk))
+        chunked_cumsum(
+            mixed.select(
+                "doc_id", "n_tok", (F.col("doc_id") % 32).alias("bucket")
+            ),
+            ["bucket"],
+            "doc_id",
+            F.col("n_tok"),
+            "cum",
+        )
         .groupBy(
             "bucket",
             F.floor((F.col("cum") - F.col("n_tok")) / 256).alias("seq_id"),

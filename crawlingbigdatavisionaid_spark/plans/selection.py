@@ -380,13 +380,20 @@ def crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     (/root/reference/crawl.py:78,155-162) — serial order IS its
     politeness. Distributed, that becomes: per-domain (``source``)
     deterministic slots, each offset {delay}s from the last, domains
-    fanned out in parallel. One window shuffle keyed by domain; at
-    100 TB the frontier partitions by domain hash, and a skewed mega-
-    domain bounds its own lane without stalling others."""
+    fanned out in parallel. Slot numbering (ROW_NUMBER - 1 == the
+    exclusive running count) runs as a chunked prefix sum
+    (operators/prefix.py) so a mega-domain's slot assignment doesn't
+    serialize one window task at 100 TB — its FETCHES are still
+    serialized by design (that's politeness, crawl/pipeline.
+    scheduled_fetch_stage), but computing the schedule shouldn't be."""
+    from ..operators.prefix import chunked_cumsum
+
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy("doc_id")
-    slot = (F.row_number().over(w) - F.lit(1)).cast("bigint")
-    return docs.select(
+    slotted = chunked_cumsum(
+        docs.select("doc_id", "source"), ["source"], "doc_id", F.lit(1), "rn"
+    )
+    slot = (F.col("rn") - F.lit(1)).cast("bigint")
+    return slotted.select(
         "doc_id",
         "source",
         slot.alias("slot"),

@@ -776,23 +776,22 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The scale-correct form is BUCKETED: a single global cumulative sum
     would serialize into one window partition, so docs are first salted
-    into 32 independent buckets and packed within each — at 1000
-    executors each bucket's window is an ordinary partitioned sort, and
-    the pack boundaries stay deterministic (hash bucket + doc_id order),
-    so re-runs and other engines produce identical sequences."""
-    from pyspark.sql.window import Window
+    into 32 independent buckets and packed within each — and each
+    bucket's running sum itself runs as a CHUNKED prefix sum
+    (operators/prefix.py: bounded inner windows + a tiny offsets
+    table), because at 100 TB one bucket is still corpus/32 rows and a
+    plain per-bucket window would serialize that. The pack boundaries
+    stay deterministic (hash bucket + doc_id order, identical to the
+    plain window), so re-runs and other engines produce identical
+    sequences."""
+    from ..operators.prefix import chunked_cumsum
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         (F.col("doc_id") % 32).alias("bucket"),
         F.size(T.tokens("text")).alias("n_tok"),
     )
-    w = (
-        Window.partitionBy("bucket")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = d.withColumn("cum", F.sum("n_tok").over(w))
+    c = chunked_cumsum(d, ["bucket"], "doc_id", F.col("n_tok"), "cum")
     return (
         c.groupBy(
             "bucket",

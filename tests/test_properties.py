@@ -145,3 +145,39 @@ def test_canonical_url_idempotent_on_generated_urls(spark, urls):
     ).select("once", canonical_url(F.col("once")).alias("twice")).collect()
     for r in rows:
         assert r["once"] == r["twice"], (r["once"], r["twice"])
+
+
+def test_chunked_cumsum_equals_plain_window(spark):
+    """The chunked prefix sum must be BIT-IDENTICAL to the plain
+    unbounded window on data that spans many chunks, has sparse/dense
+    id regions, chunk-boundary ids, and multi-group partitions."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from crawlingbigdatavisionaid_spark.operators.prefix import chunked_cumsum
+
+    rng = random.Random(7)
+    rows = []
+    for g in ("a", "b", "c"):
+        ids = {rng.randrange(0, 40) for _ in range(60)}
+        ids |= {7, 8, 15, 16, 31, 32}  # chunk boundaries at chunk=8
+        rows += [(g, i, rng.randrange(0, 100)) for i in sorted(ids)]
+    df = spark.createDataFrame(rows, "g string, oid long, v long")
+    w = (
+        Window.partitionBy("g")
+        .orderBy("oid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    plain = {
+        (r.g, r.oid): r.cum
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    chunked = {
+        (r.g, r.oid): r.cum
+        for r in chunked_cumsum(
+            df, ["g"], "oid", F.col("v"), "cum", chunk=8
+        ).collect()
+    }
+    assert chunked == plain
