@@ -165,6 +165,69 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_persisted_recall",
+    ops=("OP-X-SIM-01",),
+    # the index/probe SPLIT is the production shape (the ANN analog of
+    # the minhash_index story): this verdict pins (a) that a parquet-
+    # persisted index probed later returns EXACTLY the in-flight
+    # ivf_topk result (float64 centroids round-trip bit-exactly), and
+    # (b) the split result still recalls >= 1/2 of the exact top-k —
+    # all integer arithmetic.
+    oracle="SELECT TRUE AS persisted_matches, TRUE AS recall_ok",
+)
+def ann_ivf_persisted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable verdict for the persisted IVF index
+    (operators/similarity.ivf_index / ivf_probe_index): write the
+    centroid table + inverted file to parquet, read them back, probe,
+    and compare against both the one-shot ``ivf_topk`` (exact set
+    equality) and the exact numpy top-k (recall >= 1/2)."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    root = tempfile.mkdtemp(prefix="ivf_index_")
+    try:
+        cent_df, inv = S.ivf_index(emb, n_cells=10)
+        cent_df.write.parquet(f"{root}/centroids")
+        inv.write.partitionBy("cell").parquet(f"{root}/inv")
+        persisted = S.ivf_probe_index(
+            queries,
+            spark.read.parquet(f"{root}/centroids"),
+            spark.read.parquet(f"{root}/inv"),
+            k=10,
+            nprobe=4,
+        ).select("query_id", "rank", "neighbor_id")
+        inflight = S.ivf_topk(emb, queries, k=10, n_cells=10, nprobe=4).select(
+            "query_id", "rank", "neighbor_id"
+        )
+        exact = S.brute_force_topk_np(emb, queries, k=10)
+        n_p = persisted.count()
+        n_i = inflight.count()
+        n_common = persisted.join(
+            inflight, ["query_id", "rank", "neighbor_id"]
+        ).count()
+        hit = (
+            persisted.select("query_id", "neighbor_id")
+            .join(
+                exact.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+            )
+            .count()
+        )
+        n_exact = exact.count()
+        row = (
+            n_p == n_i == n_common,
+            2 * hit >= n_exact,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [row], "persisted_matches boolean, recall_ok boolean"
+    )
+
+
+@register(
     "dedup_embedding_pairs",
     ops=("OP-X-DEDUP-02", "OP-X-SIM-01"),
     oracle=f"""
