@@ -60,6 +60,7 @@ _PRIORITY: tuple[str, ...] = (
     # --- new r6 (never driver-checked)
     "curated_corpus",            # end-to-end funnel, judge r5 #3
     "containment_minhash_recall",  # bottom-k probe verdict, judge r5 #6
+    "ann_ivf_persisted_recall",  # persisted-index probe == in-flight
     # --- last driver-checked r1
     "daily_counts",
     "date_range",
@@ -106,7 +107,8 @@ _PRIORITY: tuple[str, ...] = (
     "asof_click_purchase",
     "range_join_clicks_before_purchase",
     "dedup_ngram_jaccard",
-    "ann_brute_force_topk",
+    # (ann_brute_force_topk, r3-stale, yielded its seat to the new
+    # ann_ivf_persisted_recall — OP-X-SIM-01 stays covered by it)
     # --- coverage repair (freshest entries whose OP-IDs nothing stale
     # covers: EXT-01..07, SRC-01/02/04, STR-02/03, SNK-01, AGG-06,
     # TXT-03, FLT-03)
