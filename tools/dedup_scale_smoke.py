@@ -231,6 +231,23 @@ def main() -> None:
         run("jaccard_pairs", lambda: ND.jaccard_pairs(sdocs).count())
         run("minhash_pairs", lambda: ND.minhash_pairs(sdocs).count())
         run("simhash_pairs", lambda: ND.simhash_pairs(sdocs).count())
+        # containment SCALE tier (r6): the bottom-k one-sided probe is
+        # the form that runs at corpus scale (the exact all-pairs form
+        # is deliberately small-corpus-only); replica vocabularies are
+        # disjoint, so probe pair counts must scale exactly Kx the base
+        run(
+            "containment_probe_base",
+            lambda: ND.containment_probe_pairs(docs).count(),
+        )
+        run(
+            "containment_probe",
+            lambda: ND.containment_probe_pairs(sdocs).count(),
+        )
+        results["containment_probe_linear"] = {
+            "s": 0.0,
+            "linear": results["containment_probe"]["out_rows"]
+            == k * results["containment_probe_base"]["out_rows"],
+        }
 
         # the iterative step downstream of the pair list: connected
         # components over the Kx jaccard graph — rounds should stay flat
