@@ -339,6 +339,89 @@ def stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_ann_probe",
+    ops=("OP-STR-01", "OP-X-SIM-01"),
+    # the top-k set is index-defined (no SQL twin); the oracle-checkable
+    # property is micro-batch invariance: rows accumulated by
+    # foreachBatch probes of the persisted IVF index must EQUAL the
+    # one-shot probe of the same delta against the same stored index
+    # (a vector's neighbors depend only on it and the index).
+    oracle="""
+        SELECT TRUE AS multi_batch, TRUE AS no_missing, TRUE AS no_extra
+    """,
+)
+def stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming similarity search, end-to-end: the corpus (vec deciles
+    0-8) trains + persists its IVF index to parquet ONCE
+    (operators/similarity.ivf_index, inverted file partitioned by
+    cell); the arriving delta (decile 9) drains as a multi-file stream
+    with ``maxFilesPerTrigger=1``, each micro-batch probing the stored
+    index inside ``foreachBatch`` (streaming/ingest.ann_probe_ingest).
+    The verdict compares the accumulated top-k rows against the
+    one-shot probe of the same delta — the ANN mirror of
+    ``stream_incremental_neardup``."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators import similarity as S
+    from ..sources import load_table
+    from ..streaming.ingest import ann_probe_ingest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    decile = F.col("vec_id") % 10
+    delta, base = emb.where(decile == 9), emb.where(decile != 9)
+
+    root = tempfile.mkdtemp(prefix="ann_probe_")
+    try:
+        delta_dir = f"{root}/delta"
+        cent_dir, inv_dir = f"{root}/centroids", f"{root}/inv"
+        out_dir, ckpt = f"{root}/topk", f"{root}/ckpt"
+        delta.repartition(4).write.parquet(delta_dir)
+        cent_df, inv = S.ivf_index(base, n_cells=10)
+        cent_df.write.parquet(cent_dir)
+        inv.write.partitionBy("cell").parquet(inv_dir)
+        n_batches = ann_probe_ingest(
+            spark, delta_dir, cent_dir, inv_dir, out_dir, ckpt, emb.schema
+        )
+        oneshot = S.ivf_probe_index(
+            spark.read.parquet(delta_dir),
+            spark.read.parquet(cent_dir),
+            spark.read.parquet(inv_dir),
+            k=10,
+            nprobe=4,
+        ).select("query_id", "rank", "neighbor_id")
+        streamed = spark.read.schema(
+            "query_id long, rank int, neighbor_id long"
+        ).parquet(out_dir)
+
+        def _n(df, alias):
+            return df.agg(F.count(F.lit(1)).alias(alias))
+
+        common = _n(
+            streamed.join(oneshot, ["query_id", "rank", "neighbor_id"]),
+            "n_common",
+        )
+        [row] = (
+            _n(streamed, "n_stream")
+            .crossJoin(_n(oneshot, "n_batch"))
+            .crossJoin(common)
+            .select(
+                F.lit(n_batches > 1).alias("multi_batch"),
+                (F.col("n_common") == F.col("n_batch")).alias("no_missing"),
+                (F.col("n_common") == F.col("n_stream")).alias("no_extra"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [row], "multi_batch boolean, no_missing boolean, no_extra boolean"
+    )
+
+
 from ..functions import text as _T
 
 @register(

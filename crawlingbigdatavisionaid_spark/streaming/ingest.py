@@ -146,3 +146,53 @@ def incremental_neardup_ingest(
     )
     q.awaitTermination()
     return n_batches
+
+
+def ann_probe_ingest(
+    spark: SparkSession,
+    delta_path: str,
+    centroids_path: str,
+    inv_path: str,
+    out_path: str,
+    checkpoint: str,
+    schema,
+    max_files_per_trigger: int | None = 1,
+    k: int = 10,
+    nprobe: int = 4,
+) -> int:
+    """Streaming similarity search against a PERSISTED IVF index — the
+    ANN mirror of :func:`incremental_neardup_ingest`: each micro-batch
+    of arriving vectors probes the parquet-persisted index
+    (operators/similarity.ivf_index written once per corpus) and appends
+    its top-k neighbor rows. The corpus is never re-assigned; per-batch
+    cost tracks the batch x probed cells. Results for a vector depend
+    only on that vector and the index, so any micro-batch slicing yields
+    the same union of rows (pinned by the ``stream_ann_probe`` verdict).
+
+    Returns the number of micro-batches processed."""
+    from ..operators.similarity import ivf_probe_index
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(delta_path)
+    n_batches = 0
+    # index is immutable for the drain: plan the two scans once
+    cent = spark.read.parquet(centroids_path)
+    inv = spark.read.parquet(inv_path)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
+        ivf_probe_index(batch_df, cent, inv, k=k, nprobe=nprobe).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches
