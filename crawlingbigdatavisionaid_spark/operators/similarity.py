@@ -219,6 +219,100 @@ def _cogroup_rerank(m_keep: int):
     return rerank
 
 
+def _sigs_udf(pm: np.ndarray, n_tables: int, n_planes: int):
+    """Arrow-batched signature computation: one (B, d) @ (d, T*P)
+    matmul, sign-bit-packed per table. Sign is norm-invariant, so no
+    normalization is needed."""
+    from pyspark.sql.functions import pandas_udf
+
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def sigs_udf(vs: pd.Series) -> pd.Series:
+        m = _stack(vs)
+        proj = m @ pm.T
+        bits = (proj >= 0.0).reshape(len(m), n_tables, n_planes)
+        sigs = (bits * weights).sum(axis=2)
+        return pd.Series(list(sigs))
+
+    return sigs_udf
+
+
+def lsh_index(
+    emb: DataFrame,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """The PERSISTABLE corpus side of LSH search, as two tables (the
+    random-hyperplane sibling of :func:`ivf_index`): ``planes`` (t, p,
+    normal array<double> — T x P rows, the index's self-describing
+    hash family) and the banded corpus ``bk`` (t, sig, neighbor_id,
+    nv). Writing the hyperplanes WITH the index means a later probe
+    signs its queries with exactly the hash family the corpus was
+    signed with — parameters can never drift between build and probe.
+    Signatures come from one corpus pass (batched matmul)."""
+    planes = _plane_literals(n_tables, n_planes, dim, seed)
+    pm = np.array(planes, dtype=np.float64).reshape(n_tables * n_planes, dim)
+    spark = emb.sparkSession
+    planes_df = spark.createDataFrame(
+        [
+            (t, p, [float(v) for v in planes[t][p]])
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ],
+        "t int, p int, normal array<double>",
+    )
+    sigs_udf = _sigs_udf(pm, n_tables, n_planes)
+    bk = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        F.posexplode(sigs_udf(F.col(vec_col))).alias("t", "sig"),
+    ).select("t", "sig", "neighbor_id", "nv")
+    return planes_df, bk
+
+
+def lsh_probe_index(
+    queries: DataFrame,
+    planes_df: DataFrame,
+    bk: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a MATERIALIZED LSH index (:func:`lsh_index`, e.g. read
+    back from parquet): the plane table (T x P rows — bounded) collects
+    into the signing closure, queries band with the index's own hash
+    family, and the cogrouped per-bucket BLAS re-rank runs as in the
+    one-shot form. Cost scales with the query batch x matched buckets."""
+    rows = sorted((r.t, r.p, r.normal) for r in planes_df.collect())
+    if not rows:
+        return _empty_topk(queries)
+    n_tables = rows[-1][0] + 1
+    n_planes = rows[-1][1] + 1
+    pm = np.array([n for _, _, n in rows], dtype=np.float64)
+    sigs_udf = _sigs_udf(pm, n_tables, n_planes)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.posexplode(sigs_udf(F.col(vec_col))).alias("t", "sig"),
+    )
+    partial = (
+        q.groupBy("t", "sig")
+        .cogroup(bk.groupBy("t", "sig"))
+        .applyInPandas(_cogroup_rerank(k + 1), _PARTIAL_SCHEMA)
+    )
+    # a pair sharing buckets in several tables reappears with the same
+    # cos — collapse before ranking
+    deduped = partial.groupBy("query_id", "neighbor_id").agg(
+        F.max("cos").alias("cos")
+    )
+    return _rank_topk(deduped, k)
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -229,7 +323,9 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate cosine top-k via multi-table random-hyperplane LSH.
+    """Approximate cosine top-k via multi-table random-hyperplane LSH —
+    the one-shot composition of :func:`lsh_index` (build) and
+    :func:`lsh_probe_index` (search).
 
     All table signatures are computed in ONE corpus pass — a single
     (B, d) @ (d, n_tables*n_planes) matmul per Arrow batch, bit-packed
@@ -239,50 +335,10 @@ def lsh_topk(
     rank sees |buckets| x |Q| x (k+1) rows, deduped across tables.
     A per-table loop would scan the corpus n_tables times; a join that
     carries both vector columns would Arrow-ship every candidate pair."""
-    from pyspark.sql.functions import pandas_udf
-
-    planes = _plane_literals(n_tables, n_planes, dim)
-    pm = np.array(planes, dtype=np.float64).reshape(
-        n_tables * n_planes, dim
+    planes_df, bk = lsh_index(
+        emb, n_tables, n_planes, dim, id_col, vec_col
     )
-    weights = 1 << np.arange(n_planes, dtype=np.int64)
-
-    @pandas_udf("array<long>")
-    def sigs_udf(vs: pd.Series) -> pd.Series:
-        m = _stack(vs)
-        proj = m @ pm.T  # sign is norm-invariant: no normalize needed
-        bits = (proj >= 0.0).reshape(len(m), n_tables, n_planes)
-        sigs = (bits * weights).sum(axis=2)
-        return pd.Series(list(sigs))
-
-    def banded(df, idc, vc_alias):
-        return df.select(
-            idc,
-            F.col(vec_col).alias(vc_alias),
-            F.posexplode(sigs_udf(F.col(vec_col))).alias("t", "sig"),
-        )
-
-    c = banded(
-        emb.select(F.col(id_col).alias("neighbor_id"), vec_col),
-        "neighbor_id",
-        "nv",
-    )
-    q = banded(
-        queries.select(F.col(id_col).alias("query_id"), vec_col),
-        "query_id",
-        "qv",
-    )
-    partial = (
-        q.groupBy("t", "sig")
-        .cogroup(c.groupBy("t", "sig"))
-        .applyInPandas(_cogroup_rerank(k + 1), _PARTIAL_SCHEMA)
-    )
-    # a pair sharing buckets in several tables reappears with the same
-    # cos — collapse before ranking
-    deduped = partial.groupBy("query_id", "neighbor_id").agg(
-        F.max("cos").alias("cos")
-    )
-    return _rank_topk(deduped, k)
+    return lsh_probe_index(queries, planes_df, bk, k, id_col, vec_col)
 
 
 def _kmeans_np(x: np.ndarray, k: int, seed: int, iters: int = 20) -> np.ndarray:

@@ -228,6 +228,65 @@ def ann_ivf_persisted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_lsh_persisted_recall",
+    ops=("OP-X-SIM-01",),
+    # the random-hyperplane sibling of ann_ivf_persisted_recall: the
+    # hash family (plane table) persists WITH the banded corpus, so a
+    # later probe signs queries with exactly the family the corpus was
+    # signed with — parquet roundtrip must reproduce the in-flight
+    # lsh_topk exactly, and the split result keeps recall >= 1/2 vs
+    # the exact top-k. Integer arithmetic only.
+    oracle="SELECT TRUE AS persisted_matches, TRUE AS recall_ok",
+)
+def ann_lsh_persisted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable verdict for the persisted LSH index
+    (operators/similarity.lsh_index / lsh_probe_index): planes + banded
+    corpus written to parquet, read back, probed; compared against the
+    one-shot ``lsh_topk`` (exact set equality) and the exact numpy
+    top-k (recall >= 1/2)."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    root = tempfile.mkdtemp(prefix="lsh_index_")
+    try:
+        planes_df, bk = S.lsh_index(emb)
+        planes_df.write.parquet(f"{root}/planes")
+        bk.write.parquet(f"{root}/bk")
+        persisted = S.lsh_probe_index(
+            queries,
+            spark.read.parquet(f"{root}/planes"),
+            spark.read.parquet(f"{root}/bk"),
+            k=10,
+        ).select("query_id", "rank", "neighbor_id")
+        inflight = S.lsh_topk(emb, queries, k=10).select(
+            "query_id", "rank", "neighbor_id"
+        )
+        exact = S.brute_force_topk_np(emb, queries, k=10)
+        n_p = persisted.count()
+        n_i = inflight.count()
+        n_common = persisted.join(
+            inflight, ["query_id", "rank", "neighbor_id"]
+        ).count()
+        hit = (
+            persisted.select("query_id", "neighbor_id")
+            .join(
+                exact.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+            )
+            .count()
+        )
+        n_exact = exact.count()
+        row = (n_p == n_i == n_common, 2 * hit >= n_exact)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [row], "persisted_matches boolean, recall_ok boolean"
+    )
+
+
+@register(
     "dedup_embedding_pairs",
     ops=("OP-X-DEDUP-02", "OP-X-SIM-01"),
     oracle=f"""
