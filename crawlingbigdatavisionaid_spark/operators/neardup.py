@@ -277,20 +277,28 @@ def containment_probe_pairs(
     )
     target = hashed
     # cap the INDEX side of the probe join (rule single-sourced in
-    # _hot_keys; verification below stays over the FULL shingle sets)
+    # _hot_keys; verification below stays over the FULL shingle sets).
+    # The same hot set is removed from the PROBE samples too: the
+    # prefilter below compares matched samples m against the sample
+    # count k_src, and m can only count non-hot matches — leaving hot
+    # hashes in k_src would deflate the ratio and silently drop a
+    # boilerplate-heavy quote whose remaining samples all match
+    # (reproduced as a recall regression in review).
     hot = _hot_keys(hashed, df_max, key="h")
     if hot is not None:
         target = hashed.join(F.broadcast(hot), "h", "left_anti")
+        bottomk = bottomk.join(F.broadcast(hot), "h", "left_anti")
     # Candidate generation with a matched-count prefilter: "any shared
     # sampled shingle" admits every boilerplate co-occurrence and makes
     # exact verification the dominant cost (measured 29 s vs 6 s for
     # the exact form at 10x before the filter). For a true pair with
-    # containment c the matched fraction of the min side's k' samples
-    # concentrates at c (Binomial(k', c)), so requiring m >= c/2 * k'
-    # keeps misses negligible at the 0.9 default (P[X < 0.45k'] is
-    # astronomically small at k=32) while discarding the 1-2-shared-
-    # shingle noise before the expensive set intersection. The count
-    # comes from the SAME probe join (groupBy instead of distinct).
+    # containment c the matched fraction of the min side's k' NON-HOT
+    # samples concentrates at c (Binomial(k', c)), so requiring
+    # m >= c/2 * k' keeps misses negligible at the 0.9 default
+    # (P[X < 0.45k'] is astronomically small at k=32) while discarding
+    # the 1-2-shared-shingle noise before the expensive set
+    # intersection. The count comes from the SAME probe join (groupBy
+    # instead of distinct).
     ksz = bottomk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("k_src"))
     a = bottomk.alias("a")
     b = target.alias("b")

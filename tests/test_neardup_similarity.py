@@ -394,3 +394,20 @@ def test_containment_probe_catches_subsets_minhash_misses(spark):
     assert (1, 2) in probe
     assert probe == exact
     assert (1, 2) not in lsh
+
+
+def test_containment_probe_survives_hot_sample_capping(spark):
+    """Review regression: a quote whose bottom-k samples are MAJORITY
+    corpus-hot (boilerplate) must still be found — the prefilter's
+    sample count k_src must be computed over the same hot-capped sample
+    set as the matched count m, or the ratio deflates and the pair is
+    silently dropped."""
+    boiler = " ".join(f"boil{i}" for i in range(60))
+    article = boiler + " " + " ".join(f"uniq{i}" for i in range(10))
+    page = article + " " + " ".join(f"extra{i}" for i in range(120))
+    rows = [(1, article), (2, page)] + [
+        (10 + i, boiler + f" filler{i}") for i in range(150)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = _pairs(ND.containment_probe_pairs(docs, 9))
+    assert (1, 2) in got

@@ -135,7 +135,7 @@ def test_split_contamination_joins_semi_on_fingerprint(spark, sf_dir):
     assert join_lines and all("fp" in l for l in join_lines), join_lines
 
 
-def test_broadcast_if_small_is_statistics_driven(spark):
+def test_broadcast_if_small_is_statistics_driven(spark, sf_dir):
     """The hint appears exactly when the side's source tables prove
     small on disk, and degrades to no-hint (AQE decides) for unknown
     paths or a too-small ceiling — the scale-safety contract."""
@@ -147,7 +147,7 @@ def test_broadcast_if_small_is_statistics_driven(spark):
         table_bytes,
     )
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     c = load_table(spark, sf, "customer").select("c_custkey")
 
     def hinted(df):

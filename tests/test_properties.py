@@ -181,3 +181,31 @@ def test_chunked_cumsum_equals_plain_window(spark):
         ).collect()
     }
     assert chunked == plain
+
+
+def test_chunked_cumsum_keeps_null_partition_keys(spark):
+    """Review regression: PARTITION BY keeps a NULL group; the chunked
+    form's rejoin must be null-safe or NULL-keyed rows vanish."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from crawlingbigdatavisionaid_spark.operators.prefix import chunked_cumsum
+
+    df = spark.createDataFrame(
+        [(None, 1, 10), (None, 2, 20), ("a", 1, 5)],
+        "g string, oid long, v long",
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("oid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    plain = {
+        (r.g, r.oid): r.cum
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    chunked = {
+        (r.g, r.oid): r.cum
+        for r in chunked_cumsum(df, ["g"], "oid", F.col("v"), "cum", chunk=8).collect()
+    }
+    assert chunked == plain and len(chunked) == 3
