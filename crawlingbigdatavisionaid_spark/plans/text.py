@@ -1004,6 +1004,33 @@ def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_trainer_round1_verdict",
+    ops=("OP-TXT-01", "OP-TXT-02", "OP-TOPK-01"),
+    # oracle-pinned twin for the rows-only iterative trainer (the
+    # dedup_simhash -> dedup_simhash_recall pattern): round 1 of the
+    # freq-weighted vocab trainer must equal the per-instance
+    # bpe_top_merges top pair EXACTLY — char segmentation makes type
+    # counting x freq identical to instance counting, so any divergence
+    # means the trainer's vocab weighting or tie-break drifted.
+    oracle="SELECT TRUE AS round1_matches",
+)
+def bpe_trainer_round1_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verdict: bpe_train's first merge (rule AND weighted count) ==
+    the oracle-checked ``bpe_top_merges`` top pair."""
+    from ..operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, rounds=1)
+    top = bpe_top_merges(spark, sf_dir).first()
+    ok = bool(
+        merges
+        and f"{merges[0][1]} {merges[0][2]}" == top.pair
+        and merges[0][3] == top.cnt
+    )
+    return spark.createDataFrame([(ok,)], "round1_matches boolean")
+
+
+@register(
     "bpe_merge_rounds",
     ops=("OP-TXT-01", "OP-TXT-02", "OP-TOPK-01"),
     # the merge SEQUENCE is iterative (each round's statistics depend on
