@@ -456,6 +456,38 @@ def fake_decode_features(with_payload: DataFrame) -> DataFrame:
     )
 
 
+def byte_histogram_embedding(
+    with_payload: DataFrame, bins: int = 16
+) -> DataFrame:
+    """Per-item EMBEDDING from the raw payload: a ``bins``-bin byte
+    histogram as ``array<float>`` — the deterministic stand-in for a
+    learned media encoder, with the exact Arrow-batched ``mapInPandas``
+    shape a real model fills (batch in, one vector per item out). Byte
+    distributions are a real (if crude) similarity signal: near-dup
+    payloads produce near-identical histograms, so cosine search over
+    this column exercises the full multimodal→ANN composition with
+    meaningful neighbors. Returns (vec_id, embedding) — the similarity
+    operators' expected schema."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vecs = []
+            for b in pdf["payload"]:
+                h = np.bincount(
+                    np.frombuffer(bytes(b), dtype=np.uint8) // (256 // bins),
+                    minlength=bins,
+                ).astype(np.float32)
+                vecs.append(h[:bins])
+            yield pd.DataFrame(
+                {"vec_id": pdf["doc_id"], "embedding": vecs}
+            )
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        batches, "vec_id long, embedding array<float>"
+    )
+
+
 _FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -248,3 +248,34 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     give DuckDB a byte-level twin."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.resize_payload(MM.attach_binary(docs))
+
+
+@register(
+    "multimodal_feature_ann_recall",
+    ops=("OP-X-MM-01", "OP-X-SIM-01"),
+    # the multimodal -> ANN COMPOSITION: decode-stage embeddings (byte
+    # histograms standing in for a learned encoder) are searched with
+    # the IVF index. The top-k set is index-defined (no SQL twin); the
+    # oracle-checkable quality is IVF recall vs the exact BLAS top-k
+    # over the SAME feature vectors — >= 1/2, integer arithmetic.
+    oracle="SELECT TRUE AS recall_ok",
+)
+def multimodal_feature_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Find similar media items by decoded features, end-to-end:
+    attach payloads -> Arrow-batched featurize (byte-histogram
+    embedding, multimodal/binary.byte_histogram_embedding) -> IVF
+    search, verdict-pinned against exact brute force on the same
+    vectors. The composition a multimodal dedup/retrieval pipeline
+    actually runs; swap the histogram UDF for a real model and nothing
+    else changes."""
+    from ..operators import similarity as S
+    from .similarity import _topk_recall_verdict
+
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    emb = MM.byte_histogram_embedding(MM.attach_binary(docs)).localCheckpoint(
+        eager=False
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = S.brute_force_topk_np(emb, queries, k=10)
+    approx = S.ivf_topk(emb, queries, k=10, n_cells=10, nprobe=4)
+    return _topk_recall_verdict(exact, approx, num=2, den=1)
