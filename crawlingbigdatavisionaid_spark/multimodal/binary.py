@@ -470,15 +470,25 @@ def byte_histogram_embedding(
     operators' expected schema."""
     import numpy as np
 
+    # bucket width for a non-divisor ``bins`` (e.g. 10): clip the tail
+    # bytes into the last bucket instead of silently dropping them
+    width = 256 // bins
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             vecs = []
             for b in pdf["payload"]:
+                if b is None:  # NULL payload -> zero vector, not a batch abort
+                    vecs.append(np.zeros(bins, dtype=np.float32))
+                    continue
                 h = np.bincount(
-                    np.frombuffer(bytes(b), dtype=np.uint8) // (256 // bins),
+                    np.minimum(
+                        np.frombuffer(bytes(b), dtype=np.uint8) // width,
+                        bins - 1,
+                    ),
                     minlength=bins,
                 ).astype(np.float32)
-                vecs.append(h[:bins])
+                vecs.append(h)
             yield pd.DataFrame(
                 {"vec_id": pdf["doc_id"], "embedding": vecs}
             )

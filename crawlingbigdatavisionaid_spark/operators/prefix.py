@@ -44,7 +44,10 @@ def chunked_cumsum(
     per ``part_cols`` group in ``order_col`` order — semantically equal
     to the plain unbounded window, executed with bounded per-task state.
     ``order_col`` must be non-negative numeric (doc ids here); ``value``
-    any integer column expression."""
+    any integer column expression. NULL keys are kept, matching the
+    plain window: null-safe equality on both ``part_cols`` AND the
+    chunk key (a NULL ``order_col`` lands in a NULL chunk, ordered
+    NULLS FIRST within its group exactly like the plain window)."""
     with_sub = df.withColumn("_sub", F.floor(F.col(order_col) / F.lit(chunk)))
     w_in = (
         Window.partitionBy(*part_cols, "_sub")
@@ -75,7 +78,10 @@ def chunked_cumsum(
     off = offsets
     for c in [*part_cols, "_sub"]:
         off = off.withColumnRenamed(c, f"_o_{c}")
-    cond = with_sub["_sub"] == off["_o__sub"]
+    # _sub too: a NULL order_col yields a NULL chunk key on both sides;
+    # plain equality would silently drop that row while the plain window
+    # keeps it (NULLS FIRST within its group)
+    cond = with_sub["_sub"].eqNullSafe(off["_o__sub"])
     for c in part_cols:
         cond = cond & with_sub[c].eqNullSafe(off[f"_o_{c}"])
     return (

@@ -59,15 +59,29 @@ def _append_marker_glob(path: str) -> str:
 
 
 # A lock/marker older than this is ORPHANED (its writer crashed without
-# the finally) and may be broken by the next writer. Compaction
-# refreshes its lock mtime while it works, so a live compaction of any
-# length is never mistaken for a crash; append markers live for one
-# batch write and never legitimately approach the TTL.
+# the finally) and may be broken by the next writer. BOTH sides refresh
+# their file's mtime from a heartbeat thread while they work, so a live
+# writer of ANY duration — a multi-hour compaction or a 100 TB-scale
+# micro-batch append that runs past 15 minutes — is never mistaken for
+# a crash; only a dead writer's file can go stale.
 STALE_LOCK_S = 900.0
 
 
-def _break_if_stale(f: str, stale_s: float = STALE_LOCK_S) -> bool:
-    """Remove an orphaned lock/marker file; True if it was broken."""
+def _heartbeat(stop, f: str) -> None:
+    """Refresh ``f``'s mtime until ``stop`` is set (liveness signal)."""
+    while not stop.wait(STALE_LOCK_S / 3):
+        with contextlib.suppress(FileNotFoundError):
+            os.utime(f)
+
+
+def _break_if_stale(f: str, stale_s: float | None = None) -> bool:
+    """Remove an orphaned lock/marker file; True if it was broken.
+
+    ``stale_s`` late-binds to the module's ``STALE_LOCK_S`` so the TTL
+    and the heartbeat period stay coupled (tests shrink both together).
+    """
+    if stale_s is None:
+        stale_s = STALE_LOCK_S
     try:
         if time.time() - os.path.getmtime(f) > stale_s:
             os.remove(f)
@@ -100,13 +114,18 @@ def append_guard(path: str, wait_s: float = 600.0, poll_s: float = 0.05):
     commit; this is the plain-parquet stand-in, same as the MERGE note
     in streaming/ingest.py.
 
-    Liveness: a crashed compactor must not wedge the store forever, so
-    a lock whose mtime exceeds ``STALE_LOCK_S`` is treated as orphaned
-    and broken (a LIVE compaction refreshes its lock mtime as it works,
-    so only a dead one can go stale). ``wait_s`` defaults to 10 minutes
-    because compaction duration is O(partition bytes) and the appender
-    — a streaming micro-batch — must wait it out rather than abort the
+    Liveness: a crashed writer must not wedge the store forever, so a
+    lock/marker whose mtime exceeds ``STALE_LOCK_S`` is treated as
+    orphaned and broken. Both sides heartbeat their file's mtime while
+    live — the appender too, because a single micro-batch write CAN
+    legitimately run past the TTL at 100 TB scale, and a broken marker
+    mid-write would reopen the silent row-loss race this protocol
+    exists to close. ``wait_s`` defaults to 10 minutes because
+    compaction duration is O(partition bytes) and the appender — a
+    streaming micro-batch — must wait it out rather than abort the
     whole drain."""
+    import threading
+
     lock = _compact_lock(path)
     marker = path.rstrip("/") + f"._append_{uuid.uuid4().hex}"
     deadline = time.monotonic() + wait_s
@@ -121,9 +140,13 @@ def append_guard(path: str, wait_s: float = 600.0, poll_s: float = 0.05):
                 f"append to {path}: compaction lock {lock} held > {wait_s}s"
             )
         time.sleep(poll_s)
+    stop = threading.Event()
+    hb = threading.Thread(target=_heartbeat, args=(stop, marker), daemon=True)
+    hb.start()
     try:
         yield
     finally:
+        stop.set()
         with contextlib.suppress(FileNotFoundError):
             os.remove(marker)
 
@@ -160,13 +183,7 @@ def compact(
     except FileExistsError:
         raise WriterConflict(f"compaction already running on {path}") from None
     stop = threading.Event()
-
-    def heartbeat() -> None:
-        while not stop.wait(STALE_LOCK_S / 3):
-            with contextlib.suppress(FileNotFoundError):
-                os.utime(lock)
-
-    hb = threading.Thread(target=heartbeat, daemon=True)
+    hb = threading.Thread(target=_heartbeat, args=(stop, lock), daemon=True)
     hb.start()
     try:
         deadline = time.monotonic() + wait_s

@@ -184,3 +184,51 @@ def test_stale_locks_and_markers_are_broken_not_wedging(spark, tmp_path):
     os.utime(marker, (old, old))
     assert compact(spark, path, target_bytes=1 << 40, wait_s=0.5) == 1
     assert not os.path.exists(marker)
+
+
+def test_live_appender_heartbeat_survives_stale_ttl(spark, tmp_path, monkeypatch):
+    """ADVICE r6 (medium): an append that legitimately outlives
+    STALE_LOCK_S must NOT have its marker broken mid-write — the
+    appender heartbeats its marker exactly like compaction heartbeats
+    its lock, so a concurrent compact sees a live marker and waits
+    (here: times out with WriterConflict) instead of swapping the
+    in-flight rows into the deleted backup."""
+    import threading
+    import time
+
+    import pytest
+
+    from crawlingbigdatavisionaid_spark.sources import maintenance
+    from crawlingbigdatavisionaid_spark.sources.maintenance import (
+        WriterConflict,
+        append_guard,
+    )
+
+    # shrink TTL so the heartbeat (TTL/3) fires several times in-test
+    monkeypatch.setattr(maintenance, "STALE_LOCK_S", 0.6)
+    path = str(tmp_path / "t")
+    spark.range(10).write.parquet(path)
+
+    entered = threading.Event()
+    release = threading.Event()
+
+    def long_append() -> None:
+        with append_guard(path):
+            entered.set()
+            release.wait(10)
+
+    th = threading.Thread(target=long_append)
+    th.start()
+    try:
+        assert entered.wait(5)
+        time.sleep(1.2)  # 2x the shrunken TTL: unheartbeated would be stale
+        with pytest.raises(WriterConflict, match="append markers still present"):
+            compact(spark, path, target_bytes=1 << 40, wait_s=0.5)
+    finally:
+        release.set()
+        th.join()
+    # appender finished cleanly; marker retracted; store intact
+    import glob
+
+    assert not glob.glob(path + "._append_*")
+    assert spark.read.parquet(path).count() == 10

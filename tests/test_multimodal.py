@@ -192,3 +192,29 @@ def test_ppm_roundtrip_matches_encode_arithmetic(spark, sf_dir):
         assert r["sum_r"] == sum(raw[0::3])
         assert r["sum_g"] == sum(raw[1::3])
         assert r["sum_b"] == sum(raw[2::3])
+
+
+def test_byte_histogram_non_divisor_bins_and_null_payload(spark):
+    """ADVICE r6 (low): with bins=10 (256 % 10 != 0) the tail byte
+    values (250..255) must land in the last bin, not be dropped; and a
+    NULL payload must yield a zero vector instead of aborting the whole
+    Arrow batch."""
+    from crawlingbigdatavisionaid_spark.multimodal.binary import (
+        byte_histogram_embedding,
+    )
+
+    rows = [
+        (1, bytes(range(256))),  # every byte value once
+        (2, None),               # NULL payload
+        (3, bytes([255, 255])),  # tail-only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r.vec_id: r.embedding
+        for r in byte_histogram_embedding(df, bins=10).collect()
+    }
+    assert sum(out[1]) == 256.0  # nothing dropped
+    # width=25 -> last bin holds bytes 225..255 = 31 values
+    assert out[1][9] == 31.0
+    assert out[2] == [0.0] * 10
+    assert out[3][9] == 2.0 and sum(out[3]) == 2.0

