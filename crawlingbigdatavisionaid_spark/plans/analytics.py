@@ -11,8 +11,8 @@ the role of the crawled-article collection (``app.py:25-82``).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.window import Window
 
+from ..functions.share import with_pct_of_total
 from ..operators import timeline
 from ..sources import load_table
 from .registry import register
@@ -84,18 +84,15 @@ def date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def source_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # share-of-total via broadcast scalar, not an unpartitioned window:
+    # a 100 TB crawl has millions of distinct sources (functions/share.py)
     docs = load_table(spark, sf_dir, "documents")
     counts = (
         docs.select(F.coalesce("source", F.lit("Unknown")).alias("source"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    total = Window.partitionBy()
-    return counts.select(
-        "source",
-        "cnt",
-        F.round(F.col("cnt") * 100.0 / F.sum("cnt").over(total), 4).alias("pct"),
-    )
+    return with_pct_of_total(counts)
 
 
 @register(
@@ -110,13 +107,7 @@ def source_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
-    return counts.select(
-        "event_type",
-        "cnt",
-        F.round(
-            F.col("cnt") * 100.0 / F.sum("cnt").over(Window.partitionBy()), 4
-        ).alias("pct"),
-    )
+    return with_pct_of_total(counts)
 
 
 # ---------------------------------------------------------------------------

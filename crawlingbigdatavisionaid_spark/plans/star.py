@@ -377,17 +377,11 @@ def supplier_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mktsegment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from crawlingbigdatavisionaid_spark.functions.share import with_pct_of_total
 
     c = load_table(spark, sf_dir, "customer")
     counts = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("cnt"))
-    return counts.select(
-        "c_mktsegment",
-        "cnt",
-        F.round(
-            F.col("cnt") * 100.0 / F.sum("cnt").over(Window.partitionBy()), 4
-        ).alias("pct"),
-    )
+    return with_pct_of_total(counts)
 
 
 @register(
