@@ -171,10 +171,14 @@ def crawl_batch(
     )
     batch = extracted.select(
         "url", "source", "title", "content", "published_at"
-    ).cache()
+    )
 
-    n_new = batch.count()
-    batch.write.mode("append").parquet(store_path)
+    # store write through the transactional-ingest seam
+    # (sources/merge.merge_append): re-checks the key against the store
+    # at append time (idempotent under replays, unlike the bare append
+    # this used to be) and coordinates with a concurrent compaction
+    from ..sources.merge import merge_append
+
+    n_new = merge_append(spark, store_path, batch, "url")
     n_total = spark.read.parquet(store_path).count()
-    batch.unpersist()
     return {"new_rows": n_new, "store_rows": n_total}

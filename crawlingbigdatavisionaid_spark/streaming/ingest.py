@@ -14,22 +14,19 @@ micro-batch anti-joins against the store and appends only novel rows:
 
 Exactly-once comes from the pair (checkpointed source offsets,
 idempotent-enough sink): a replayed batch re-anti-joins against a store
-that already contains its rows and appends nothing. With a
-transactional table format (Delta/Iceberg) the anti-join+append
-collapses into ``MERGE WHEN NOT MATCHED THEN INSERT``.
-
-At 100 TB: the store side of the anti-join prunes to the URL column
-(parquet column projection); clustering the store by url (bucketing /
-z-order) turns it into a shuffle-light join; AQE handles the batch side
-being tiny (broadcast).
+that already contains its rows and appends nothing. The
+anti-join + append + marker-protocol trio lives behind ONE seam —
+``sources.merge.merge_append`` — whose docstring carries the Delta /
+Iceberg ``MERGE WHEN NOT MATCHED`` mapping: swapping that single
+function moves this whole module to a transactional table format.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..crawl.pipeline import STORE_SCHEMA, read_store
-from ..sources.maintenance import append_guard
+from ..crawl.pipeline import STORE_SCHEMA
+from ..sources.merge import merge_append
 
 
 def ingest_stream(
@@ -50,30 +47,7 @@ def ingest_stream(
     appended: list[tuple[int, int]] = []
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # marker protocol vs a concurrent compact() rewrite+swap
-        # (sources/maintenance.append_guard). The guard wraps the WHOLE
-        # read->count->append sequence, not just the write: a row
-        # appended inside compaction's read..swap window would be
-        # silently dropped with the backup, and the dedup anti-join's
-        # store READ fails mid-swap too (file list goes stale —
-        # FAILED_READ_FILE, observed in the race test).
-        with append_guard(store_path):
-            fresh = (
-                batch_df.dropDuplicates(["url"])
-                .join(
-                    read_store(spark, store_path).select("url"),
-                    "url",
-                    "left_anti",
-                )
-                .cache()
-            )
-            try:
-                n = fresh.count()
-                if n:
-                    fresh.write.mode("append").parquet(store_path)
-                appended.append((batch_id, n))
-            finally:
-                fresh.unpersist()
+        appended.append((batch_id, merge_append(spark, store_path, batch_df, "url")))
 
     q = (
         stream.writeStream.foreachBatch(sink)
