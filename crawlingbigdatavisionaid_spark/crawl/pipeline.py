@@ -55,11 +55,21 @@ class DictFetcher:
         return self.pages.get(url)
 
 
-def http_fetcher(url: str) -> str:  # pragma: no cover - network stub
-    """Live HTTP fetch — intentionally not implemented here (tests never
-    touch the network; the reference's requests.get with a 10 s timeout,
-    crawl.py:32-36, would slot in at scale)."""
-    raise NotImplementedError("network fetch is disabled in this environment")
+def http_fetcher(url: str, timeout: float = 10.0) -> str:
+    """Live HTTP fetch via stdlib urllib — the reference's
+    ``requests.get(url, timeout=10)`` (``crawl.py:32-36``) without the
+    third-party dependency. Raises on any failure (connection, HTTP
+    error status, timeout); per-item isolation lives one level up in
+    :func:`_fetch_urls`, which turns the raise into a null row
+    (OP-STR-02). A module-level function, so it pickles cleanly into
+    the ``mapInPandas`` fetch stages. Tests exercise it against a
+    127.0.0.1 ``http.server`` only (tests/test_loopback_fetch.py);
+    nothing in this repo talks to the external network."""
+    import urllib.request
+
+    with urllib.request.urlopen(url, timeout=timeout) as resp:
+        charset = resp.headers.get_content_charset() or "utf-8"
+        return resp.read().decode(charset, errors="replace")
 
 
 def _fetch_urls(urls, fetcher) -> list[str | None]:
