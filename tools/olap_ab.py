@@ -1,33 +1,42 @@
-"""A/B: static broadcast hint vs AQE runtime conversion on the sf1 OLAP
-queries the r5 bench flagged (judge r5 next-round #1).
-
-Context: round 5 removed the static ``F.broadcast()`` hints from every
-join side that grows with the corpus (scale-safety — a static hint
-hard-fails at 100 TB; AQE converts at runtime when a side fits). The r5
-standing sf1 rows then showed ``revenue_rollup_region_nation`` 0.63 ->
-1.85 s, ``region_revenue`` 1.30 -> 1.82 s, ``q21_sole_returned_supplier``
-warm 0.74 -> 1.18 s. The judge's own 10x plan audit confirmed the final
-adaptive plans are still all-broadcast, so the residue is either (a)
-AQE's pre-conversion cost — the static planner picks SMJ from parquet
-size estimates, so the build side pays its shuffle MAP WRITE before AQE
-re-plans the probe side to a broadcast + local shuffle read — or (b)
-bench-context variance.
+"""Standing A/B harness for plan changes on ANY registered query
+(judge r6 #8 — the protocol that root-caused the r5 sf1 regression,
+promoted from a one-off script to a general tool).
 
 Protocol (the ``dedup_components`` exoneration protocol, PLANS.md): one
-pre-touched session on an idle box, a 10x replica built in-session, then
-per query N (default 4) warm runs of each variant INTERLEAVED
-(A B A B ...) so slow host windows hit both arms equally; min-of-runs is
-the repeatable cost. Variant A = registered query (hint-free), variant
-B = same plan with ``_hint_dims=True`` (static broadcast on the audited
-side). Also reports per-variant exchange/broadcast counts from the final
-adaptive plan so the "plan is identical, cost isn't" claim is checked in
-the same run.
+pre-touched session on an idle box, an optional K-times replica built
+in-session, then per query N (default 4) warm runs of each variant
+INTERLEAVED (A B A B ...) so slow host windows hit both arms equally;
+min-of-runs is the repeatable cost. Per-variant operator counts from
+the FINAL adaptive plan land in the same run, so "plan is identical,
+cost isn't" claims are checked against the evidence that produced the
+timing.
 
-Usage: python tools/olap_ab.py [K] [RUNS]   (defaults K=10, RUNS=4)
+Variants per query:
+
+- ``registered`` — the shipped query exactly as the driver runs it
+  (including the statistics-driven ``sources/tables.broadcast_if_small``
+  hint where the query uses it);
+- ``hinted`` — the same query with ``_hint_dims=True`` (static
+  ``F.broadcast`` forced on the audited dim side), emitted only for
+  queries whose function accepts the toggle;
+- with ``--vs OTHER``, a two-query A/B instead: each listed query is
+  interleaved against OTHER's registered form (for comparing two
+  implementations of the same result).
+
+Usage::
+
+    python tools/olap_ab.py [query ...] [--k K] [--runs N]
+                            [--base DIR] [--vs OTHER]
+
+Defaults: the three r5-flagged OLAP queries, K=10, runs=4, base from
+$SPARK_GRAFT_SF_DIR (/root/testdata/sf0.1). ``--k 1`` skips the
+replica build and measures on the base dir directly.
 """
 
 from __future__ import annotations
 
+import argparse
+import inspect
 import json
 import os
 import re
@@ -37,7 +46,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-QUERIES = (
+DEFAULT_QUERIES = (
     "revenue_rollup_region_nation",
     "region_revenue",
     "q21_sole_returned_supplier",
@@ -56,10 +65,28 @@ def _final_plan_counts(df) -> dict[str, int]:
     }
 
 
+def _supports_hint(fn) -> bool:
+    try:
+        return "_hint_dims" in inspect.signature(fn).parameters
+    except (TypeError, ValueError):
+        return False
+
+
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("queries", nargs="*", default=None,
+                    help="registered query names (default: r5 OLAP trio)")
+    ap.add_argument("--k", type=int, default=10,
+                    help="replica factor; 1 = measure the base dir directly")
+    ap.add_argument("--runs", type=int, default=4)
+    ap.add_argument("--base",
+                    default=os.environ.get("SPARK_GRAFT_SF_DIR",
+                                           "/root/testdata/sf0.1"))
+    ap.add_argument("--vs", default=None, metavar="OTHER",
+                    help="A/B each query against OTHER (registered form) "
+                         "instead of its own hint toggle")
+    args = ap.parse_args()
+    names = tuple(args.queries) or DEFAULT_QUERIES
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
@@ -75,28 +102,35 @@ def main() -> None:
     spark = get_spark("olap-ab")
     spark.sparkContext.setLogLevel("ERROR")
     qmap = query_map()
+    unknown = [n for n in names if n not in qmap]
+    if unknown or (args.vs and args.vs not in qmap):
+        raise SystemExit(f"not registered: {unknown or [args.vs]}")
 
-    out = tempfile.mkdtemp(prefix="olap_ab_")
-    result: dict[str, object] = {"k": k, "runs": runs}
+    out = tempfile.mkdtemp(prefix="olap_ab_") if args.k > 1 else args.base
+    result: dict[str, object] = {"k": args.k, "runs": args.runs, "base": args.base}
     try:
-        t0 = time.perf_counter()
-        scale_smoke.build_scaled(spark, base, out, k)
-        result["build_s"] = round(time.perf_counter() - t0, 1)
+        if args.k > 1:
+            t0 = time.perf_counter()
+            scale_smoke.build_scaled(spark, args.base, out, args.k)
+            result["build_s"] = round(time.perf_counter() - t0, 1)
 
-        for name in QUERIES:
+        for name in names:
             fn = qmap[name]
-            # "registered" = the shipped query (statistics-driven hint,
-            # sources/tables.broadcast_if_small); "hinted" = static
-            # F.broadcast forced; "nohint" would need the helper disabled
-            # and is represented by the r6 pre-fix numbers in PLANS.md.
-            variants = {
-                "registered": lambda: fn(spark, out),
-                "hinted": lambda: fn(spark, out, _hint_dims=True),
-            }
+            variants = {"registered": lambda fn=fn: fn(spark, out)}
+            if args.vs:
+                other = qmap[args.vs]
+                variants[f"vs:{args.vs}"] = lambda other=other: other(spark, out)
+            elif _supports_hint(fn):
+                variants["hinted"] = lambda fn=fn: fn(spark, out, _hint_dims=True)
+            else:
+                result.setdefault("notes", []).append(  # type: ignore[union-attr]
+                    f"{name}: no _hint_dims toggle; timing the registered "
+                    "form only (pass --vs OTHER for a two-query A/B)"
+                )
             # warmup both shapes once (codegen compile, footer caches)
             plans = {v: _final_plan_counts(mk()) for v, mk in variants.items()}
             times: dict[str, list[float]] = {v: [] for v in variants}
-            for _ in range(runs):  # interleaved A B A B ...
+            for _ in range(args.runs):  # interleaved A B A B ...
                 for v, mk in variants.items():
                     t0 = time.perf_counter()
                     mk().write.format("noop").mode("overwrite").save()
@@ -106,7 +140,8 @@ def main() -> None:
                 for v, ts in times.items()
             }
     finally:
-        shutil.rmtree(out, ignore_errors=True)
+        if args.k > 1:
+            shutil.rmtree(out, ignore_errors=True)
 
     print(json.dumps(result, indent=1))
 
