@@ -1055,3 +1055,100 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "round int, left string, right string, cnt bigint"
     )
+
+
+@register(
+    "lm_bigram_nll",
+    ops=("OP-X-TXT-04", "OP-TXT-01", "OP-AGG-01"),
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+        ), big AS (
+            SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+            FROM tok, LATERAL unnest(
+                generate_series(1, greatest(len(toks) - 1, 0))) AS t(i)
+        ), c12 AS (
+            SELECT w1, w2, COUNT(*) AS n12 FROM big GROUP BY 1, 2
+        ), c1 AS (
+            SELECT w1, COUNT(*) AS n1 FROM big GROUP BY 1
+        ), v AS (
+            SELECT COUNT(DISTINCT w) AS vsize
+            FROM (SELECT unnest(toks) AS w FROM tok)
+        ), scored AS (
+            SELECT b.doc_id,
+                   ROUND(LN((c12.n12 + 1.0) / (c1.n1 + v.vsize)), 6) AS lp
+            FROM big b
+            JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+            JOIN c1 ON b.w1 = c1.w1
+            CROSS JOIN v
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_bigrams,
+               ROUND(-SUM(lp) / COUNT(*), 4) AS nll_mean
+        FROM scored GROUP BY doc_id
+    """,
+)
+def lm_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score — the actual CCNet-style
+    perplexity filter (Wenzek et al. 2020, arXiv:1911.00359), where
+    ``token_rarity_score`` is the integer-linear proxy: train an
+    add-one-smoothed bigram LM on the corpus itself and score every
+    document by its mean negative log-likelihood. Gibberish and OCR
+    noise produce improbable transitions and score HIGH; fluent text
+    scores LOW; a production run thresholds on this column (and trains
+    the LM on a held-out reference corpus instead — one DataFrame swap).
+
+    p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V), with c(w1) summed over the
+    BIGRAM table so the conditional normalizes exactly.
+
+    Determinism across engines: each per-bigram log-prob is rounded to
+    6 decimals FIRST (the ``corpus_tfidf`` precedent — single-operation
+    ln matches across libms at that precision), so both engines sum
+    IDENTICAL doubles; the final mean rounds to 4 decimals, far above
+    the ~1e-12 accumulation-order noise of summing a few hundred terms.
+
+    Plan shape at 100 TB: one tokenize, bigram expansion via
+    ``transform`` (no positional self-join), two Zipf-skewed hash
+    aggregations with map-side combine, two joins back (NO static
+    broadcast hint — the bigram-type table is GBs at web scale; AQE
+    broadcasts when it fits), and a 1-row vocabulary scalar
+    cross-joined broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    big = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(toks) < 2 THEN "
+                    "cast(array() as array<struct<w1:string,w2:string>>) "
+                    "ELSE transform(sequence(1, size(toks) - 1), i -> "
+                    "struct(element_at(toks, i) AS w1, "
+                    "element_at(toks, i + 1) AS w2)) END"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    v = docs.select(F.explode(toks).alias("w")).agg(
+        F.countDistinct("w").alias("vsize")
+    )
+    scored = (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("n12") + F.lit(1.0)) / (F.col("n1") + F.col("vsize"))),
+                6,
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(-F.sum("lp") / F.count(F.lit(1)), 4).alias("nll_mean"),
+    )
