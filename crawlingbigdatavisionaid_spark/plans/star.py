@@ -716,3 +716,375 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 TPC-H widening: seven more canonical plan shapes (Q4/Q5/Q10/
+# Q13/Q15/Q17/Q19 adapted to the synthetic schema, which lacks
+# partsupp/comments/commit-receipt dates). Each exercises a DIFFERENT
+# optimizer pattern the earlier eight don't: EXISTS semi with a
+# correlated date predicate (q4), a five-table join chain closed by a
+# non-key equality (q5), outer-join count distribution (q13), scalar-max
+# selection (q15), correlated-aggregate filter (q17), disjunctive
+# multi-column pushdown (q19).
+# ---------------------------------------------------------------------------
+@register(
+    "q4_late_ship_priority",
+    ops=("OP-AGG-01",),
+    oracle="""
+        SELECT o.o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o.o_orderpriority
+    """,
+)
+def q4_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (commit/receipt dates absent, so 'late' = any line
+    shipped >60 days after the order date): LEFT SEMI join with a
+    correlated inequality — Spark plans the equi-part (l_orderkey =
+    o_orderkey) as the join key and evaluates the date predicate as a
+    join condition, so the semi stays a hash join, never a cartesian.
+    The lineitem side prunes to two columns."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    ops=("OP-AGG-01",),
+    oracle="""
+        SELECT n.n_name AS nation,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: the five-table chain closed by the NON-KEY equality
+    c_nationkey = s_nationkey (local supplier). Constant dims
+    (region 5 rows, nation 25) carry the static broadcast hint; the
+    growing dims (customer, supplier) carry none — AQE converts at
+    runtime. The nationkey equality rides the supplier hash join as an
+    extra condition, not a second shuffle."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _li_money(load_table(spark, sf_dir, "lineitem")).select(
+        "l_orderkey", "l_suppkey", "price_d", "disc_d"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+    )
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    )
+    joined = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (F.col("c_nationkey") == s.s_nationkey),
+        )
+        .join(n, s.s_nationkey == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum(F.col("price_d") * (F.lit(1) - F.col("disc_d")))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
+    "q10_returned_item_ranking",
+    ops=("OP-AGG-01", "OP-TOPK-01"),
+    oracle="""
+        SELECT c.c_custkey, c.c_name,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS revenue,
+               n.n_name AS nation
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+)
+def q10_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: which customers returned the most revenue last
+    quarter. Fact-fact shuffle join with the returnflag filter pushed
+    to the lineitem scan, broadcast nation, top-20 as
+    TakeOrderedAndProject with a custkey tie-break."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _li_money(
+        load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    ).select("l_orderkey", "price_d", "disc_d")
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("price_d") * (F.lit(1) - F.col("disc_d")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "nation")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    ops=("OP-AGG-01",),
+    oracle="""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey)
+        GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (no comment column to exclude): the outer-join
+    count distribution — customers with zero orders must survive as
+    c_count = 0, which COUNT(o_orderkey) (not COUNT(*)) guarantees.
+    Two aggregations: the first shuffles on custkey (the join already
+    co-partitioned it — no second exchange), the second on the tiny
+    c_count domain."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    ops=("OP-AGG-01", "OP-AGG-04"),
+    oracle="""
+        WITH rev AS (
+            SELECT l.l_suppkey AS suppkey,
+                   SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                       AS total_rev
+            FROM lineitem l
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY 1
+        )
+        SELECT s.s_suppkey, s.s_name,
+               CAST(r.total_rev AS DOUBLE) AS total_revenue
+        FROM rev r
+        JOIN supplier s ON r.suppkey = s.s_suppkey
+        WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the revenue 'view' reused twice — once aggregated to
+    its scalar max (broadcast 1-row cross join), once filtered by it.
+    The quarter's revenue is computed ONCE via localCheckpoint, so the
+    two consumers share the work instead of double-scanning lineitem
+    (the view materialization the original's CREATE VIEW implies).
+    Equality on the EXACT decimal — a double compare could straddle an
+    ulp and drop the winner."""
+    rev = (
+        _li_money(
+            load_table(spark, sf_dir, "lineitem").where(
+                (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+            )
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(F.col("price_d") * (F.lit(1) - F.col("disc_d"))).alias(
+                "total_rev"
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("max_rev"))
+        .join(s, F.col("suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    ops=("OP-AGG-05",),
+    oracle="""
+        WITH stats AS (
+            SELECT l_partkey,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                   COUNT(*) AS cnt
+            FROM lineitem GROUP BY 1
+        )
+        SELECT CAST(ROUND(COALESCE(SUM(
+                   CAST(l.l_extendedprice AS DECIMAL(18,2))), 0) / 7.0, 2)
+                   AS DOUBLE) AS avg_yearly,
+               COUNT(*) AS n_lines
+        FROM lineitem l
+        JOIN part p  ON l.l_partkey = p.p_partkey
+        JOIN stats t ON l.l_partkey = t.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+          AND 5 * CAST(l.l_quantity AS DECIMAL(18,2)) * t.cnt < t.sum_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: lines below 20% of their part's average quantity. The
+    correlated AVG subquery is decorrelated into one per-part aggregate
+    joined back, and the 0.2*avg comparison is cleared of division —
+    ``5 * qty * cnt < sum_qty`` in exact decimal/integer arithmetic, so
+    the filter can never disagree across engines by an epsilon. The
+    final division (the only float op) is one rounded scalar."""
+    li = _li_money(load_table(spark, sf_dir, "lineitem")).select(
+        "l_partkey", "qty_d", "price_d"
+    )
+    stats = li.groupBy("l_partkey").agg(
+        F.sum("qty_d").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    joined = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(stats.withColumnRenamed("l_partkey", "sk"), F.col("l_partkey") == F.col("sk"))
+        .where(
+            F.lit(5) * F.col("qty_d") * F.col("cnt") < F.col("sum_qty")
+        )
+    )
+    return joined.agg(
+        F.round(
+            F.coalesce(F.sum("price_d"), F.lit(0).cast(_DEC)) / F.lit(7.0), 2
+        )
+        .cast("double")
+        .alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    ops=("OP-AGG-05",),
+    oracle="""
+        SELECT CAST(COALESCE(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 0) AS DOUBLE)
+                   AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 6 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 11 AND 15
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (p_container absent — size ranges instead): the
+    disjunctive predicate spanning both join sides. Catalyst extracts
+    the common single-side conjuncts from the OR — part prunes to the
+    three brands / size 1-15, lineitem to quantity 1-30 — BEFORE the
+    join, so each scan reads a fraction of its table and only the mixed
+    residual evaluates post-join."""
+    li = _li_money(load_table(spark, sf_dir, "lineitem")).select(
+        "l_partkey", "l_quantity", "price_d", "disc_d"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    arm = (
+        lambda brand, s1, s2, q1, q2: (F.col("p_brand") == brand)
+        & F.col("p_size").between(s1, s2)
+        & F.col("l_quantity").between(q1, q2)
+    )
+    joined = li.join(p, li.l_partkey == p.p_partkey).where(
+        arm("Brand#12", 1, 5, 1, 11)
+        | arm("Brand#23", 6, 10, 10, 20)
+        | arm("Brand#34", 11, 15, 20, 30)
+    )
+    return joined.agg(
+        F.coalesce(
+            F.sum(F.col("price_d") * (F.lit(1) - F.col("disc_d"))),
+            F.lit(0).cast(_DEC),
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
