@@ -170,3 +170,54 @@ def test_broadcast_if_small_is_statistics_driven(spark, sf_dir):
         o.o_custkey == F.col("c_custkey"),
     )
     assert "BroadcastHashJoin" in j._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q4_semi_join_is_hash_not_cartesian(spark, sf_dir):
+    """The correlated date inequality must ride the equi-key hash semi
+    join as a join condition, never degrade to a nested-loop/cartesian."""
+    plan = _plan(spark, sf_dir, "q4_late_ship_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q19_common_conjuncts_pushed_to_both_scans(spark, sf_dir):
+    """Catalyst must extract the single-side conjuncts from the OR: the
+    part scan prunes to the three brands, the lineitem scan to the
+    quantity envelope, BEFORE the join."""
+    scan_p = _read_schema(spark, sf_dir, "q19_disjunctive_revenue", "part")
+    assert "p_name" not in scan_p  # column pruning holds too
+    plan = _plan(spark, sf_dir, "q19_disjunctive_revenue")
+    # quantity envelope extracted onto the lineitem scan...
+    assert "(l_quantity" in plan and ">= 1.0)" in plan
+    # ...and the brand/size disjunction onto the part scan
+    assert "(p_brand" in plan and "Brand#12" in plan
+
+
+def test_q13_outer_join_and_total_preserved(spark, sf_dir):
+    """The count distribution must be built on a LEFT OUTER join with
+    COUNT(o_orderkey): every customer lands in exactly one c_count
+    bucket (sum of custdist == |customer|), including any zero-order
+    customer (none exist at the test sfs, so the plan shape — not a
+    data row — carries that guarantee)."""
+    from pyspark.sql import functions as F
+
+    from crawlingbigdatavisionaid_spark.plans import query_map
+    from crawlingbigdatavisionaid_spark.sources import load_table
+
+    plan = _plan(spark, sf_dir, "q13_order_count_distribution")
+    assert "LeftOuter" in plan
+    total = (
+        query_map()["q13_order_count_distribution"](spark, sf_dir)
+        .agg(F.sum("custdist"))
+        .first()[0]
+    )
+    assert total == load_table(spark, sf_dir, "customer").count()
+
+
+def test_q15_revenue_view_computed_once(spark, sf_dir):
+    """The Q15 revenue 'view' feeds both the max scalar and the filter;
+    the localCheckpoint must keep lineitem from being scanned twice in
+    the final plan."""
+    plan = _plan(spark, sf_dir, "q15_top_supplier")
+    assert plan.count("lineitem.parquet") <= 1
