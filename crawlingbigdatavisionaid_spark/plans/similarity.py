@@ -459,3 +459,71 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 10)
     corpus = emb.where(F.col("label") == 2)
     return S.brute_force_topk_np(corpus, queries, k=10)
+
+
+@register(
+    "ann_pq_persisted_recall",
+    ops=("OP-X-SIM-01",),
+    # the product-quantization sibling of ann_ivf_persisted_recall
+    # (r7): codebooks + codes round-trip parquet (float64 centroids
+    # exactly, codes as small ints), so a persisted ADC probe must
+    # reproduce the in-flight pq_topk EXACTLY; and the refined pipeline
+    # (ADC shortlist -> exact re-rank, the FAISS PQ,Refine shape) must
+    # recall >= 1/2 of the exact top-k. Integer arithmetic only.
+    oracle="SELECT TRUE AS persisted_matches, TRUE AS recall_ok",
+)
+def ann_pq_persisted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable verdict for the persisted PQ index
+    (operators/similarity.pq_index / pq_probe_index / pq_refined_topk):
+    write codebooks + codes to parquet, read back, ADC-probe, compare
+    against the one-shot ``pq_topk`` (exact set equality — ADC scores
+    are fixed-order m-term sums, partition- and persistence-invariant)
+    and check the refined search recalls >= 1/2 of the exact numpy
+    top-k (measured ~0.96 on the test embeddings)."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    root = tempfile.mkdtemp(prefix="pq_index_")
+    try:
+        built = S.pq_index(emb, m=16, ksub=16)
+        if built is None:  # empty corpus: vacuously consistent verdict
+            return spark.createDataFrame(
+                [(True, True)],
+                "persisted_matches boolean, recall_ok boolean",
+            )
+        books_df, codes_df = built
+        books_df.write.parquet(f"{root}/codebooks")
+        codes_df.write.parquet(f"{root}/codes")
+        persisted = S.pq_probe_index(
+            queries,
+            spark.read.parquet(f"{root}/codebooks"),
+            spark.read.parquet(f"{root}/codes"),
+            k=10,
+        ).select("query_id", "rank", "neighbor_id")
+        inflight = S.pq_topk(emb, queries, k=10, m=16, ksub=16).select(
+            "query_id", "rank", "neighbor_id"
+        )
+        exact = S.brute_force_topk_np(emb, queries, k=10)
+        refined = S.pq_refined_topk(emb, queries, k=10, m=16, ksub=16)
+        n_p = persisted.count()
+        n_i = inflight.count()
+        n_common = persisted.join(
+            inflight, ["query_id", "rank", "neighbor_id"]
+        ).count()
+        hit = (
+            refined.select("query_id", "neighbor_id")
+            .join(
+                exact.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+            )
+            .count()
+        )
+        n_exact = exact.count()
+        row = (n_p == n_i == n_common, 2 * hit >= n_exact)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [row], "persisted_matches boolean, recall_ok boolean"
+    )

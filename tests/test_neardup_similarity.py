@@ -411,3 +411,51 @@ def test_containment_probe_survives_hot_sample_capping(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = _pairs(ND.containment_probe_pairs(docs, 9))
     assert (1, 2) in got
+
+
+def test_pq_refined_topk_recall_vs_brute_force(emb):
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, queries, k=10).collect()
+    }
+    refined = {
+        (r.query_id, r.neighbor_id)
+        for r in S.pq_refined_topk(emb, queries, k=10, m=16, ksub=16).collect()
+    }
+    recall = len(exact & refined) / len(exact)
+    # ADC top-80 shortlist holds ~96% of the exact top-10 on these
+    # embeddings; the exact re-rank converts that into final ranks
+    assert recall >= 0.75, f"PQ refined recall@10 = {recall}"
+
+
+def test_pq_identical_vectors_share_codes_and_rank_first(spark):
+    """A duplicate vector quantizes to the IDENTICAL code word, so ADC
+    ranks it at the query's own score — the dedup-relevant guarantee."""
+    import random
+
+    rng = random.Random(3)
+    base = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(40)]
+    rows = [(i, [float(v) for v in vec]) for i, vec in enumerate(base)]
+    rows.append((100, rows[0][1]))  # exact duplicate of vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    built = S.pq_index(df, m=16, ksub=8)
+    books_df, codes_df = built
+    codes = {r.neighbor_id: tuple(r.codes) for r in codes_df.collect()}
+    assert codes[0] == codes[100]
+    q = df.where(F.col("vec_id") == 0)
+    top = S.pq_probe_index(q, books_df, codes_df, k=3).collect()
+    first = [r.neighbor_id for r in top if r.rank == 1]
+    assert first == [100]
+
+
+def test_pq_empty_corpus_and_empty_queries(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert S.pq_index(df) is None
+    assert S.pq_topk(df, df, k=5).count() == 0
+    some = spark.createDataFrame(
+        [(1, [1.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    built = S.pq_index(some)
+    assert built is not None
+    assert S.pq_probe_index(df, built[0], built[1], k=5).count() == 0
