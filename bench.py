@@ -85,6 +85,12 @@ HEADLINE = [
     # round 6 additions
     "containment_minhash_recall",
     "curated_corpus",
+    # round 7 additions
+    "lm_bigram_nll",
+    "q5_local_supplier_volume",
+    "q10_returned_item_ranking",
+    "q13_order_count_distribution",
+    "q19_disjunctive_revenue",
 ]
 
 

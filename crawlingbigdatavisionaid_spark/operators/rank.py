@@ -1,0 +1,81 @@
+"""Scalable exact global ranking.
+
+``ROW_NUMBER() OVER (ORDER BY ...)`` with no partition key moves the
+whole relation into ONE task (Spark warns ``WindowExec: No Partition
+Defined``) — the global-sort sibling of the running-sum problem
+``operators/prefix.chunked_cumsum`` solves. :func:`global_rank`
+computes the SAME dense 1..N ranks with bounded per-task state:
+
+1. ``repartitionByRange`` on the order columns — Spark's sampled range
+   partitioner spreads the sort across tasks (the same machinery a
+   global ``orderBy`` uses, WITHOUT funneling results into one window
+   task);
+2. a per-partition ``row_number`` (bounded by the partition);
+3. per-partition counts (a tiny |partitions|-row aggregate) get an
+   exclusive running offset, broadcast back.
+
+Ranks are EXACT and partitioning-invariant as long as the order is
+TOTAL (callers must include a tie-breaker column): a row's global rank
+is its position in the total order, which no boundary placement can
+change. NTILE and other rank-derived statistics then follow as pure
+expressions over (rank, N).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def global_rank(
+    df: DataFrame, order_cols: list[str], alias: str = "rank"
+) -> DataFrame:
+    """``df`` plus ``alias`` = exact 1..N position in the TOTAL order of
+    ``order_cols`` (callers must make the order total — include a
+    unique tie-breaker), computed without a single-task global window."""
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    parts = df.repartitionByRange(n_parts, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_in = Window.partitionBy("_pid").orderBy(*order_cols)
+    # checkpointed so the offsets job and the final plan share ONE
+    # materialization (and one set of sampled range boundaries)
+    local = parts.withColumn("_rn", F.row_number().over(w_in)).localCheckpoint(
+        eager=False
+    )
+    # exclusive prefix over the per-partition counts: |partitions| rows
+    # by construction, so the scan is a bounded driver-side scalar job
+    # (the centroid-table legitimacy class) — no unpartitioned window
+    # anywhere in the plan
+    cnts = dict(
+        (r["_pid"], r["_cnt"])
+        for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).collect()
+    )
+    offs, acc = [], 0
+    for pid in sorted(cnts):
+        offs.append((pid, acc))
+        acc += cnts[pid]
+    if not offs:
+        return df.withColumn(alias, F.lit(None).cast("bigint"))
+    offsets = spark.createDataFrame(offs, "_pid int, _off bigint")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(alias, (F.col("_rn") + F.col("_off")).cast("bigint"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
+def ntile_expr(rank: Column, n_rows: Column, n: int) -> Column:
+    """SQL ``NTILE(n)`` as a pure expression over (global rank, total
+    row count): bucket sizes differ by at most one, larger buckets
+    first — exactly the window function's contract, derivable once the
+    rank exists without any additional sort."""
+    q = (n_rows / n).cast("bigint")  # floor
+    r = n_rows - q * n  # first r buckets get q+1 rows
+    big_span = r * (q + 1)
+    return (
+        F.when(rank <= big_span, F.ceil(rank / (q + 1)))
+        .otherwise(r + F.ceil((rank - big_span) / F.greatest(q, F.lit(1))))
+        .cast("int")
+    )

@@ -1152,3 +1152,74 @@ def lm_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(-F.sum("lp") / F.count(F.lit(1)), 4).alias("nll_mean"),
     )
+
+
+@register(
+    "lm_quality_buckets",
+    ops=("OP-X-TXT-04", "OP-AGG-01"),
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+        ), big AS (
+            SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+            FROM tok, LATERAL unnest(
+                generate_series(1, greatest(len(toks) - 1, 0))) AS t(i)
+        ), c12 AS (
+            SELECT w1, w2, COUNT(*) AS n12 FROM big GROUP BY 1, 2
+        ), c1 AS (
+            SELECT w1, COUNT(*) AS n1 FROM big GROUP BY 1
+        ), v AS (
+            SELECT COUNT(DISTINCT w) AS vsize
+            FROM (SELECT unnest(toks) AS w FROM tok)
+        ), nll AS (
+            SELECT b.doc_id,
+                   ROUND(-SUM(ROUND(LN((c12.n12 + 1.0)
+                       / (c1.n1 + v.vsize)), 6)) / COUNT(*), 4) AS nll_mean
+            FROM big b
+            JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+            JOIN c1 ON b.w1 = c1.w1
+            CROSS JOIN v
+            GROUP BY b.doc_id
+        ), bucketed AS (
+            SELECT doc_id, nll_mean,
+                   NTILE(3) OVER (ORDER BY nll_mean, doc_id) AS bucket
+            FROM nll
+        )
+        SELECT bucket, COUNT(*) AS n_docs,
+               ROUND(MIN(nll_mean), 4) AS min_nll,
+               ROUND(MAX(nll_mean), 4) AS max_nll
+        FROM bucketed GROUP BY bucket
+    """,
+)
+def lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): rank
+    the corpus by the bigram-LM score (``lm_bigram_nll``) and cut it
+    into perplexity tertiles — head = most-fluent third, the slice a
+    curation run keeps or upsamples. Output is the per-bucket doc count
+    and nll range (the numbers a curator inspects before choosing the
+    cut).
+
+    A corpus-wide quantile cut IS a global statistic, but it does NOT
+    need the single-task global window ``F.ntile`` plans
+    (``WindowExec: No Partition Defined`` — the per-doc score table has
+    corpus cardinality, the one place that warning is a real 100 TB
+    ceiling): ranks come from ``operators/rank.global_rank``
+    (range-repartitioned sort + per-partition row_number + broadcast
+    offsets) over the total order (nll_mean, doc_id), and NTILE's
+    bucket assignment is then a pure expression over (rank, N) —
+    bit-identical to the window function's contract, checked against
+    DuckDB's real NTILE."""
+    from ..operators.rank import global_rank, ntile_expr
+
+    nll = lm_bigram_nll(spark, sf_dir).select("doc_id", "nll_mean")
+    n = F.broadcast(nll.agg(F.count(F.lit(1)).alias("_n")))
+    bucketed = (
+        global_rank(nll, ["nll_mean", "doc_id"], alias="_rank")
+        .crossJoin(n)
+        .withColumn("bucket", ntile_expr(F.col("_rank"), F.col("_n"), 3))
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("nll_mean"), 4).alias("min_nll"),
+        F.round(F.max("nll_mean"), 4).alias("max_nll"),
+    )

@@ -239,3 +239,48 @@ def test_chunked_cumsum_keeps_null_order_rows(spark):
         for r in chunked_cumsum(df, ["g"], "oid", F.col("v"), "cum", chunk=8).collect()
     }
     assert chunked == plain and len(chunked) == 4
+
+
+def test_global_rank_and_ntile_equal_plain_window(spark):
+    """operators/rank.global_rank + ntile_expr must be BIT-IDENTICAL to
+    ROW_NUMBER/NTILE over the unpartitioned window, across sizes that
+    hit empty, single-row, fewer-rows-than-partitions, non-divisible
+    and divisible tile counts."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from crawlingbigdatavisionaid_spark.operators.rank import (
+        global_rank,
+        ntile_expr,
+    )
+
+    rng = random.Random(11)
+    for n_rows in (0, 1, 7, 33, 96, 100):
+        rows = [(i, rng.randrange(0, 20)) for i in range(n_rows)]
+        df = spark.createDataFrame(rows, "id long, v long")
+        w = Window.orderBy("v", "id")
+        plain = {
+            r.id: (r.rank, r.t3, r.t4)
+            for r in df.select(
+                "id",
+                F.row_number().over(w).alias("rank"),
+                F.ntile(3).over(w).alias("t3"),
+                F.ntile(4).over(w).alias("t4"),
+            ).collect()
+        }
+        ranked = global_rank(df, ["v", "id"], alias="rank")
+        n = F.broadcast(df.agg(F.count(F.lit(1)).alias("_n")))
+        got = {
+            r.id: (r.rank, r.t3, r.t4)
+            for r in ranked.crossJoin(n)
+            .select(
+                "id",
+                "rank",
+                ntile_expr(F.col("rank"), F.col("_n"), 3).alias("t3"),
+                ntile_expr(F.col("rank"), F.col("_n"), 4).alias("t4"),
+            )
+            .collect()
+        }
+        assert got == plain, n_rows
