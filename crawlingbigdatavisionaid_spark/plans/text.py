@@ -1109,10 +1109,12 @@ def lm_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape at 100 TB: one tokenize, bigram expansion via
     ``transform`` (no positional self-join), two Zipf-skewed hash
-    aggregations with map-side combine, two joins back (NO static
-    broadcast hint — the bigram-type table is GBs at web scale; AQE
-    broadcasts when it fits), and a 1-row vocabulary scalar
-    cross-joined broadcast."""
+    aggregations with map-side combine. The two count tables join EACH
+    OTHER first — both are aggregate-sized (|distinct bigrams|,
+    |distinct contexts|), so the corpus-sized bigram stream shuffles
+    into exactly ONE join, not two. NO static broadcast hint on the
+    rate table (GBs at web scale; AQE broadcasts when it fits); the
+    1-row vocabulary scalar cross-joins broadcast."""
     docs = load_table(spark, sf_dir, "documents")
     toks = T.tokens("text")
     big = (
@@ -1136,18 +1138,21 @@ def lm_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = docs.select(F.explode(toks).alias("w")).agg(
         F.countDistinct("w").alias("vsize")
     )
-    scored = (
-        big.join(c12, ["w1", "w2"])
-        .join(c1, "w1")
+    # per-bigram log-prob table: aggregate x aggregate join, then ONE
+    # corpus-size join against it
+    rates = (
+        c12.join(c1, "w1")
         .crossJoin(F.broadcast(v))
         .select(
-            "doc_id",
+            "w1",
+            "w2",
             F.round(
                 F.log((F.col("n12") + F.lit(1.0)) / (F.col("n1") + F.col("vsize"))),
                 6,
             ).alias("lp"),
         )
     )
+    scored = big.join(rates, ["w1", "w2"]).select("doc_id", "lp")
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(-F.sum("lp") / F.count(F.lit(1)), 4).alias("nll_mean"),
