@@ -48,7 +48,17 @@ def chunked_cumsum(
     plain window: null-safe equality on both ``part_cols`` AND the
     chunk key (a NULL ``order_col`` lands in a NULL chunk, ordered
     NULLS FIRST within its group exactly like the plain window)."""
-    with_sub = df.withColumn("_sub", F.floor(F.col(order_col) / F.lit(chunk)))
+    # NULL order rows: floor(NULL/chunk) is NULL — map it to the -1
+    # sentinel (order_col is documented non-negative, so -1 can't
+    # collide) instead of null-safe join machinery: eqNullSafe wraps the
+    # join keys in coalesce expressions, which defeats partitioning
+    # reuse and was measured to add one exchange to every consumer
+    # (pack_sequences 3 -> 4 shuffles). The NULL rows sort first within
+    # their chunk, same as the plain window's NULLS FIRST.
+    with_sub = df.withColumn(
+        "_sub",
+        F.coalesce(F.floor(F.col(order_col) / F.lit(chunk)), F.lit(-1)),
+    )
     w_in = (
         Window.partitionBy(*part_cols, "_sub")
         .orderBy(order_col)
@@ -78,10 +88,9 @@ def chunked_cumsum(
     off = offsets
     for c in [*part_cols, "_sub"]:
         off = off.withColumnRenamed(c, f"_o_{c}")
-    # _sub too: a NULL order_col yields a NULL chunk key on both sides;
-    # plain equality would silently drop that row while the plain window
-    # keeps it (NULLS FIRST within its group)
-    cond = with_sub["_sub"].eqNullSafe(off["_o__sub"])
+    # plain equality is safe for the chunk key: the -1 sentinel above
+    # guarantees _sub is never NULL
+    cond = with_sub["_sub"] == off["_o__sub"]
     for c in part_cols:
         cond = cond & with_sub[c].eqNullSafe(off[f"_o_{c}"])
     return (

@@ -61,6 +61,12 @@ QUERIES = [
     # judge r5 flagged its warm drift under the 2x bar (A/B-resolved as
     # variance, PLANS.md r6 note) — a standing 10x row instruments it
     "q21_sole_returned_supplier",
+    # r7 additions: the new join shapes (q5 five-table chain, q10
+    # fact-fact + top-20) and the LM scorer (two Zipf aggregations +
+    # one corpus-size join) earn standing 10x rows from birth
+    "q5_local_supplier_volume",
+    "q10_returned_item_ranking",
+    "lm_bigram_nll",
 ]
 
 
