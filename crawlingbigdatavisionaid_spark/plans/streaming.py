@@ -455,3 +455,91 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Streaming (stateless per-micro-batch filter, availableNow drain) —
     must equal the batch filter exactly."""
     return SP.quality_filter_stream(spark, sf_dir)
+
+
+@register(
+    "stream_pq_probe",
+    ops=("OP-STR-01", "OP-X-SIM-01"),
+    # micro-batch invariance for the compressed-codes index (r7): rows
+    # accumulated by foreachBatch ADC probes of the persisted PQ index
+    # must EQUAL the one-shot probe of the same delta — ADC scores are
+    # fixed-order m-term sums depending only on the vector and the
+    # stored codebooks/codes.
+    oracle="""
+        SELECT TRUE AS multi_batch, TRUE AS no_missing, TRUE AS no_extra
+    """,
+)
+def stream_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ADC search, end-to-end — the product-quantization
+    mirror of ``stream_ann_probe``: the corpus (vec deciles 0-8) trains
+    + persists its PQ codebooks/codes ONCE
+    (operators/similarity.pq_index); the arriving delta (decile 9)
+    drains as a multi-file stream, each micro-batch probing the stored
+    code table inside ``foreachBatch``
+    (streaming/ingest.pq_probe_ingest). The verdict compares the
+    accumulated top-k rows against the one-shot probe of the same
+    delta."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators import similarity as S
+    from ..sources import load_table
+    from ..streaming.ingest import pq_probe_ingest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    decile = F.col("vec_id") % 10
+    delta, base = emb.where(decile == 9), emb.where(decile != 9)
+
+    root = tempfile.mkdtemp(prefix="pq_probe_")
+    try:
+        delta_dir = f"{root}/delta"
+        books_dir, codes_dir = f"{root}/codebooks", f"{root}/codes"
+        out_dir, ckpt = f"{root}/topk", f"{root}/ckpt"
+        delta.repartition(4).write.parquet(delta_dir)
+        built = S.pq_index(base, m=16, ksub=16)
+        if built is None:  # empty corpus: vacuously consistent verdict
+            return spark.createDataFrame(
+                [(True, True, True)],
+                "multi_batch boolean, no_missing boolean, no_extra boolean",
+            )
+        books_df, codes_df = built
+        books_df.write.parquet(books_dir)
+        codes_df.write.parquet(codes_dir)
+        n_batches = pq_probe_ingest(
+            spark, delta_dir, books_dir, codes_dir, out_dir, ckpt, emb.schema
+        )
+        oneshot = S.pq_probe_index(
+            spark.read.parquet(delta_dir),
+            spark.read.parquet(books_dir),
+            spark.read.parquet(codes_dir),
+            k=10,
+        ).select("query_id", "rank", "neighbor_id")
+        streamed = spark.read.schema(
+            "query_id long, rank int, neighbor_id long"
+        ).parquet(out_dir)
+
+        def _n(df, alias):
+            return df.agg(F.count(F.lit(1)).alias(alias))
+
+        common = _n(
+            streamed.join(oneshot, ["query_id", "rank", "neighbor_id"]),
+            "n_common",
+        )
+        [row] = (
+            _n(streamed, "n_stream")
+            .crossJoin(_n(oneshot, "n_batch"))
+            .crossJoin(common)
+            .select(
+                F.lit(n_batches > 1).alias("multi_batch"),
+                (F.col("n_common") == F.col("n_batch")).alias("no_missing"),
+                (F.col("n_common") == F.col("n_stream")).alias("no_extra"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [row], "multi_batch boolean, no_missing boolean, no_extra boolean"
+    )

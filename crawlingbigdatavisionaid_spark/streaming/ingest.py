@@ -122,6 +122,40 @@ def incremental_neardup_ingest(
     return n_batches
 
 
+def _probe_ingest(
+    spark: SparkSession,
+    delta_path: str,
+    out_path: str,
+    checkpoint: str,
+    schema,
+    max_files_per_trigger: int | None,
+    probe_fn,
+) -> int:
+    """Shared drain loop for index-probing ingestion: each micro-batch
+    runs ``probe_fn(batch_df) -> DataFrame`` against a persisted,
+    drain-immutable index and appends the result. Returns the number of
+    micro-batches processed."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(delta_path)
+    n_batches = 0
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
+        probe_fn(batch_df).write.mode("append").parquet(out_path)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches
+
+
 def ann_probe_ingest(
     spark: SparkSession,
     delta_path: str,
@@ -146,27 +180,47 @@ def ann_probe_ingest(
     Returns the number of micro-batches processed."""
     from ..operators.similarity import ivf_probe_index
 
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    stream = reader.parquet(delta_path)
-    n_batches = 0
     # index is immutable for the drain: plan the two scans once
     cent = spark.read.parquet(centroids_path)
     inv = spark.read.parquet(inv_path)
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        nonlocal n_batches
-        n_batches += 1
-        ivf_probe_index(batch_df, cent, inv, k=k, nprobe=nprobe).write.mode(
-            "append"
-        ).parquet(out_path)
-
-    q = (
-        stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return _probe_ingest(
+        spark,
+        delta_path,
+        out_path,
+        checkpoint,
+        schema,
+        max_files_per_trigger,
+        lambda batch: ivf_probe_index(batch, cent, inv, k=k, nprobe=nprobe),
     )
-    q.awaitTermination()
-    return n_batches
+
+
+def pq_probe_ingest(
+    spark: SparkSession,
+    delta_path: str,
+    codebooks_path: str,
+    codes_path: str,
+    out_path: str,
+    checkpoint: str,
+    schema,
+    max_files_per_trigger: int | None = 1,
+    k: int = 10,
+) -> int:
+    """Streaming ADC search against a PERSISTED product-quantization
+    index (operators/similarity.pq_index): the compressed-codes mirror
+    of :func:`ann_probe_ingest` — each arriving vector batch builds its
+    lookup tables against the stored codebooks and scans the code
+    table; the float corpus is never touched at search time. Returns
+    the number of micro-batches processed."""
+    from ..operators.similarity import pq_probe_index
+
+    books = spark.read.parquet(codebooks_path)
+    codes = spark.read.parquet(codes_path)
+    return _probe_ingest(
+        spark,
+        delta_path,
+        out_path,
+        checkpoint,
+        schema,
+        max_files_per_trigger,
+        lambda batch: pq_probe_index(batch, books, codes, k=k),
+    )
