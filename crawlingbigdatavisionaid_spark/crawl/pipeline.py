@@ -24,7 +24,6 @@ WARC/binaryFile at 100 TB.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -143,9 +142,12 @@ def scheduled_fetch_stage(
 
 
 def read_store(spark: SparkSession, store_path: str) -> DataFrame:
-    if os.path.isdir(store_path) and any(
-        f.endswith(".parquet") for f in os.listdir(store_path)
-    ):
+    # store-emptiness rule shared with merge_append (one definition —
+    # the pre-fetch anti-join and the append-time anti-join must never
+    # disagree about the same store)
+    from ..sources.merge import store_has_data
+
+    if store_has_data(store_path):
         return spark.read.parquet(store_path)
     return spark.createDataFrame([], STORE_SCHEMA)
 
@@ -190,5 +192,8 @@ def crawl_batch(
     from ..sources.merge import merge_append
 
     n_new = merge_append(spark, store_path, batch, "url")
-    n_total = spark.read.parquet(store_path).count()
+    # read_store, not a bare read: an all-failed first round appends
+    # nothing to a store that does not exist yet, and the counters must
+    # report (0, 0) instead of raising PATH_NOT_FOUND
+    n_total = read_store(spark, store_path).count()
     return {"new_rows": n_new, "store_rows": n_total}

@@ -28,11 +28,19 @@ from pyspark.sql.window import Window
 
 
 def global_rank(
-    df: DataFrame, order_cols: list[str], alias: str = "rank"
+    df: DataFrame,
+    order_cols: list[str],
+    alias: str = "rank",
+    total_alias: str | None = None,
 ) -> DataFrame:
     """``df`` plus ``alias`` = exact 1..N position in the TOTAL order of
     ``order_cols`` (callers must make the order total — include a
-    unique tie-breaker), computed without a single-task global window."""
+    unique tie-breaker), computed without a single-task global window.
+
+    ``total_alias``: also attach N as a literal column — the offsets
+    pass already sums the per-partition counts, so rank-derived
+    statistics (NTILE, percentile cuts) get their denominator for free
+    instead of re-executing the input plan for a separate count."""
     spark = df.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
     parts = df.repartitionByRange(n_parts, *order_cols).withColumn(
@@ -57,13 +65,19 @@ def global_rank(
         offs.append((pid, acc))
         acc += cnts[pid]
     if not offs:
-        return df.withColumn(alias, F.lit(None).cast("bigint"))
+        out = df.withColumn(alias, F.lit(None).cast("bigint"))
+        if total_alias:
+            out = out.withColumn(total_alias, F.lit(0).cast("bigint"))
+        return out
     offsets = spark.createDataFrame(offs, "_pid int, _off bigint")
-    return (
+    out = (
         local.join(F.broadcast(offsets), "_pid")
         .withColumn(alias, (F.col("_rn") + F.col("_off")).cast("bigint"))
         .drop("_pid", "_rn", "_off")
     )
+    if total_alias:
+        out = out.withColumn(total_alias, F.lit(acc).cast("bigint"))
+    return out
 
 
 def ntile_expr(rank: Column, n_rows: Column, n: int) -> Column:

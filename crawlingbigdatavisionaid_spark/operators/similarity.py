@@ -600,11 +600,14 @@ def semdedup_keep(
       still exceeds the bound. Semantically this is exactly 'more
       quantizer cells' — the fix the contract asks for — applied
       locally and automatically. A sub-cell that will not split (all
-      points in one k-means cell: near-identical vectors) falls back to
-      the STRICT rule, which is vectorized and completes; on identical
-      vectors strict and greedy agree (keep the first), so the fallback
-      does not distort the planted-duplicate case that makes
-      mega-clusters in practice.
+      points in one k-means cell: near-identical vectors) resolves as a
+      STAR over its min-id representative — one matvec, O(n) memory,
+      never the quadratic sweep the bound exists to prevent (the LSH
+      band-bucket-cap precedent). On identical vectors the star is
+      exact and strict/greedy agree (keep the first — the
+      planted-duplicate case that makes mega-clusters in practice); on
+      a near-identical residue it can only UNDER-prune, the safe
+      direction for a keep-set.
     - ``"raise"``: fail fast with the label and size (the pre-r7
       behavior), for pipelines that prefer to surface the quantizer
       bug."""
@@ -660,9 +663,20 @@ def semdedup_keep(
                     stack.extend(groups)
                     continue
                 # unsplittable (one k-means cell: near-identical
-                # vectors) — strict rule is vectorized and completes,
-                # and agrees with greedy on identical vectors
-                sweep(idx, use_greedy=False)
+                # vectors). Do NOT fall into the unguarded O(n^2)
+                # sweep the bound exists to prevent — a star over the
+                # min-id representative instead (the LSH band-bucket
+                # cap precedent, neardup._bucket_pairs): one (n,)
+                # matvec, O(n) memory; drop everything within tau of
+                # the representative. EXACT for identical vectors
+                # (where strict and greedy also agree); for the
+                # near-identical-but-not-identical residue it may
+                # under-prune relative to the full rule — the safe
+                # direction for a dedup keep-set.
+                rep_sims = x[idx] @ x[idx[0]]
+                hit = rep_sims >= tau
+                hit[0] = False  # the representative itself is kept
+                dropped[idx[hit]] = True
                 continue
             sweep(idx, use_greedy=greedy)
         return pdf.loc[~dropped, [id_col, label_col]]
@@ -918,6 +932,7 @@ def pq_refined_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    built: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """PQ search with exact refinement — the production FAISS
     ``PQx,Refine`` pipeline: the ADC scan produces a per-query shortlist
@@ -928,8 +943,13 @@ def pq_refined_topk(
     test embeddings: ADC top-80 holds 96% of the exact top-10 at
     m=16/ksub=16, while raw ADC precision@10 is ~0.5) — the refine step
     converts it into final-rank quality at negligible cost because the
-    exact math touches only the shortlist, never the corpus."""
-    built = pq_index(emb, m, ksub, id_col, vec_col, seed)
+    exact math touches only the shortlist, never the corpus.
+
+    ``built``: pass a prebuilt (codebooks, codes) pair — e.g. read back
+    from parquet — to skip the index build (the same reuse contract as
+    :func:`pq_probe_index`)."""
+    if built is None:
+        built = pq_index(emb, m, ksub, id_col, vec_col, seed)
     if built is None:
         return _empty_topk(emb)
     books_df, codes_df = built

@@ -502,11 +502,17 @@ def ann_pq_persisted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.read.parquet(f"{root}/codes"),
             k=10,
         ).select("query_id", "rank", "neighbor_id")
-        inflight = S.pq_topk(emb, queries, k=10, m=16, ksub=16).select(
+        # the one explicit build serves all three searches (pq_topk is
+        # exactly pq_index + pq_probe_index with the same seed, so
+        # probing the in-memory pair IS the in-flight result — no
+        # second or third k-means training)
+        inflight = S.pq_probe_index(queries, books_df, codes_df, k=10).select(
             "query_id", "rank", "neighbor_id"
         )
         exact = S.brute_force_topk_np(emb, queries, k=10)
-        refined = S.pq_refined_topk(emb, queries, k=10, m=16, ksub=16)
+        refined = S.pq_refined_topk(
+            emb, queries, k=10, m=16, ksub=16, built=(books_df, codes_df)
+        )
         n_p = persisted.count()
         n_i = inflight.count()
         n_common = persisted.join(

@@ -1216,13 +1216,13 @@ def lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's real NTILE."""
     from ..operators.rank import global_rank, ntile_expr
 
+    # total_alias rides the rank pass: the heavy LM plan (tokenize, two
+    # Zipf aggregations, the corpus-size join) executes ONCE, inside
+    # global_rank's checkpoint — a separate count agg would re-run it
     nll = lm_bigram_nll(spark, sf_dir).select("doc_id", "nll_mean")
-    n = F.broadcast(nll.agg(F.count(F.lit(1)).alias("_n")))
-    bucketed = (
-        global_rank(nll, ["nll_mean", "doc_id"], alias="_rank")
-        .crossJoin(n)
-        .withColumn("bucket", ntile_expr(F.col("_rank"), F.col("_n"), 3))
-    )
+    bucketed = global_rank(
+        nll, ["nll_mean", "doc_id"], alias="_rank", total_alias="_n"
+    ).withColumn("bucket", ntile_expr(F.col("_rank"), F.col("_n"), 3))
     return bucketed.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.min("nll_mean"), 4).alias("min_nll"),

@@ -40,7 +40,13 @@ from pyspark.sql import DataFrame, SparkSession
 from .maintenance import append_guard
 
 
-def _store_has_data(store_path: str) -> bool:
+def store_has_data(store_path: str) -> bool:
+    """THE single definition of "the store holds rows": a directory with
+    at least one parquet data file anywhere below it (recursive, so a
+    partitioned layout counts). ``crawl.pipeline.read_store`` and
+    :func:`merge_append` both route through this — two divergent
+    notions of store-emptiness would make the pre-fetch anti-join and
+    the append-time anti-join disagree about the same store."""
     if not os.path.isdir(store_path):
         return False
     for _root, _dirs, files in os.walk(store_path):
@@ -71,10 +77,17 @@ def merge_append(
     already holds its rows and appends nothing — the property that,
     with checkpointed source offsets, gives streaming ingestion its
     exactly-once accounting.
-    """
+
+    The batch's UPSTREAM pipeline materializes BEFORE the marker is
+    published: ``batch`` may be an arbitrary lazy plan (in the crawl
+    round it contains every politeness-scheduled HTTP fetch), and
+    holding the marker through that work would make a concurrent
+    compaction wait out the whole crawl instead of just the
+    anti-join + append critical section."""
+    staged = batch.dropDuplicates([key]).localCheckpoint(eager=True)
     with append_guard(store_path):
-        fresh = batch.dropDuplicates([key])
-        if _store_has_data(store_path):
+        fresh = staged
+        if store_has_data(store_path):
             fresh = fresh.join(
                 spark.read.parquet(store_path).select(key), key, "left_anti"
             )

@@ -134,3 +134,22 @@ def test_scheduled_fetch_serializes_per_domain(spark):
         assert len(set(seqs)) == len(seqs), dom
     # every fetch actually ran (html present, per-item isolation intact)
     assert all(r.html for r in out)
+
+
+def test_crawl_batch_all_failed_first_round_reports_zero(spark, tmp_path):
+    """Review regression (r7): an all-failed FIRST round appends nothing
+    to a store that does not exist yet — the counters must report
+    (0, 0) instead of raising PATH_NOT_FOUND on the post-append count."""
+    from crawlingbigdatavisionaid_spark.crawl.pipeline import (
+        DictFetcher,
+        crawl_batch,
+    )
+
+    store = str(tmp_path / "fresh_store")
+    out = crawl_batch(
+        spark,
+        [("siteA", "https://a.example/")],
+        DictFetcher({}),  # every fetch returns None
+        store,
+    )
+    assert out == {"new_rows": 0, "store_rows": 0}

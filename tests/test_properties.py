@@ -284,3 +284,17 @@ def test_global_rank_and_ntile_equal_plain_window(spark):
             .collect()
         }
         assert got == plain, n_rows
+
+
+def test_global_rank_total_alias_matches_count(spark):
+    from pyspark.sql import functions as F
+
+    from crawlingbigdatavisionaid_spark.operators.rank import global_rank
+
+    df = spark.range(37).selectExpr("id", "id % 5 AS v")
+    out = global_rank(df, ["v", "id"], alias="r", total_alias="n")
+    rows = out.select("r", "n").collect()
+    assert all(r.n == 37 for r in rows)
+    assert sorted(r.r for r in rows) == list(range(1, 38))
+    empty = spark.createDataFrame([], "id long, v long")
+    assert global_rank(empty, ["v", "id"], "r", total_alias="n").count() == 0

@@ -446,3 +446,25 @@ def test_semdedup_mega_cluster_subcluster_fallback_completes(spark):
         }
         assert recovered == full, (greedy, sorted(full ^ recovered))
         assert len(full) == n_dirs  # one survivor per duplicate set
+
+
+def test_semdedup_unsplittable_mega_cluster_star_fallback(spark):
+    """Review regression (r7): a mega-cluster of IDENTICAL vectors
+    cannot be split by the sub-k-means — the fallback must resolve it
+    as a linear star over the representative (keep exactly the min-id
+    row), never the unguarded quadratic sweep."""
+    from crawlingbigdatavisionaid_spark.operators.similarity import semdedup_keep
+
+    df = spark.range(200).selectExpr(
+        "id AS vec_id",
+        "array(1.0f, 0.0f) AS embedding",
+        "cast(5 as bigint) AS label",
+    )
+    for greedy in (False, True):
+        kept = sorted(
+            r.vec_id
+            for r in semdedup_keep(
+                df, 0.9, greedy=greedy, max_cluster=50
+            ).collect()
+        )
+        assert kept == [0], (greedy, kept)
