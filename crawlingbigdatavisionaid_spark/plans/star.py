@@ -1088,3 +1088,241 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@register(
+    "q7_volume_shipping",
+    ops=("OP-AGG-01",),
+    oracle="""
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS revenue
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+          AND n2.n_name IN ('NATION_1', 'NATION_2')
+          AND n1.n_name <> n2.n_name
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n1.n_name, n2.n_name, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume between two nations by ship
+    year. The disjunctive nation-pair predicate ((A,B) or (B,A))
+    simplifies to IN-filters on each side plus one inequality residual
+    — so BOTH nation filters push through their broadcast joins into
+    the supplier/customer probes before the fact-fact shuffle, cutting
+    each to ~2/25 of its rows; nothing about the pair condition
+    survives to the expensive joins except the 1-byte name compare."""
+    n1 = F.broadcast(
+        load_table(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        load_table(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+    )
+    li = _li_money(
+        load_table(spark, sf_dir, "lineitem").where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "price_d", "disc_d")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    joined = (
+        li.join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+    ).agg(
+        F.sum(F.col("price_d") * (F.lit(1) - F.col("disc_d")))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
+    "q8_market_share",
+    ops=("OP-AGG-01", "OP-AGG-02"),
+    oracle="""
+        WITH vol AS (
+            SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+                   CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+                   n2.n_name AS supp_nation
+            FROM part p
+            JOIN lineitem l ON p.p_partkey = l.l_partkey
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+            JOIN region r   ON n1.n_regionkey = r.r_regionkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+            WHERE r.r_name = 'EUROPE'
+              AND p.p_type = 'PROMO'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        )
+        SELECT o_year,
+               ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                   THEN volume
+                                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                     / CAST(NULLIF(SUM(volume),
+                                   CAST(0 AS DECIMAL(18,2))) AS DOUBLE),
+                     6) AS mkt_share
+        FROM vol
+        GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_3's share of PROMO-part revenue sold into
+    EUROPE, by order year. The seven-table chain is filtered at every
+    constant dim (region 1 row, p_type equality) before any fact
+    shuffle; numerator and denominator are EXACT decimal sums from the
+    same aggregate pass (one shuffle of ~2 year groups), so the share
+    is a single IEEE division of two order-insensitive values —
+    deterministic across partitionings and engines."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    li = _li_money(load_table(spark, sf_dir, "lineitem")).select(
+        "l_orderkey", "l_partkey", "l_suppkey", "price_d", "disc_d"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    )
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    vol = (
+        li.join(p, F.col("l_partkey") == p.p_partkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, c.c_nationkey == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n2, s.s_nationkey == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (F.col("price_d") * (F.lit(1) - F.col("disc_d"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast(_DEC)
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+                    zero
+                )
+            ).cast("double")
+            / F.nullif(F.sum("volume"), zero).cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q9_product_profit",
+    ops=("OP-AGG-01",),
+    oracle="""
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                        - CAST(p.p_retailprice AS DECIMAL(18,2))
+                            * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_profit
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%red%'
+        GROUP BY n.n_name, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape, adapted: the schema has no partsupp, so unit
+    cost is ``p_retailprice`` (documented stand-in for ps_supplycost) —
+    profit = revenue - retailprice*qty for parts named like '%red%',
+    by supplier nation and order year. The LIKE prunes part before the
+    join (contains-pushdown to the scan), profit is computed per-line
+    in exact decimal, and the final group-by shuffles only (25 nations
+    x years) partial aggregates."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").contains("red"))
+        .select("p_partkey", F.col("p_retailprice").cast(_DEC).alias("cost_d"))
+    )
+    li = _li_money(load_table(spark, sf_dir, "lineitem")).select(
+        "l_orderkey", "l_partkey", "l_suppkey", "qty_d", "price_d", "disc_d"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    joined = (
+        li.join(p, F.col("l_partkey") == p.p_partkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(n, s.s_nationkey == F.col("n_nationkey"))
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    ).agg(
+        F.sum(
+            F.col("price_d") * (F.lit(1) - F.col("disc_d"))
+            - F.col("cost_d") * F.col("qty_d")
+        )
+        .cast("double")
+        .alias("sum_profit")
+    )

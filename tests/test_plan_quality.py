@@ -221,3 +221,35 @@ def test_q15_revenue_view_computed_once(spark, sf_dir):
     the final plan."""
     plan = _plan(spark, sf_dir, "q15_top_supplier")
     assert plan.count("lineitem.parquet") <= 1
+
+
+def test_q7_nation_filters_reach_both_probe_sides(spark, sf_dir):
+    """The (A,B)|(B,A) pair predicate must decompose so each nation
+    IN-filter prunes its own side BEFORE the fact joins — both nation
+    joins broadcast, the shipdate window pushes to the lineitem scan,
+    and nothing degrades to a nested loop."""
+    plan = _plan(spark, sf_dir, "q7_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_q8_share_is_single_aggregate_pass(spark, sf_dir):
+    """Numerator and denominator of the market share must come out of
+    ONE aggregate over the year groups (a conditional sum), never two
+    scans of the seven-table join."""
+    plan = _plan(spark, sf_dir, "q8_market_share")
+    assert plan.count("lineitem.parquet") == 1
+    # constant dims stay broadcast; region's 1-row filter pushes down
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(r_name), EqualTo(r_name,EUROPE)" in plan
+
+
+def test_q9_name_filter_prunes_part_scan(spark, sf_dir):
+    """The '%red%' LIKE must reach the part scan as a pushed contains
+    filter so the join probes a pruned build side."""
+    plan = _plan(spark, sf_dir, "q9_product_profit")
+    assert "StringContains(p_name,red)" in plan
+    scan = _read_schema(spark, sf_dir, "q9_product_profit", "part")
+    assert "p_retailprice" in scan and "p_brand" not in scan
