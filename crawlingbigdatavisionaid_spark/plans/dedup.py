@@ -5,7 +5,7 @@ hash-based — rows-only for the driver, parity-tested in pytest).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators import neardup as ND
 from ..sources import load_table
@@ -618,4 +618,113 @@ def incremental_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hit") == F.col("n_approx")).alias("precision_ok"),
             (5 * F.col("n_hit") >= 4 * F.col("n_exact")).alias("recall_ok"),
         )
+    )
+
+
+@register(
+    "chunk_dedup_rebuild",
+    ops=("OP-X-DEDUP-02", "OP-TXT-01"),
+    oracle="""
+        WITH n AS (
+            SELECT doc_id, toks, len(toks) AS n_toks
+            FROM (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z]+') AS toks
+                  FROM documents)
+            WHERE len(toks) > 0
+        ), c AS (
+            SELECT doc_id,
+                   unnest(generate_series(0,
+                       CAST(CEIL(n_toks / 20.0) AS BIGINT) - 1)) AS i,
+                   toks
+            FROM n
+        ), ch AS (
+            SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                   array_to_string(toks[(i*20+1):(i*20+20)], ' ') AS chunk
+            FROM c
+        ), ranked AS (
+            SELECT doc_id, chunk_idx, chunk,
+                   ROW_NUMBER() OVER (PARTITION BY chunk
+                                      ORDER BY doc_id, chunk_idx) AS rn
+            FROM ch
+        ), reb AS (
+            SELECT doc_id, COUNT(*) AS kept_chunks,
+                   string_agg(chunk, ' ' ORDER BY chunk_idx) AS rebuilt
+            FROM ranked WHERE rn = 1 GROUP BY doc_id
+        ), tot AS (
+            SELECT doc_id, CAST(CEIL(n_toks / 20.0) AS BIGINT) AS n_chunks
+            FROM n
+        )
+        SELECT t.doc_id, t.n_chunks,
+               COALESCE(r.kept_chunks, 0) AS kept_chunks,
+               CASE WHEN r.kept_chunks IS NULL THEN CAST(-1 AS BIGINT)
+                    ELSE list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                            list_transform(string_split(r.rebuilt, ''),
+                                           c2 -> CAST(ascii(c2) AS BIGINT))),
+                        (a, b) -> (a*31 + b) % 1000000007) END AS rebuilt_fp
+        FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
+    """,
+)
+def chunk_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style intra-corpus EXACT chunk dedup with document
+    reassembly: split every doc into fixed 20-token chunks, keep only
+    the globally FIRST occurrence of each chunk text (ordered by
+    doc_id, then position), and rebuild each document from its
+    surviving chunks in original order. Unlike ``duplicate_spans``
+    (which only *reports* repeated spans) this emits the deduplicated
+    corpus itself — the step a training pipeline actually ships.
+
+    Scale shape: the first-occurrence rule is one row_number window
+    partitioned by chunk text (group size = that chunk's duplication
+    count, never corpus-size); the rebuild is a per-doc sort of a
+    bounded chunk list. No driver collect, no cross join. The rebuilt
+    text is emitted as its rolling fingerprint (full text at 100 TB
+    would be written to a store, not compared row-wise); -1 marks docs
+    that lost every chunk."""
+    from ..functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", T.tokens("text").alias("toks")).where(
+        F.size("toks") > 0
+    )
+    chunked = t.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(toks)/20.0) as int) - 1),"
+                " i -> concat_ws(' ', slice(toks, i*20+1, 20)))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    first = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    kept = (
+        chunked.withColumn("rn", F.row_number().over(first))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    reb = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("kept_chunks"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                    lambda x: x.chunk,
+                ),
+            ).alias("rebuilt"),
+        )
+    )
+    tot = t.select(
+        "doc_id",
+        F.ceil(F.size("toks") / F.lit(20.0)).cast("bigint").alias("n_chunks"),
+    )
+    out = tot.join(reb, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("kept_chunks", F.lit(0)).alias("kept_chunks"),
+        F.when(F.col("kept_chunks").isNull(), F.lit(-1).cast("bigint"))
+        .otherwise(T.char_fingerprint("rebuilt"))
+        .alias("rebuilt_fp"),
     )

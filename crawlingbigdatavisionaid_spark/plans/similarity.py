@@ -8,7 +8,7 @@ float: ranking order is identical across engines for random embeddings
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions import vectors as V
 from ..operators import similarity as S
@@ -532,4 +532,70 @@ def ann_pq_persisted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         [row], "persisted_matches boolean, recall_ok boolean"
+    )
+
+
+@register(
+    "ann_hard_negatives",
+    ops=("OP-X-SIM-01",),
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+            FROM embeddings WHERE vec_id < 10
+        ), scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neg_label,
+                   {_SQL_COS.format(a="q.qv", b="e.embedding")} AS cos
+            FROM q CROSS JOIN embeddings e
+            WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel
+        ), ranked AS (
+            SELECT query_id, neighbor_id, neg_label,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, rank, neighbor_id, neg_label
+        FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-5 most-similar embeddings whose label DIFFERS from
+    the query's — the near-miss examples a bi-encoder learns most from.
+    Unlike ``ann_filtered_topk`` (a static corpus predicate, pushable
+    to the scan) the label test here is RELATIVE to each query, so it
+    rides the broadcast join as a join condition: corpus rows stream
+    once, each evaluated only against the queries they could be a
+    negative for. Same bounded-broadcast query-set contract and
+    integer-only output as the other exact-ANN queries; at scale the
+    label inequality composes unchanged with the IVF/LSH/PQ candidate
+    generators (probe, then mask by the rider label)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        V.as_double(F.col("embedding")).alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        V.as_double(F.col("embedding")).alias("nv"),
+        F.col("label").alias("neg_label"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("neg_label") != F.col("qlabel")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neg_label",
+            V.cosine(F.col("qv"), F.col("nv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", "neg_label")
     )

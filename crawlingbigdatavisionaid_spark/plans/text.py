@@ -1228,3 +1228,72 @@ def lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("nll_mean"), 4).alias("min_nll"),
         F.round(F.max("nll_mean"), 4).alias("max_nll"),
     )
+
+
+@register(
+    "gopher_quality_filter",
+    ops=("OP-X-TXT-04", "OP-AGG-01", "OP-FLT-03"),
+    oracle=f"""
+        WITH f AS (
+            SELECT lang, len(toks) AS n,
+                   list_sum(list_transform(toks, x -> len(x))) AS chars,
+                   len(list_filter(toks, x -> x IN ({_SW}))) AS sw,
+                   len(list_distinct(toks)) AS dv
+            FROM (SELECT lang, {_SQL_TOKENS} AS toks FROM documents)
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN n < 25 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS drop_too_short,
+               CAST(SUM(CASE WHEN n > 90 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS drop_too_long,
+               CAST(SUM(CASE WHEN NOT (4*n <= chars AND chars <= 10*n)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS drop_word_len,
+               CAST(SUM(CASE WHEN sw < 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS drop_stopword,
+               CAST(SUM(CASE WHEN 10*dv < 3*n THEN 1 ELSE 0 END) AS BIGINT)
+                   AS drop_diversity,
+               CAST(SUM(CASE WHEN n >= 25 AND n <= 90
+                         AND 4*n <= chars AND chars <= 10*n
+                         AND sw >= 2 AND 10*dv >= 3*n
+                        THEN 1 ELSE 0 END) AS BIGINT) AS kept
+        FROM f GROUP BY lang
+    """,
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document filter with per-rule drop ACCOUNTING — the
+    operational twin of ``quality_score``: instead of emitting scores it
+    applies hard keep-rules (word-count window, mean-word-length window,
+    minimum stopword evidence, lexical-diversity floor — the Gopher
+    paper's repetition/quality gates adapted to this corpus' all-alpha
+    token streams) and reports, per language, how many documents each
+    rule would drop plus how many survive all of them. Every threshold
+    test is integer arithmetic (4*n <= chars, 10*dv >= 3*n) so the
+    keep-set can never disagree with the oracle by a float epsilon.
+    One tokenize pass, one shuffle of ~5 language groups; rule counts
+    are independent (a doc failing two rules increments both), which is
+    what a pipeline operator dashboard needs to tune thresholds."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    f = docs.select(
+        "lang",
+        F.size(toks).alias("n"),
+        F.aggregate(
+            toks, F.lit(0), lambda acc, x: acc + F.length(x)
+        ).alias("chars"),
+        F.size(F.filter(toks, lambda x: x.isin(*T.STOPWORDS))).alias("sw"),
+        F.size(F.array_distinct(toks)).alias("dv"),
+    )
+    n, chars, sw, dv = F.col("n"), F.col("chars"), F.col("sw"), F.col("dv")
+    ok_len = (4 * n <= chars) & (chars <= 10 * n)
+    one = lambda cond: F.sum(F.when(cond, 1).otherwise(0))  # noqa: E731
+    return f.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        one(n < 25).alias("drop_too_short"),
+        one(n > 90).alias("drop_too_long"),
+        one(~ok_len).alias("drop_word_len"),
+        one(sw < 2).alias("drop_stopword"),
+        one(10 * dv < 3 * n).alias("drop_diversity"),
+        one(
+            (n >= 25) & (n <= 90) & ok_len & (sw >= 2) & (10 * dv >= 3 * n)
+        ).alias("kept"),
+    )
