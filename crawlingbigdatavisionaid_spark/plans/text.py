@@ -1297,3 +1297,96 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n >= 25) & (n <= 90) & ok_len & (sw >= 2) & (10 * dv >= 3 * n)
         ).alias("kept"),
     )
+
+
+# BPE ENCODER merge table (rank-ordered). Provenance: the corpus' top
+# adjacent-char pairs (the first rules a trainer on this corpus emits —
+# see bpe_top_merges) extended with chained ranks so multi-round
+# interaction is exercised ('t a'->'ta' then 'ta b' etc.). Fixed and
+# shared verbatim by the Spark plan and the SQL oracle, so the operator
+# under test is the APPLICATION of merges at scale, not their training.
+_BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("e", "r"),
+    ("i", "n"),
+    ("o", "w"),
+    ("s", "t"),
+    ("t", "a"),
+    ("ta", "b"),
+    ("tab", "l"),
+    ("tabl", "e"),
+    ("v", "a"),
+    ("va", "l"),
+    ("r", "o"),
+    ("ro", "w"),
+)
+
+
+def _bpe_sql_encode(col: str) -> str:
+    """DuckDB twin of the chained-replace encoder."""
+    s = f"regexp_replace({col}, '(.)', '<\\1>', 'g')"
+    for x, y in _BPE_MERGES:
+        s = f"replace({s}, '<{x}><{y}>', '<{x}{y}>')"
+    return s
+
+
+def _bpe_spark_encode(col: F.Column) -> F.Column:
+    s = F.regexp_replace(col, "(.)", "<$1>")
+    for x, y in _BPE_MERGES:
+        s = F.replace(s, F.lit(f"<{x}><{y}>"), F.lit(f"<{x}{y}>"))
+    return s
+
+
+@register(
+    "bpe_encode_by_lang",
+    ops=("OP-TXT-01", "OP-AGG-01"),
+    oracle=f"""
+        WITH cnt AS (
+            SELECT lang, w, COUNT(*) AS c
+            FROM (SELECT lang, unnest({_SQL_TOKENS}) AS w FROM documents)
+            GROUP BY lang, w
+        ), enc AS (
+            SELECT lang, c,
+                   {_bpe_sql_encode("w")} AS s
+            FROM cnt
+        )
+        SELECT lang,
+               CAST(SUM(c) AS BIGINT) AS n_words,
+               CAST(SUM(c * (length(s) - length(replace(s, '<', ''))))
+                    AS BIGINT) AS n_bpe_tokens,
+               COUNT(*) AS n_types
+        FROM enc GROUP BY lang
+    """,
+)
+def bpe_encode_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE ENCODING — the apply-the-tokenizer half the
+    trainer (operators/bpe.py) produces merges for: segment every word
+    with a rank-ordered merge table and account resulting subword
+    tokens per language (the corpus-size number an LLM data budget is
+    denominated in).
+
+    Correctness identity: applying each merge EXHAUSTIVELY in rank
+    order (non-overlapping left-to-right string replacement over
+    boundary-guarded '<sym>' strings) is equivalent to the standard
+    lowest-rank-first BPE encoder, because a merge's output symbol can
+    only ever participate in LATER-rank merges (its parts stop
+    existing the moment it is created). So twelve chained ``replace``
+    calls — pure JVM codegen, no UDF, no iteration — encode exactly.
+
+    Scale shape: encoding runs at (lang, word-TYPE) granularity, not
+    per occurrence — the same type-frequency compression the trainer
+    uses — so the chained replaces touch each distinct word once and
+    instance counts ride an integer multiply. One explode + two
+    hash aggregates; Zipf-hot words collapse map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("lang", F.explode(T.tokens("text")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    enc = cnt.withColumn("s", _bpe_spark_encode(F.col("w")))
+    toks_per_word = F.length("s") - F.length(F.replace(F.col("s"), F.lit("<")))
+    return enc.groupBy("lang").agg(
+        F.sum("c").alias("n_words"),
+        F.sum(F.col("c") * toks_per_word).alias("n_bpe_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+    )

@@ -162,3 +162,50 @@ def test_bpe_train_matches_reference_on_random_corpora(spark):
             [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
         )
         assert bpe_train(docs, rounds=4) == _ref_bpe_train(texts, 4), seed
+
+
+def _ref_bpe_encode(word: str, merges: tuple[tuple[str, str], ...]) -> list[str]:
+    """Canonical priority-queue BPE encoder: repeatedly merge the
+    LOWEST-RANK adjacent pair present, leftmost first."""
+    rank = {pair: i for i, pair in enumerate(merges)}
+    syms = list(word)
+    while len(syms) > 1:
+        best, best_i = None, None
+        for i in range(len(syms) - 1):
+            r = rank.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, best_i = r, i
+        if best is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def test_bpe_encode_chained_replace_equals_priority_encoder(spark):
+    """The chained-replace identity bpe_encode_by_lang relies on:
+    applying each merge exhaustively in rank order must equal the
+    canonical lowest-rank-first encoder — segmentation, not just
+    counts — over random words AND the adversarial chain/overlap
+    shapes ('aaaa', 'table' built via 4 chained ranks)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from crawlingbigdatavisionaid_spark.plans.text import (
+        _BPE_MERGES,
+        _bpe_spark_encode,
+    )
+
+    rng = random.Random(7)
+    words = ["aaaa", "table", "tab", "stable", "row", "rower", "vvalue"] + [
+        "".join(rng.choice("abelortvwins") for _ in range(rng.randint(1, 10)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r.w: r.s
+        for r in df.select("w", _bpe_spark_encode(F.col("w")).alias("s")).collect()
+    }
+    for w in words:
+        want = "".join(f"<{s}>" for s in _ref_bpe_encode(w, _BPE_MERGES))
+        assert got[w] == want, (w, got[w], want)
