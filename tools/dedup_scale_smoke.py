@@ -164,6 +164,77 @@ def _curated_mode(spark, docs, k: int, out: str) -> None:
     assert abs(packed_seq_drift) <= 32 * k
 
 
+def _chunk_mode(spark, docs, k: int, out: str) -> None:
+    """chunk_dedup_rebuild K-linearity: replicas carry disjoint
+    vocabularies (token tags), so a chunk can never collide ACROSS
+    replicas and each replica's first-occurrence keep-set is
+    bit-identical to the (tagged) baseline's — total chunks, kept
+    chunks, and shrunk-doc count must all scale EXACTLY Kx. The
+    baseline is tagged replica 0 (tagging changes chunk text, so raw
+    would test the tag transform, not the operator — same rule as
+    curated). doc_id offsets are monotonic per replica, preserving
+    within-replica first-occurrence order."""
+    from pyspark.sql import functions as F
+
+    from crawlingbigdatavisionaid_spark.plans.registry import query_map
+
+    doc_span = docs.agg(F.max("doc_id")).first()[0] + 1
+
+    def replica(i: int):
+        tag = "q" + chr(ord("a") + i % 26) + chr(ord("a") + (i // 26) % 26)
+        return docs.select(
+            (F.col("doc_id") + F.lit(i * doc_span)).alias("doc_id"),
+            F.regexp_replace("text", r"([A-Za-z]+)", "$1" + tag).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+
+    t0 = time.time()
+    replica(0).write.mode("overwrite").parquet(f"{out}/c1/documents.parquet")
+    du = replica(0)
+    for i in range(1, k):
+        du = du.unionByName(replica(i))
+    du.write.mode("overwrite").parquet(f"{out}/ck/documents.parquet")
+    build_s = round(time.time() - t0, 1)
+
+    from pyspark.sql import functions as F2
+
+    def digest(sf: str):
+        df = query_map()["chunk_dedup_rebuild"](spark, sf)
+        r = df.agg(
+            F2.sum("n_chunks").alias("nc"),
+            F2.sum("kept_chunks").alias("kc"),
+            F2.sum(
+                F2.when(F2.col("kept_chunks") < F2.col("n_chunks"), 1).otherwise(0)
+            ).alias("shrunk"),
+        ).first()
+        return (r.nc, r.kc, r.shrunk)
+
+    t1 = time.time()
+    b = digest(f"{out}/c1")
+    base_s = round(time.time() - t1, 2)
+    tk = time.time()
+    kk = digest(f"{out}/ck")
+    kx_s = round(time.time() - tk, 2)
+    linear = kk == tuple(k * x for x in b)
+    print(
+        json.dumps(
+            {
+                "k": k,
+                "mode": "chunk",
+                "build_s": build_s,
+                "base_s": base_s,
+                "kx_s": kx_s,
+                "base_chunks_kept_shrunk": list(b),
+                "kx_chunks_kept_shrunk": list(kk),
+                "linear_exact": linear,
+            }
+        )
+    )
+    assert linear, "chunk dedup keep-set not exactly K-linear"
+
+
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -184,6 +255,9 @@ def main() -> None:
         docs = load_table(spark, base, "documents")
         if mode == "curated":
             _curated_mode(spark, docs, k, out)
+            return
+        if mode == "chunk":
+            _chunk_mode(spark, docs, k, out)
             return
         emb = load_table(spark, base, "embeddings")
         doc_span = docs.agg(F.max("doc_id")).first()[0] + 1
