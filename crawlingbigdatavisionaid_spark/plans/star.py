@@ -1326,3 +1326,159 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_profit")
     )
+
+
+@register(
+    "q11_important_parts",
+    ops=("OP-AGG-01", "OP-AGG-05"),
+    oracle="""
+        WITH pv AS (
+            SELECT l.l_partkey,
+                   SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS val
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_5'
+            GROUP BY l.l_partkey
+        )
+        SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+        FROM pv
+        WHERE val * 1000 > (SELECT SUM(val) FROM pv)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape, adapted (no partsupp: 'stock value' is shipped
+    revenue per part from NATION_5's suppliers): groups kept only when
+    they exceed a FRACTION OF THE GLOBAL TOTAL. The per-part aggregate
+    is computed once (localCheckpoint), its grand total collapses to a
+    1-row broadcast, and the HAVING rides as a filter against that
+    scalar — the threshold test is exact decimal times an integer, so
+    no engine can disagree by an ulp. At 100 TB the scalar total is one
+    extra reduce over already-aggregated rows, not a second fact scan."""
+    li = _li_money(load_table(spark, sf_dir, "lineitem")).select(
+        "l_partkey", "l_suppkey", "price_d", "disc_d"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_5")
+    )
+    pv = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("price_d") * (F.lit(1) - F.col("disc_d"))).alias("val")
+        )
+        .localCheckpoint(eager=False)
+    )
+    total = pv.agg(F.sum("val").alias("total_val"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .where(F.col("val") * 1000 > F.col("total_val"))
+        .select("l_partkey", F.col("val").cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "q16_supplier_part_variety",
+    ops=("OP-AGG-01",),
+    oracle="""
+        SELECT p.p_brand, p.p_type, p.p_size,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape, adapted (no partsupp: the supplier-part
+    relation is DERIVED from lineitem history; no comment column, so no
+    complaint exclusion): how many distinct suppliers have shipped each
+    qualifying (brand, type, size). The distinct-aggregate plans as a
+    two-phase hash aggregate — partial distinct per partition on
+    (group, suppkey), then the merged exact count — so the shuffle
+    carries distinct combinations, never raw lineitem rows; all three
+    part predicates push to the part scan before the join."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_excess_shippers",
+    ops=("OP-AGG-01",),
+    oracle="""
+        WITH shipped AS (
+            SELECT l.l_suppkey,
+                   SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS qty
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_name LIKE '%red%'
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l.l_suppkey
+        )
+        SELECT s.s_name, n.n_name AS nation,
+               CAST(sh.qty AS DOUBLE) AS red_qty
+        FROM shipped sh
+        JOIN supplier s ON sh.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE sh.qty > 300
+    """,
+)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape, adapted (no partsupp/availqty: 'excess' is
+    measured on shipped history): suppliers who moved more than 300
+    units of '%red%' parts in 1996, with their nation. The correlated
+    quantity subquery decorrelates into one per-supplier aggregate; the
+    name LIKE and date window both push to their scans, and the
+    aggregate output (suppliers, not lineitems) is what joins the
+    supplier dim. Exact-decimal threshold compare."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").contains("red"))
+        .select("p_partkey")
+    )
+    li = _li_money(
+        load_table(spark, sf_dir, "lineitem").where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+    ).select("l_partkey", "l_suppkey", "qty_d")
+    shipped = (
+        li.join(p, F.col("l_partkey") == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("qty_d").alias("qty"))
+        .where(F.col("qty") > 300)
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    return (
+        shipped.join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(n, s.s_nationkey == F.col("n_nationkey"))
+        .select(
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("qty").cast("double").alias("red_qty"),
+        )
+    )

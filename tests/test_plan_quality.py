@@ -253,3 +253,32 @@ def test_q9_name_filter_prunes_part_scan(spark, sf_dir):
     assert "StringContains(p_name,red)" in plan
     scan = _read_schema(spark, sf_dir, "q9_product_profit", "part")
     assert "p_retailprice" in scan and "p_brand" not in scan
+
+
+def test_q11_total_is_broadcast_scalar_not_second_scan(spark, sf_dir):
+    """The HAVING-vs-global-total must reuse the checkpointed per-part
+    aggregate for both the rows and the grand total — one lineitem
+    scan, threshold as a 1-row broadcast."""
+    plan = _plan(spark, sf_dir, "q11_important_parts")
+    assert plan.count("lineitem.parquet") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_distinct_agg_is_two_phase(spark, sf_dir):
+    """COUNT(DISTINCT suppkey) must plan as partial-distinct then merge
+    (two HashAggregate waves), with all three part predicates pushed to
+    the part scan."""
+    plan = _plan(spark, sf_dir, "q16_supplier_part_variety")
+    assert plan.count("HashAggregate") >= 2
+    assert "Not(EqualTo(p_brand,Brand#1))" in plan
+    # the PushedFilters list truncates with '...', so check the residual
+    # Filter line for the size IN-list
+    assert "IN (1,9,14,19,23,36,45,49)" in plan
+
+
+def test_q20_filters_push_to_both_scans(spark, sf_dir):
+    """The '%red%' LIKE prunes part and the 1996 window prunes lineitem
+    BEFORE the join; the supplier dim joins the aggregated output."""
+    plan = _plan(spark, sf_dir, "q20_excess_shippers")
+    assert "StringContains(p_name,red)" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
