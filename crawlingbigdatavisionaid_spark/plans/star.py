@@ -1482,3 +1482,90 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qty").cast("double").alias("red_qty"),
         )
     )
+
+
+@register(
+    "q2_best_supplier",
+    ops=("OP-AGG-01", "OP-AGG-04"),
+    oracle="""
+        WITH sp AS (
+            SELECT DISTINCT l.l_partkey, l.l_suppkey
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_type = 'LARGE' AND p.p_size <= 10
+        ), eligible AS (
+            SELECT sp.l_partkey, s.s_suppkey, s.s_name, n.n_name,
+                   CAST(s.s_acctbal AS DECIMAL(18,2)) AS bal
+            FROM sp
+            JOIN supplier s ON sp.l_suppkey = s.s_suppkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            JOIN region r   ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'EUROPE'
+        ), best AS (
+            SELECT l_partkey, MAX(bal) AS max_bal
+            FROM eligible GROUP BY l_partkey
+        )
+        SELECT e.l_partkey AS p_partkey, e.s_name AS supplier,
+               e.n_name AS nation, CAST(e.bal AS DOUBLE) AS s_acctbal
+        FROM eligible e
+        JOIN best b ON e.l_partkey = b.l_partkey AND e.bal = b.max_bal
+    """,
+)
+def q2_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape, adapted (no partsupp: the supplier-part relation
+    derives from lineitem history; no ps_supplycost, so 'best' is the
+    highest account balance, Q2's tie-break made primary): for each
+    qualifying part, the EUROPE supplier(s) with the maximum balance.
+    The correlated MAX subquery decorrelates into a per-part aggregate
+    joined back on the EXACT decimal balance (a double compare could
+    straddle an ulp and drop the winner — the q15 rule). Part predicates
+    prune before the distinct; the distinct itself carries (part,
+    supplier) pairs, already aggregated away from lineitem row counts."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where((F.col("p_type") == "LARGE") & (F.col("p_size") <= 10))
+        .select("p_partkey")
+    )
+    sp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.col("s_acctbal").cast(_DEC).alias("bal"),
+    )
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+    )
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    )
+    eligible = (
+        sp.join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(n, s.s_nationkey == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("l_partkey", "s_name", "n_name", "bal")
+        .localCheckpoint(eager=False)
+    )
+    best = eligible.groupBy(F.col("l_partkey").alias("bk")).agg(
+        F.max("bal").alias("max_bal")
+    )
+    return (
+        eligible.join(
+            best,
+            (F.col("l_partkey") == F.col("bk")) & (F.col("bal") == F.col("max_bal")),
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("nation"),
+            F.col("bal").cast("double").alias("s_acctbal"),
+        )
+    )
