@@ -91,6 +91,18 @@ HEADLINE = [
     "q10_returned_item_ranking",
     "q13_order_count_distribution",
     "q19_disjunctive_revenue",
+    # round 7 (continued): the TPC-H fill-out and the new pipeline ops
+    "q2_best_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q16_supplier_part_variety",
+    "q20_excess_shippers",
+    "chunk_dedup_rebuild",
+    "gopher_quality_filter",
+    "ann_hard_negatives",
+    "bpe_encode_by_lang",
 ]
 
 

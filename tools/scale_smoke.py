@@ -67,6 +67,11 @@ QUERIES = [
     "q5_local_supplier_volume",
     "q10_returned_item_ranking",
     "lm_bigram_nll",
+    # r7 (continued): the deepest new join chains (q8 seven-table, q9
+    # four-table profit) and the chunk-dedup heavy earn 10x rows
+    "q8_market_share",
+    "q9_product_profit",
+    "chunk_dedup_rebuild",
 ]
 
 
