@@ -697,34 +697,31 @@ def chunk_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chunk_idx", "chunk"),
     )
     first = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
-    kept = (
-        chunked.withColumn("rn", F.row_number().over(first))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
-    reb = (
-        kept.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("kept_chunks"),
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
-                    lambda x: x.chunk,
+    ranked = chunked.withColumn("rn", F.row_number().over(first))
+    # ONE pass back to doc granularity: totals from every row, the
+    # rebuild from first-occurrence rows only (collect_list skips the
+    # nulls the `when` leaves on dropped chunks) — no second tokenize
+    # branch, no totals join
+    out = ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("kept_chunks"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("rn") == 1, F.struct("chunk_idx", "chunk"))
+                    )
                 ),
-            ).alias("rebuilt"),
-        )
+                lambda x: x.chunk,
+            ),
+        ).alias("rebuilt"),
     )
-    tot = t.select(
-        "doc_id",
-        F.ceil(F.size("toks") / F.lit(20.0)).cast("bigint").alias("n_chunks"),
-    )
-    out = tot.join(reb, "doc_id", "left")
     return out.select(
         "doc_id",
         "n_chunks",
-        F.coalesce("kept_chunks", F.lit(0)).alias("kept_chunks"),
-        F.when(F.col("kept_chunks").isNull(), F.lit(-1).cast("bigint"))
+        "kept_chunks",
+        F.when(F.col("kept_chunks") == 0, F.lit(-1).cast("bigint"))
         .otherwise(T.char_fingerprint("rebuilt"))
         .alias("rebuilt_fp"),
     )

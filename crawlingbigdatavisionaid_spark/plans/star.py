@@ -1122,17 +1122,16 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     the supplier/customer probes before the fact-fact shuffle, cutting
     each to ~2/25 of its rows; nothing about the pair condition
     survives to the expensive joins except the 1-byte name compare."""
+    pair_nations = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
     n1 = F.broadcast(
-        load_table(spark, sf_dir, "nation")
-        .where(F.col("n_name").isin("NATION_1", "NATION_2"))
-        .select(
+        pair_nations.select(
             F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
         )
     )
     n2 = F.broadcast(
-        load_table(spark, sf_dir, "nation")
-        .where(F.col("n_name").isin("NATION_1", "NATION_2"))
-        .select(
+        pair_nations.select(
             F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
         )
     )

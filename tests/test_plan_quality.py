@@ -282,3 +282,11 @@ def test_q20_filters_push_to_both_scans(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q20_excess_shippers")
     assert "StringContains(p_name,red)" in plan
     assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_chunk_dedup_rebuild_tokenizes_once(spark, sf_dir):
+    """Totals and rebuild must come from ONE pass over the chunk rows
+    (conditional aggregation), never a second tokenize branch joined
+    back — at 100 TB that second branch is a full corpus re-read."""
+    plan = _plan(spark, sf_dir, "chunk_dedup_rebuild")
+    assert plan.count("documents.parquet") == 1

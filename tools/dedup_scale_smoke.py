@@ -198,15 +198,13 @@ def _chunk_mode(spark, docs, k: int, out: str) -> None:
     du.write.mode("overwrite").parquet(f"{out}/ck/documents.parquet")
     build_s = round(time.time() - t0, 1)
 
-    from pyspark.sql import functions as F2
-
     def digest(sf: str):
         df = query_map()["chunk_dedup_rebuild"](spark, sf)
         r = df.agg(
-            F2.sum("n_chunks").alias("nc"),
-            F2.sum("kept_chunks").alias("kc"),
-            F2.sum(
-                F2.when(F2.col("kept_chunks") < F2.col("n_chunks"), 1).otherwise(0)
+            F.sum("n_chunks").alias("nc"),
+            F.sum("kept_chunks").alias("kc"),
+            F.sum(
+                F.when(F.col("kept_chunks") < F.col("n_chunks"), 1).otherwise(0)
             ).alias("shrunk"),
         ).first()
         return (r.nc, r.kc, r.shrunk)
