@@ -84,3 +84,27 @@ def char_fingerprint(col: Column | str) -> Column:
         f"aggregate(transform(split({expr}, ''), c -> cast(ascii(c) as bigint)),"
         f" cast(0 as bigint), (a, b) -> (a*31 + b) % {MOD})"
     )
+
+
+def bpe_encode_expr(
+    col: Column, merges: "list[tuple[str, str]] | tuple[tuple[str, str], ...]"
+) -> Column:
+    """BPE-encode a word column with a rank-ordered merge table as pure
+    chained JVM ``replace`` calls — no UDF, no iteration.
+
+    Each character is boundary-guarded as ``<c>``; merge (x, y) becomes
+    one exhaustive left-to-right replacement ``<x><y>`` -> ``<xy>``.
+    Applying merges this way IN RANK ORDER is equivalent to the
+    canonical lowest-rank-first BPE encoder because a merge's output
+    symbol can only participate in later-rank merges (its parts stop
+    existing the moment it is created) — any valid trained merge
+    sequence satisfies this by construction, so the rule lists
+    ``operators/bpe.bpe_train`` emits plug in directly:
+    ``bpe_encode_expr(F.col("w"), [(a, b) for _, a, b, _ in trained])``.
+    Pinned segmentation-for-segmentation against a reference priority
+    encoder in tests/test_udtf.py. Token count of the encoded string =
+    its ``<`` count: ``length(s) - length(replace(s, '<', ''))``."""
+    s = F.regexp_replace(col, "(.)", "<$1>")
+    for x, y in merges:
+        s = F.replace(s, F.lit(f"<{x}><{y}>"), F.lit(f"<{x}{y}>"))
+    return s

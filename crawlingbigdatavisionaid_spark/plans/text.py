@@ -1322,7 +1322,7 @@ _BPE_MERGES: tuple[tuple[str, str], ...] = (
 
 
 def _bpe_sql_encode(col: str) -> str:
-    """DuckDB twin of the chained-replace encoder."""
+    """DuckDB twin of the chained-replace encoder (fixed table)."""
     s = f"regexp_replace({col}, '(.)', '<\\1>', 'g')"
     for x, y in _BPE_MERGES:
         s = f"replace({s}, '<{x}><{y}>', '<{x}{y}>')"
@@ -1330,10 +1330,7 @@ def _bpe_sql_encode(col: str) -> str:
 
 
 def _bpe_spark_encode(col: F.Column) -> F.Column:
-    s = F.regexp_replace(col, "(.)", "<$1>")
-    for x, y in _BPE_MERGES:
-        s = F.replace(s, F.lit(f"<{x}><{y}>"), F.lit(f"<{x}{y}>"))
-    return s
+    return T.bpe_encode_expr(col, _BPE_MERGES)
 
 
 @register(

@@ -209,3 +209,40 @@ def test_bpe_encode_chained_replace_equals_priority_encoder(spark):
     for w in words:
         want = "".join(f"<{s}>" for s in _ref_bpe_encode(w, _BPE_MERGES))
         assert got[w] == want, (w, got[w], want)
+
+
+def test_bpe_train_then_encode_composes(spark):
+    """End-to-end tokenizer pipeline: merges LEARNED by the distributed
+    trainer plug straight into the chained-replace encoder, and the
+    resulting segmentation of every corpus word equals the reference
+    priority encoder run on the same learned rules."""
+    from pyspark.sql import functions as F
+
+    from crawlingbigdatavisionaid_spark.functions.text import (
+        bpe_encode_expr,
+        tokens,
+    )
+    from crawlingbigdatavisionaid_spark.operators.bpe import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = [(a, b) for _, a, b, _ in bpe_train(docs, rounds=8)]
+    words = (
+        docs.select(F.explode(tokens("text")).alias("w")).distinct().collect()
+    )
+    got = {
+        r.w: r.s
+        for r in docs.select(F.explode(tokens("text")).alias("w"))
+        .distinct()
+        .select("w", bpe_encode_expr(F.col("w"), merges).alias("s"))
+        .collect()
+    }
+    for r in words:
+        want = "".join(f"<{s}>" for s in _ref_bpe_encode(r.w, tuple(merges)))
+        assert got[r.w] == want, (r.w, got[r.w], want)
