@@ -459,3 +459,68 @@ def test_pq_empty_corpus_and_empty_queries(spark):
     built = S.pq_index(some)
     assert built is not None
     assert S.pq_probe_index(df, built[0], built[1], k=5).count() == 0
+
+
+def _write_docs(spark, path, texts):
+    rows = [
+        (i, t, "en", "src", len(t)) for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{path}/documents.parquet")
+
+
+def test_chunk_dedup_rebuild_identity_when_no_duplicates(spark, tmp_path):
+    """A corpus with globally unique chunks must pass through intact:
+    every chunk kept, rebuilt fingerprint == fingerprint of the
+    original tokenized text."""
+    from pyspark.sql import functions as F
+
+    from crawlingbigdatavisionaid_spark.functions.text import char_fingerprint, tokens
+    from crawlingbigdatavisionaid_spark.plans.registry import query_map
+
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    texts = [  # 45 letter-only tokens -> 3 chunks each, all distinct
+        " ".join(f"w{letters[i]}{letters[j // 26]}{letters[j % 26]}" for j in range(45))
+        for i in range(4)
+    ]
+    _write_docs(spark, str(tmp_path), texts)
+    out = {
+        r.doc_id: r
+        for r in query_map()["chunk_dedup_rebuild"](spark, str(tmp_path)).collect()
+    }
+    want_fp = {
+        r.doc_id: r.fp
+        for r in spark.read.parquet(f"{tmp_path}/documents.parquet")
+        .select(
+            "doc_id",
+            F.concat_ws(" ", tokens("text")).alias("joined"),
+        )
+        .select("doc_id", char_fingerprint("joined").alias("fp"))
+        .collect()
+    }
+    for i in range(4):
+        assert out[i].n_chunks == 3 and out[i].kept_chunks == 3
+        assert out[i].rebuilt_fp == want_fp[i]
+
+
+def test_chunk_dedup_rebuild_drops_repeated_chunk_keeps_first(spark, tmp_path):
+    """A doc repeating an earlier doc's chunk loses exactly that chunk;
+    a doc that is ENTIRELY earlier chunks is consumed to the -1
+    sentinel."""
+    from crawlingbigdatavisionaid_spark.plans.registry import query_map
+
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    a = " ".join(f"qa{letters[j]}" for j in range(20))  # doc0 chunk 0
+    b = " ".join(f"qb{letters[j]}" for j in range(20))
+    c = " ".join(f"qc{letters[j]}" for j in range(20))
+    texts = [a + " " + b, c + " " + a, a]  # doc1 repeats a; doc2 IS a
+    _write_docs(spark, str(tmp_path), texts)
+    out = {
+        r.doc_id: r
+        for r in query_map()["chunk_dedup_rebuild"](spark, str(tmp_path)).collect()
+    }
+    assert (out[0].n_chunks, out[0].kept_chunks) == (2, 2)
+    assert (out[1].n_chunks, out[1].kept_chunks) == (2, 1)  # kept c, lost a
+    assert (out[2].n_chunks, out[2].kept_chunks) == (1, 0)
+    assert out[2].rebuilt_fp == -1
