@@ -60,7 +60,13 @@ QUERIES: dict[str, QuerySpec] = {}
 # ann_ivf_topk, stream_neardup_minhash) stay out — each has an
 # oracle-pinned exact/tolerance twin that HAS been driver-green.  After
 # this round no query's last driver row is older than r4; remaining
-# stale for r8 = the 5 deferred r4 entries + the r5 block.
+# stale for r8 = the 5 deferred r4 entries + the r5 block, plus the
+# queries added after this rotation (never driver-checked): the 11
+# late-r7 additions (lm_bigram_nll, lm_quality_buckets,
+# q4/q5/q10/q13/q15/q17/q19, ann_pq_persisted_recall, stream_pq_probe)
+# and the 11 r7-continued additions (q2/q7/q8/q9/q11/q16/q20,
+# chunk_dedup_rebuild, gopher_quality_filter, ann_hard_negatives,
+# bpe_encode_by_lang) — seat those first in r8.
 _PRIORITY: tuple[str, ...] = (
     # --- never driver-checked (late r6)
     "multimodal_feature_ann_recall",
