@@ -175,6 +175,7 @@ def _load_all() -> None:
         olap,
         selection,
         similarity,
+        sketches,
         star,
         streaming,
         text,

