@@ -103,6 +103,13 @@ HEADLINE = [
     "gopher_quality_filter",
     "ann_hard_negatives",
     "bpe_encode_by_lang",
+    # round 7 (continued): sketch + incremental-maintenance operators
+    "lm_trigram_backoff",
+    "bloom_dedup_probe",
+    "cms_heavy_hitters",
+    "winnow_fingerprint_pairs",
+    "incremental_mv_daily",
+    "hll_partial_merge",
 ]
 
 

@@ -72,3 +72,96 @@ def test_stratified_sample_is_deterministic(spark, sf_dir):
     a = sorted(map(tuple, fn(spark, sf_dir).collect()))
     b = sorted(map(tuple, fn(spark, sf_dir).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Bloom / count-min / winnowing / trigram-backoff / incremental-MV operators
+
+
+def test_bloom_probe_confusion_invariants(spark, sf_dir):
+    row = query_map()["bloom_dedup_probe"](spark, sf_dir).first()
+    # a Bloom filter never lies about absence
+    assert row["false_neg"] == 0
+    # every batch key is classified exactly once
+    assert row["maybe_dup"] + row["definite_new"] == row["n_batch"]
+    # with zero false negatives, maybe = all true dups + false positives
+    assert row["maybe_dup"] == row["n_true_dup"] + row["false_pos"]
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    rows = query_map()["cms_heavy_hitters"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["cms_est"] >= r["exact_cnt"], r
+        assert r["overcount"] == r["cms_est"] - r["exact_cnt"]
+
+
+def test_trigram_backoff_level_counters_partition(spark, sf_dir):
+    rows = query_map()["lm_trigram_backoff"](spark, sf_dir).collect()
+    assert rows, "held-out decile produced no scored docs"
+    for r in rows:
+        assert (
+            r["n_hit3"] + r["n_back2"] + r["n_back1"] + r["n_unk"]
+            == r["n_trigrams"]
+        ), r
+        # log-scores are negative everywhere, so mean NLL is positive
+        assert r["nll_mean"] > 0, r
+
+
+def test_winnow_detects_planted_shared_substring(spark, tmp_path):
+    """Winnowing guarantee: a shared substring of length >= k + w - 1
+    must yield shared fingerprints — a planted 200-char quote embedded
+    in an otherwise different doc must surface as a candidate pair."""
+    import random
+
+    rng = random.Random(7)
+    word = lambda: "".join(  # noqa: E731
+        rng.choice("abcdefghijklmnopqrstuvwxyz")
+        for _ in range(rng.randint(3, 9))
+    )
+    quote = " ".join(word() for _ in range(40))[:200]
+    doc_a = " ".join(word() for _ in range(60)) + " " + quote
+    doc_b = quote + " " + " ".join(word() for _ in range(60))
+    doc_c = " ".join(word() for _ in range(100))
+    df = spark.createDataFrame(
+        [(0, doc_a, "en", "s", len(doc_a)),
+         (1, doc_b, "en", "s", len(doc_b)),
+         (2, doc_c, "en", "s", len(doc_c))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path)
+    df.write.parquet(f"{d}/documents.parquet")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in query_map()["winnow_fingerprint_pairs"](spark, d).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 5
+    assert all(a == 0 and b == 1 for a, b in pairs)
+
+
+def test_incremental_mv_equals_direct_recompute(spark, sf_dir):
+    got = {
+        (r["day"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in query_map()["incremental_mv_daily"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    want = {
+        (r["day"], r["event_type"]): (r["n"], r["s"])
+        for r in ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, s) in want.items():
+        gn, gs = got[k]
+        assert gn == n, k
+        assert abs(gs - s) < 1e-6, k
+
+
+def test_hll_partial_merge_verdicts_all_true(spark, sf_dir):
+    rows = query_map()["hll_partial_merge"](spark, sf_dir).collect()
+    assert rows
+    assert all(r["merge_consistent"] and r["within_2pct"] for r in rows)
