@@ -290,3 +290,56 @@ def test_chunk_dedup_rebuild_tokenizes_once(spark, sf_dir):
     back — at 100 TB that second branch is a full corpus re-read."""
     plan = _plan(spark, sf_dir, "chunk_dedup_rebuild")
     assert plan.count("documents.parquet") == 1
+
+
+def test_bloom_probe_no_cartesian_and_pruned_scan(spark, sf_dir):
+    """The Bloom build/probe must stay off cartesian space: the only
+    nested-loop joins are the 1-row scalar broadcasts (the packed-words
+    row and the n_store scalar), and the events scan reads only the key
+    columns (no ts/value)."""
+    plan = _plan(spark, sf_dir, "bloom_dedup_probe")
+    assert "CartesianProduct" not in plan
+    assert "bit_or" in plan  # packed-word aggregation is in-plan
+    schema = _read_schema(spark, sf_dir, "bloom_dedup_probe", "events")
+    assert "ts" not in schema and "value" not in schema
+
+
+def test_winnow_pair_join_is_hash_or_smj_on_fp(spark, sf_dir):
+    """The fingerprint self-join must be an equi-join on fp (the
+    doc_id inequality rides it) — never a nested-loop over doc pairs —
+    and the documents scan must read only (doc_id, text)."""
+    plan = _plan(spark, sf_dir, "winnow_fingerprint_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    schema = _read_schema(
+        spark, sf_dir, "winnow_fingerprint_pairs", "documents"
+    )
+    assert "doc_id" in schema and "text" in schema
+    assert "lang" not in schema and "source" not in schema
+
+
+def test_cms_probe_joins_broadcast(spark, sf_dir):
+    """The 20-row probe joins the 4,096-cell sketch via broadcast —
+    no shuffle of the probe side."""
+    plan = _plan(spark, sf_dir, "cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_trigram_backoff_counts_aggregate_before_scoring(spark, sf_dir):
+    """Scoring joins are aggregate x aggregate: the five count tables
+    hash-aggregate before any join, and the only nested-loop join is
+    the 1-row N scalar broadcast."""
+    plan = _plan(spark, sf_dir, "lm_trigram_backoff")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 10  # 5 count tables, 2 phases
+
+
+def test_incremental_mv_is_pure_aggregation(spark, sf_dir):
+    """The MV fold is union + re-aggregation of partials — no joins at
+    all in the plan."""
+    plan = _plan(spark, sf_dir, "incremental_mv_daily")
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, op
+    assert "Union" in plan
