@@ -61,6 +61,108 @@ def _poly_fold_duck(expr: str) -> str:
     )
 
 
+def bloom_confusion(
+    spark: SparkSession,
+    store: DataFrame,
+    batch: DataFrame,
+    m_bits: int = _BLOOM_BITS,
+    k_hashes: int = _BLOOM_K,
+) -> DataFrame:
+    """Parameterized Bloom build + probe + exact-measurement core shared
+    by the registered query (fixed geometry, oracle-matched) and
+    ``tools/dedup_scale_smoke.py``'s sketch mode (which sizes ``m_bits``
+    to the store so the FP rate stays flat as the corpus grows — the
+    deployment rule a fixed-size demo cannot show). ``store``/``batch``
+    must each expose one string column ``k``; m_bits must be a multiple
+    of 64."""
+    h1 = F.expr(_poly_fold_sql("k"))
+    with_pos = lambda df: (  # noqa: E731  (local plan builder)
+        df.withColumn("h1", h1)
+        .withColumn("h2", (F.col("h1") * _H2A + _H2B) % _P)
+        .withColumn(
+            "pos",
+            F.array(
+                *[
+                    ((F.col("h1") + F.lit(i) * F.col("h2")) % _P) % m_bits
+                    for i in range(1, k_hashes + 1)
+                ]
+            ),
+        )
+        .drop("h1", "h2")
+    )
+
+    # --- build: store positions -> packed m/64-word bitset, one row
+    words = (
+        with_pos(store)
+        .select(F.explode("pos").alias("p"))
+        .distinct()
+        .select(
+            F.expr("p DIV 64").alias("widx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("widx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    spine = spark.range(m_bits // 64).select(F.col("id").alias("widx"))
+    bits = (
+        spine.join(words, "widx", "left")
+        .select("widx", F.coalesce("word", F.lit(0)).alias("word"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("widx", "word"))),
+                lambda x: x.word,
+            ).alias("bits")
+        )
+    )
+
+    # --- probe: every batch key tests its k bits against the broadcast
+    probed = (
+        with_pos(batch)
+        .crossJoin(F.broadcast(bits))
+        .withColumn(
+            "maybe",
+            F.expr(
+                "aggregate(pos, true, (acc, p) -> acc AND "
+                "(element_at(bits, CAST(p DIV 64 AS INT) + 1) & "
+                "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) != 0)"
+            ),
+        )
+        .select("k", "maybe")
+    )
+
+    # --- measurement: exact membership for the confusion counts
+    fl = probed.join(
+        store.select(F.col("k"), F.lit(True).alias("indup")), "k", "left"
+    ).select("maybe", F.coalesce("indup", F.lit(False)).alias("indup"))
+    n_store = store.agg(F.count(F.lit(1)).alias("n_store"))
+    return n_store.crossJoin(
+        fl.agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum(F.when(F.col("indup"), 1).otherwise(0)).alias("n_true_dup"),
+            F.sum(F.when(F.col("maybe"), 1).otherwise(0)).alias("maybe_dup"),
+            F.sum(F.when(~F.col("maybe"), 1).otherwise(0)).alias(
+                "definite_new"
+            ),
+            F.sum(
+                F.when(F.col("indup") & ~F.col("maybe"), 1).otherwise(0)
+            ).alias("false_neg"),
+            F.sum(
+                F.when(F.col("maybe") & ~F.col("indup"), 1).otherwise(0)
+            ).alias("false_pos"),
+        )
+    ).select(
+        "n_store",
+        "n_batch",
+        "n_true_dup",
+        "maybe_dup",
+        "definite_new",
+        "false_neg",
+        "false_pos",
+    )
+
+
 @register(
     "bloom_dedup_probe",
     ops=("OP-DEDUP-01", "OP-AGG-05", "OP-SNK-01"),
@@ -135,92 +237,57 @@ def bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.expr(_KEY_SQL).alias("k")
     store = ev.where(F.col("event_id") % 10 != 9).select(key).distinct()
     batch = ev.where(F.col("event_id") % 10 == 9).select(key).distinct()
+    return bloom_confusion(spark, store, batch)
 
-    h1 = F.expr(_poly_fold_sql("k"))
-    with_pos = lambda df: (  # noqa: E731  (local plan builder)
-        df.withColumn("h1", h1)
+
+def cms_probe(
+    tc: DataFrame,
+    width: int = _CMS_W,
+    depth: int = _CMS_D,
+    topn: int = 20,
+) -> DataFrame:
+    """Parameterized count-min core over a (w, c) token-count table:
+    build the depth x width sketch, probe the exact top-``topn`` tokens.
+    Shared by the registered query (fixed geometry, oracle-matched) and
+    the scale smoke (which grows ``width`` with the vocab to show the
+    overcount-vs-width tradeoff)."""
+
+    def _cells(col_i):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    (
+                        ((F.col("h1") + F.lit(i) * F.col("h2")) % _P) % width
+                    ).alias("cell"),
+                )
+                for i in range(1, depth + 1)
+            ]
+        )
+
+    th = (
+        tc.withColumn("h1", F.expr(_poly_fold_sql("w")))
         .withColumn("h2", (F.col("h1") * _H2A + _H2B) % _P)
-        .withColumn(
-            "pos",
-            F.array(
-                *[
-                    ((F.col("h1") + F.lit(i) * F.col("h2")) % _P) % _BLOOM_BITS
-                    for i in range(1, _BLOOM_K + 1)
-                ]
-            ),
-        )
-        .drop("h1", "h2")
     )
-
-    # --- build: store positions -> packed 1,024-word bitset, one row
-    words = (
-        with_pos(store)
-        .select(F.explode("pos").alias("p"))
-        .distinct()
+    cells = (
+        th.select("c", F.explode(_cells(None)).alias("rc"))
+        .groupBy("rc.i", "rc.cell")
+        .agg(F.sum("c").alias("cellsum"))
+    )
+    top = th.orderBy(F.col("c").desc(), F.col("w").asc()).limit(topn)
+    probe = top.select(
+        "w", "c", F.explode(_cells(None)).alias("rc")
+    ).select("w", "c", "rc.i", "rc.cell")
+    return (
+        probe.join(F.broadcast(cells), ["i", "cell"])
+        .groupBy("w", "c")
+        .agg(F.min("cellsum").alias("cms_est"))
         .select(
-            F.expr("p DIV 64").alias("widx"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias(
-                "bit"
-            ),
+            F.col("w").alias("token"),
+            F.col("c").alias("exact_cnt"),
+            F.col("cms_est"),
+            (F.col("cms_est") - F.col("c")).alias("overcount"),
         )
-        .groupBy("widx")
-        .agg(F.expr("bit_or(bit)").alias("word"))
-    )
-    spine = spark.range(_BLOOM_BITS // 64).select(F.col("id").alias("widx"))
-    bits = (
-        spine.join(words, "widx", "left")
-        .select("widx", F.coalesce("word", F.lit(0)).alias("word"))
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("widx", "word"))),
-                lambda x: x.word,
-            ).alias("bits")
-        )
-    )
-
-    # --- probe: every batch key tests its 4 bits against the broadcast
-    probed = (
-        with_pos(batch)
-        .crossJoin(F.broadcast(bits))
-        .withColumn(
-            "maybe",
-            F.expr(
-                "aggregate(pos, true, (acc, p) -> acc AND "
-                "(element_at(bits, CAST(p DIV 64 AS INT) + 1) & "
-                "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) != 0)"
-            ),
-        )
-        .select("k", "maybe")
-    )
-
-    # --- measurement: exact membership for the confusion counts
-    fl = probed.join(
-        store.select(F.col("k"), F.lit(True).alias("indup")), "k", "left"
-    ).select("maybe", F.coalesce("indup", F.lit(False)).alias("indup"))
-    n_store = store.agg(F.count(F.lit(1)).alias("n_store"))
-    return n_store.crossJoin(
-        fl.agg(
-            F.count(F.lit(1)).alias("n_batch"),
-            F.sum(F.when(F.col("indup"), 1).otherwise(0)).alias("n_true_dup"),
-            F.sum(F.when(F.col("maybe"), 1).otherwise(0)).alias("maybe_dup"),
-            F.sum(F.when(~F.col("maybe"), 1).otherwise(0)).alias(
-                "definite_new"
-            ),
-            F.sum(
-                F.when(F.col("indup") & ~F.col("maybe"), 1).otherwise(0)
-            ).alias("false_neg"),
-            F.sum(
-                F.when(F.col("maybe") & ~F.col("indup"), 1).otherwise(0)
-            ).alias("false_pos"),
-        )
-    ).select(
-        "n_store",
-        "n_batch",
-        "n_true_dup",
-        "maybe_dup",
-        "definite_new",
-        "false_neg",
-        "false_pos",
     )
 
 
@@ -228,11 +295,14 @@ def bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cms_heavy_hitters",
     ops=("OP-TXT-01", "OP-TXT-02", "OP-TOPK-01"),
     oracle=f"""
-        WITH tc AS (
+        WITH tok AS (
+            SELECT regexp_extract_all(lower(text), '[a-z]+') AS toks
+            FROM documents
+        ), tc AS (
             SELECT w, COUNT(*) AS c
-            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
-                      AS w
-                  FROM documents)
+            FROM (SELECT toks[i] || ' ' || toks[i + 1] AS w
+                  FROM tok, LATERAL unnest(
+                      generate_series(1, greatest(len(toks) - 1, 0))) AS t(i))
             GROUP BY w
         ), th AS (
             SELECT w, c, h1, (h1 * {_H2A} + {_H2B}) % {_P} AS h2
@@ -263,11 +333,15 @@ def bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch (Cormode & Muthukrishnan 2005) over the document
-    token stream, probed at the exact top-20 tokens: a 4x1024 counter
-    array whose cell estimates upper-bound every token's true count
-    (``overcount >= 0`` always — CMS never undercounts). The oracle
-    rebuilds the identical sketch, so cell sums — the sketch itself —
-    are hash-checked across engines, not merely the estimates.
+    token-BIGRAM stream, probed at the exact top-20 bigrams: a 4x1024
+    counter array whose cell estimates upper-bound every bigram's true
+    count (``overcount >= 0`` always — CMS never undercounts). Bigrams,
+    not unigrams, because the synthetic corpus has only ~31 distinct
+    tokens — a key space smaller than one sketch row shows no
+    collisions at all; the ~900-type bigram space vs 1,024 cells makes
+    the overcount column REAL sketch behavior. The oracle rebuilds the
+    identical sketch, so cell sums — the sketch itself — are
+    hash-checked across engines, not merely the estimates.
 
     Scale shape: CMS is LINEAR, so the sketch of a corpus equals the
     merge of per-partition sketches; here it is built from the
@@ -282,65 +356,22 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tc = (
-        docs.select(F.explode(T.tokens("text")).alias("w"))
+        docs.select(T.tokens("text").alias("toks"))
+        .select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(toks) < 2 THEN "
+                    "cast(array() as array<string>) "
+                    "ELSE transform(sequence(1, size(toks) - 1), i -> "
+                    "concat(element_at(toks, i), ' ', "
+                    "element_at(toks, i + 1))) END"
+                )
+            ).alias("w")
+        )
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    th = (
-        tc.withColumn("h1", F.expr(_poly_fold_sql("w")))
-        .withColumn("h2", (F.col("h1") * _H2A + _H2B) % _P)
-    )
-    cells = (
-        th.select(
-            "c",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("i"),
-                            (
-                                ((F.col("h1") + F.lit(i) * F.col("h2")) % _P)
-                                % _CMS_W
-                            ).alias("cell"),
-                        )
-                        for i in range(1, _CMS_D + 1)
-                    ]
-                )
-            ).alias("rc"),
-        )
-        .groupBy("rc.i", "rc.cell")
-        .agg(F.sum("c").alias("cellsum"))
-    )
-    top = th.orderBy(F.col("c").desc(), F.col("w").asc()).limit(20)
-    probe = top.select(
-        "w",
-        "c",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("i"),
-                        (
-                            ((F.col("h1") + F.lit(i) * F.col("h2")) % _P)
-                            % _CMS_W
-                        ).alias("cell"),
-                    )
-                    for i in range(1, _CMS_D + 1)
-                ]
-            )
-        ).alias("rc"),
-    ).select("w", "c", "rc.i", "rc.cell")
-    return (
-        probe.join(F.broadcast(cells), ["i", "cell"])
-        .groupBy("w", "c")
-        .agg(F.min("cellsum").alias("cms_est"))
-        .select(
-            F.col("w").alias("token"),
-            F.col("c").alias("exact_cnt"),
-            F.col("cms_est"),
-            (F.col("cms_est") - F.col("c")).alias("overcount"),
-        )
-    )
+    return cms_probe(tc)
 
 
 # winnowing geometry: 8-char k-grams, window of 4 consecutive hashes.
@@ -417,16 +448,30 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines) bounding every bucket, the `dedup_ngram_jaccard`
     precedent. No UDF, no cross join, no collect."""
     docs = load_table(spark, sf_dir, "documents")
+    return winnow_pairs(docs)
+
+
+def winnow_doc_fps(
+    docs: DataFrame,
+    kgram: int = _WIN_K,
+    win: int = _WIN_W,
+    df_cap: int = _WIN_DF,
+) -> DataFrame:
+    """Per-doc winnowed fingerprints after the rarity cap: distinct
+    (doc_id, fp) rows for every fingerprint kept (df <= ``df_cap``).
+    Split out of :func:`winnow_pairs` so the scale smoke can count
+    per-doc kept-fingerprint totals (its duplication invariant needs
+    D = #docs with >= shared_min kept fps)."""
     s = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
     hs = F.expr(
-        f"transform(sequence(1, greatest(length(s) - {_WIN_K - 1}, 0)), "
-        f"i -> {_poly_fold_sql(f'substring(s, i, {_WIN_K})')})"
+        f"transform(sequence(1, greatest(length(s) - {kgram - 1}, 0)), "
+        f"i -> {_poly_fold_sql(f'substring(s, i, {kgram})')})"
     )
     mins = F.expr(
         f"CASE WHEN size(h) = 0 THEN cast(array() as array<bigint>) "
-        f"WHEN size(h) <= {_WIN_W - 1} THEN array(array_min(h)) "
-        f"ELSE transform(sequence(1, size(h) - {_WIN_W - 1}), "
-        f"j -> array_min(slice(h, j, {_WIN_W}))) END"
+        f"WHEN size(h) <= {win - 1} THEN array(array_min(h)) "
+        f"ELSE transform(sequence(1, size(h) - {win - 1}), "
+        f"j -> array_min(slice(h, j, {win}))) END"
     )
     fp = (
         docs.select("doc_id", s.alias("s"))
@@ -434,9 +479,23 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
     )
     keep = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")).where(
-        F.col("_df") <= _WIN_DF
+        F.col("_df") <= df_cap
     )
-    f2 = fp.join(keep.select("fp"), "fp")
+    return fp.join(keep.select("fp"), "fp")
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    kgram: int = _WIN_K,
+    win: int = _WIN_W,
+    df_cap: int = _WIN_DF,
+    shared_min: int = _WIN_SHARED,
+) -> DataFrame:
+    """Parameterized winnowing core over a (doc_id, text) table —
+    shared by the registered query (fixed geometry, oracle-matched)
+    and the scale smoke (duplication invariant under a corpus-relative
+    df cap)."""
+    f2 = winnow_doc_fps(docs, kgram, win, df_cap)
     a, b = f2.alias("a"), f2.alias("b")
     return (
         a.join(
@@ -448,5 +507,5 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
-        .where(F.col("n_shared") >= _WIN_SHARED)
+        .where(F.col("n_shared") >= shared_min)
     )

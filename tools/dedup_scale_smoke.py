@@ -233,6 +233,199 @@ def _chunk_mode(spark, docs, k: int, out: str) -> None:
     assert linear, "chunk dedup keep-set not exactly K-linear"
 
 
+def _sketch_mode(spark, base: str, k: int, out: str) -> None:
+    """Sketch-tier scale smoke (bloom / cms / winnowing).
+
+    - winnowing: replicas are IDENTICAL copies (doc_id offset only) —
+      the realistic growth mode for a copy detector is duplicated
+      content, and (unlike the token-tag family) any text perturbation
+      dense enough to make char-gram spaces disjoint floods the gram
+      space with tag patterns and destroys the operator's signal
+      (measured: insertion tags every 4-6 chars drop base pairs
+      41 -> 0). With the df cap made corpus-relative (cap * K), every
+      replica keeps exactly the base kept-fp set, so the K-corpus pair
+      count is EXACTLY K^2*P + C(K,2)*D, where P = base pairs and D =
+      #docs with >= shared_min kept fps (each doc pairs with its K-1
+      copies; every base pair replicates K^2 ways). One closed-form
+      equation covering the inverted index, the cap algebra, and the
+      shared-fp threshold.
+    - bloom: event replicas offset event_id by a multiple of 10 (decile
+      split preserved) and tag props, so store keys scale exactly Kx;
+      the filter is sized at ~16 bits/key (the deployment rule). MUST
+      hold: false_neg == 0 at any K; the measured FP rate stays in the
+      same regime as 1x (flatness is what sizing buys — a fixed 64Kbit
+      filter saturates to ~100% FP at 10x, which the fixed-geometry
+      registered query would show).
+    - cms: token-suffix-tagged corpora (disjoint per-replica bigram
+      vocabularies, the generic-mode rule); with the width grown Kx alongside the
+      Kx token stream the mean top-20 overcount stays in the 1x regime,
+      while the fixed-width row shows the ~Kx error growth theory
+      predicts (eps ~ N/width). est >= exact everywhere.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    from crawlingbigdatavisionaid_spark.plans import sketches as SK
+    from crawlingbigdatavisionaid_spark.sources import load_table
+
+    docs = load_table(spark, base, "documents")
+    ev = load_table(spark, base, "events")
+    doc_span = docs.agg(F.max("doc_id")).first()[0] + 1
+    ev_span = ev.agg(F.max("event_id")).first()[0] + 1
+    ev_span += (-ev_span) % 10  # decile-preserving offset
+
+    def tag(i: int) -> str:
+        return "q" + chr(97 + i % 26) + chr(97 + (i // 26) % 26)
+
+    def drep(i: int):
+        # identical copy, fresh ids (the winnow duplication invariant)
+        return docs.select(
+            (F.col("doc_id") + F.lit(i * doc_span)).alias("doc_id"), "text"
+        )
+
+    def drep_tagged(i: int):
+        # token-suffix tag (generic-mode rule): per-replica bigram
+        # vocabularies are disjoint, so the cms key space scales Kx
+        return docs.select(
+            (F.col("doc_id") + F.lit(i * doc_span)).alias("doc_id"),
+            F.regexp_replace("text", r"([A-Za-z]+)", "$1" + tag(i)).alias(
+                "text"
+            ),
+        )
+
+    def erep(i: int):
+        return ev.select(
+            (F.col("event_id") + F.lit(i * ev_span)).alias("event_id"),
+            "user_id",
+            "event_type",
+            F.concat(F.col("props"), F.lit(tag(i))).alias("props"),
+        )
+
+    t0 = time.time()
+    drep(0).write.mode("overwrite").parquet(f"{out}/w1/documents.parquet")
+    du = drep(0)
+    for i in range(1, k):
+        du = du.unionByName(drep(i))
+    du.write.mode("overwrite").parquet(f"{out}/wk/documents.parquet")
+    drep_tagged(0).write.mode("overwrite").parquet(
+        f"{out}/c1/documents.parquet"
+    )
+    cu = drep_tagged(0)
+    for i in range(1, k):
+        cu = cu.unionByName(drep_tagged(i))
+    cu.write.mode("overwrite").parquet(f"{out}/ck/documents.parquet")
+    erep(0).write.mode("overwrite").parquet(f"{out}/e1/events.parquet")
+    eu = erep(0)
+    for i in range(1, k):
+        eu = eu.unionByName(erep(i))
+    eu.write.mode("overwrite").parquet(f"{out}/ek/events.parquet")
+    build_s = round(time.time() - t0, 1)
+
+    res: dict = {"k": k, "mode": "sketch", "build_s": build_s}
+
+    # --- winnowing duplication invariant: pairs(Kx) = K^2*P + C(K,2)*D
+    w1 = spark.read.parquet(f"{out}/w1/documents.parquet")
+    t = time.time()
+    b_pairs = SK.winnow_pairs(w1).count()
+    d_docs = (
+        SK.winnow_doc_fps(w1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nfp"))
+        .where(F.col("nfp") >= SK._WIN_SHARED)
+        .count()
+    )
+    res["winnow_base"] = {
+        "s": round(time.time() - t, 2),
+        "pairs": b_pairs,
+        "docs_with_min_fps": d_docs,
+    }
+    t = time.time()
+    k_pairs = SK.winnow_pairs(
+        spark.read.parquet(f"{out}/wk/documents.parquet"),
+        df_cap=SK._WIN_DF * k,
+    ).count()
+    expected = k * k * b_pairs + (k * (k - 1) // 2) * d_docs
+    res["winnow_kx"] = {
+        "s": round(time.time() - t, 2),
+        "pairs": k_pairs,
+        "expected": expected,
+    }
+    res["winnow_linear_exact"] = k_pairs == expected
+
+    # --- bloom at ~16 bits/key
+    def bloom_row(sf: str):
+        evdf = spark.read.parquet(f"{sf}/events.parquet")
+        key = F.expr(SK._KEY_SQL).alias("k")
+        st = evdf.where(F.col("event_id") % 10 != 9).select(key).distinct()
+        ba = evdf.where(F.col("event_id") % 10 == 9).select(key).distinct()
+        n = st.count()
+        m = 1 << max(16, math.ceil(math.log2(16 * n)))
+        t = time.time()
+        r = SK.bloom_confusion(spark, st, ba, m_bits=m).first()
+        new = r.n_batch - r.n_true_dup
+        return {
+            "s": round(time.time() - t, 2),
+            "n_store": r.n_store,
+            "m_bits": m,
+            "false_neg": r.false_neg,
+            "false_pos": r.false_pos,
+            "fp_rate": round(r.false_pos / new, 5) if new else 0.0,
+        }
+
+    res["bloom_base"] = bloom_row(f"{out}/e1")
+    res["bloom_kx"] = bloom_row(f"{out}/ek")
+
+    # --- cms: scaled width vs fixed width
+    def cms_row(sf: str, width: int):
+        tc = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .select(F.regexp_extract_all(
+                F.lower("text"), F.lit("[a-z]+"), 0).alias("toks"))
+            .select(F.explode(F.expr(
+                "CASE WHEN size(toks) < 2 THEN "
+                "cast(array() as array<string>) "
+                "ELSE transform(sequence(1, size(toks) - 1), i -> "
+                "concat(element_at(toks, i), ' ', "
+                "element_at(toks, i + 1))) END")).alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        t = time.time()
+        r = SK.cms_probe(tc, width=width).agg(
+            F.sum(F.when(F.col("cms_est") < F.col("exact_cnt"), 1).otherwise(
+                0)).alias("under"),
+            F.avg("overcount").alias("over_mean"),
+            F.max("overcount").alias("over_max"),
+        ).first()
+        return {
+            "s": round(time.time() - t, 2),
+            "width": width,
+            "undercounts": r.under,
+            "over_mean": round(float(r.over_mean), 1),
+            "over_max": r.over_max,
+        }
+
+    res["cms_base"] = cms_row(f"{out}/c1", SK._CMS_W)
+    res["cms_kx_fixed_width"] = cms_row(f"{out}/ck", SK._CMS_W)
+    res["cms_kx_scaled_width"] = cms_row(f"{out}/ck", SK._CMS_W * k)
+
+    print(json.dumps(res))
+    assert res["winnow_linear_exact"], "winnow pairs not exactly K-linear"
+    assert res["bloom_base"]["false_neg"] == 0
+    assert res["bloom_kx"]["false_neg"] == 0
+    assert res["bloom_kx"]["fp_rate"] <= 3 * max(
+        res["bloom_base"]["fp_rate"], 0.001
+    ), "sized-to-store bloom FP rate not flat"
+    assert res["cms_base"]["undercounts"] == 0
+    assert res["cms_kx_fixed_width"]["undercounts"] == 0
+    assert res["cms_kx_scaled_width"]["undercounts"] == 0
+    assert (
+        res["cms_kx_scaled_width"]["over_mean"]
+        <= 3 * max(res["cms_base"]["over_mean"], 1.0)
+    ), "width-scaled cms overcount not flat"
+
+
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -256,6 +449,9 @@ def main() -> None:
             return
         if mode == "chunk":
             _chunk_mode(spark, docs, k, out)
+            return
+        if mode == "sketch":
+            _sketch_mode(spark, base, k, out)
             return
         emb = load_table(spark, base, "embeddings")
         doc_span = docs.agg(F.max("doc_id")).first()[0] + 1
