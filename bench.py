@@ -110,6 +110,8 @@ HEADLINE = [
     "winnow_fingerprint_pairs",
     "incremental_mv_daily",
     "hll_partial_merge",
+    "weighted_sample_aes",
+    "vocab_growth_deciles",
 ]
 
 

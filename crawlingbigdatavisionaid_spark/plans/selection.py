@@ -527,3 +527,76 @@ def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("dup_frac"),
     )
+
+
+@register(
+    "weighted_sample_aes",
+    ops=("OP-FLT-03", "OP-TOPK-01"),
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, lang,
+                   len(regexp_extract_all(lower(text), '[a-z]+')) AS wt
+            FROM documents
+        ), keyed AS (
+            SELECT doc_id, lang, wt,
+                   ROUND(ROUND(LN(
+                       (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                            list_transform(
+                                string_split(CAST(doc_id AS VARCHAR), ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+                            (a, b) -> (a*31 + b) % 1000000007) + 1.0)
+                       / 1000000008.0), 6) / wt, 9) AS aes_key
+            FROM w WHERE wt > 0
+        )
+        SELECT doc_id, lang, wt, aes_key
+        FROM keyed
+        ORDER BY aes_key DESC, doc_id LIMIT 50
+    """,
+)
+def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis-
+    Spirakis A-ES one-pass scheme (Efraimidis & Spirakis 2006): each
+    doc draws u from a stable hash of its id and ranks by
+    u^(1/weight) — equivalently ln(u)/weight, monotone and
+    overflow-free — and the global top-50 IS a weighted sample without
+    replacement, here with weight = token count (longer docs
+    proportionally likelier, the upsampling rule curation mixes use).
+    Unlike ``rand()``-based sampling this is engine-exact and
+    re-run-reproducible (the ``hash_sample_by_lang`` rule), and
+    unlike sequential reservoir algorithms A-ES is embarrassingly
+    distributable: keys are per-row expressions and selection is a
+    distributed top-k — the one-pass weighted reservoir over a 100 TB
+    corpus with NO stateful scan.
+
+    Determinism: u = (polyhash(doc_id)+1)/(P+1) is an exact-integer
+    division; ln rounds to 6 decimals first (single-op rule), the
+    /weight quotient to 9; ties break on doc_id. Plan: one scan, keys
+    in codegen, TakeOrderedAndProject — no global sort, no window."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .sketches import _P, _poly_fold_sql
+
+    wt = F.size(T.tokens("text")).cast("bigint")
+    keyed = (
+        docs.select("doc_id", "lang", wt.alias("wt"))
+        .where(F.col("wt") > 0)
+        .withColumn(
+            "aes_key",
+            F.round(
+                F.round(
+                    F.log(
+                        (
+                            F.expr(
+                                _poly_fold_sql("cast(doc_id as string)")
+                            )
+                            + F.lit(1.0)
+                        )
+                        / F.lit(float(_P + 1))
+                    ),
+                    6,
+                )
+                / F.col("wt"),
+                9,
+            ),
+        )
+    )
+    return keyed.orderBy(F.col("aes_key").desc(), "doc_id").limit(50)

@@ -1570,3 +1570,76 @@ def lm_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         _lvl_sum(1, "n_back1"),
         _lvl_sum(0, "n_unk"),
     )
+
+
+@register(
+    "vocab_growth_deciles",
+    ops=("OP-TXT-01", "OP-TXT-02", "OP-AGG-03"),
+    oracle=f"""
+        WITH span AS (
+            SELECT MAX(doc_id) + 1 AS n FROM documents
+        ), tok AS (
+            SELECT doc_id,
+                   LEAST(doc_id * 10 // span.n, 9) AS decile,
+                   unnest({_SQL_TOKENS}) AS w
+            FROM documents, span
+        ), stream AS (
+            SELECT decile, COUNT(*) AS n_tokens FROM tok GROUP BY decile
+        ), first AS (
+            SELECT w, MIN(decile) AS first_decile FROM tok GROUP BY w
+        ), novel AS (
+            SELECT first_decile AS decile, COUNT(*) AS new_types
+            FROM first GROUP BY first_decile
+        )
+        SELECT s.decile,
+               s.n_tokens,
+               CAST(COALESCE(n.new_types, 0) AS BIGINT) AS new_types,
+               CAST(SUM(COALESCE(n.new_types, 0))
+                   OVER (ORDER BY s.decile) AS BIGINT) AS cum_types
+        FROM stream s LEFT JOIN novel n ON s.decile = n.decile
+    """,
+)
+def vocab_growth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth profile: split the corpus into ten
+    ingest-order slices (doc_id range deciles) and report, per decile,
+    the token volume, the number of NOVEL types (words whose first
+    corpus occurrence falls in that decile) and the cumulative
+    vocabulary — the curve a curator reads to see whether a crawl is
+    still discovering new language or re-fetching the same material
+    (sublinear growth = Heaps' law; a flat tail on this corpus's
+    31-word synthetic vocabulary shows saturation immediately).
+
+    Scale shape: one tokenize; first occurrences via a min-aggregate
+    over (type, decile) — vocab-bounded, map-side combined — never a
+    window over the corpus-size stream. The cumulative sum IS an
+    unpartitioned window, but over exactly 10 pre-aggregated rows (the
+    documented bounded-cardinality contract; the decile count is a
+    constant of the query, not of the data)."""
+    docs = load_table(spark, sf_dir, "documents")
+    span = docs.agg((F.max("doc_id") + 1).alias("n"))
+    tok = (
+        docs.crossJoin(F.broadcast(span))
+        .select(
+            F.least(F.col("doc_id") * 10 / F.col("n"), F.lit(9))
+            .cast("bigint")
+            .alias("decile"),
+            F.explode(T.tokens("text")).alias("w"),
+        )
+    )
+    stream = tok.groupBy("decile").agg(F.count(F.lit(1)).alias("n_tokens"))
+    first = tok.groupBy("w").agg(F.min("decile").alias("decile"))
+    novel = first.groupBy("decile").agg(F.count(F.lit(1)).alias("new_types"))
+    joined = stream.join(novel, "decile", "left").select(
+        "decile",
+        "n_tokens",
+        F.coalesce("new_types", F.lit(0)).alias("new_types"),
+    )
+    from pyspark.sql import Window
+
+    cum = Window.orderBy("decile")  # 10 rows: bounded by construction
+    return joined.select(
+        "decile",
+        "n_tokens",
+        "new_types",
+        F.sum("new_types").over(cum).alias("cum_types"),
+    )

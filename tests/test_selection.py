@@ -468,3 +468,29 @@ def test_semdedup_unsplittable_mega_cluster_star_fallback(spark):
             ).collect()
         )
         assert kept == [0], (greedy, kept)
+
+
+def test_weighted_sample_aes_is_deterministic_and_weighted(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from crawlingbigdatavisionaid_spark.plans import query_map
+    from crawlingbigdatavisionaid_spark.sources import load_table
+    from crawlingbigdatavisionaid_spark.functions import text as T
+
+    q = query_map()["weighted_sample_aes"]
+    a = [tuple(r) for r in q(spark, sf_dir).collect()]
+    b = [tuple(r) for r in q(spark, sf_dir).collect()]
+    assert a == b and len(a) == 50
+    # keys are sorted descending (it IS the top-50 by key)
+    keys = [r[3] for r in a]
+    assert keys == sorted(keys, reverse=True)
+    # weighted: the sample over-represents heavy (long) docs
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_mean = (
+        docs.select(F.size(T.tokens("text")).alias("w"))
+        .where(F.col("w") > 0)
+        .agg(F.avg("w"))
+        .first()[0]
+    )
+    sample_mean = sum(r[2] for r in a) / len(a)
+    assert sample_mean > corpus_mean

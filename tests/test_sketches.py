@@ -165,3 +165,23 @@ def test_hll_partial_merge_verdicts_all_true(spark, sf_dir):
     rows = query_map()["hll_partial_merge"](spark, sf_dir).collect()
     assert rows
     assert all(r["merge_consistent"] and r["within_2pct"] for r in rows)
+
+
+def test_vocab_growth_cumulative_consistency(spark, sf_dir):
+    rows = sorted(
+        query_map()["vocab_growth_deciles"](spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert rows, "no deciles"
+    cum = 0
+    for r in rows:
+        cum += r["new_types"]
+        assert r["cum_types"] == cum, r
+    vocab = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.regexp_extract_all(
+            F.lower("text"), F.lit("[a-z]+"), 0)).alias("w"))
+        .agg(F.countDistinct("w"))
+        .first()[0]
+    )
+    assert cum == vocab
