@@ -61,6 +61,88 @@ def _poly_fold_duck(expr: str) -> str:
     )
 
 
+def _with_pos(df: DataFrame, m_bits: int, k_hashes: int) -> DataFrame:
+    """Append the ``pos`` array (the key's k bit positions) to a table
+    with a string column ``k`` — the shared hash step of build/probe."""
+    return (
+        df.withColumn("h1", F.expr(_poly_fold_sql("k")))
+        .withColumn("h2", (F.col("h1") * _H2A + _H2B) % _P)
+        .withColumn(
+            "pos",
+            F.array(
+                *[
+                    ((F.col("h1") + F.lit(i) * F.col("h2")) % _P) % m_bits
+                    for i in range(1, k_hashes + 1)
+                ]
+            ),
+        )
+        .drop("h1", "h2")
+    )
+
+
+def bloom_bits(
+    spark: SparkSession,
+    store: DataFrame,
+    m_bits: int = _BLOOM_BITS,
+    k_hashes: int = _BLOOM_K,
+) -> DataFrame:
+    """Build the packed Bloom bitset for a store's key column ``k``:
+    ONE row holding m/64 int64 words, assembled wholly in-plan (word
+    spine + bit_or + ordered collect) — no driver collect, bounded at
+    m/64 rows regardless of store size. Persist this row to parquet and
+    every future probe (batch or streaming) reuses it without touching
+    the store."""
+    words = (
+        _with_pos(store, m_bits, k_hashes)
+        .select(F.explode("pos").alias("p"))
+        .distinct()
+        .select(
+            F.expr("p DIV 64").alias("widx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("widx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    spine = spark.range(m_bits // 64).select(F.col("id").alias("widx"))
+    return (
+        spine.join(words, "widx", "left")
+        .select("widx", F.coalesce("word", F.lit(0)).alias("word"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("widx", "word"))),
+                lambda x: x.word,
+            ).alias("bits")
+        )
+    )
+
+
+def bloom_probe(
+    batch: DataFrame,
+    bits: DataFrame,
+    m_bits: int = _BLOOM_BITS,
+    k_hashes: int = _BLOOM_K,
+) -> DataFrame:
+    """Classify a batch's key column ``k`` against a packed bitset row
+    (:func:`bloom_bits`, fresh or read back from parquet): returns
+    (k, maybe) where ``maybe=false`` is a PROVEN-new key. Pure per-row
+    expression work against the broadcast 1-row bitset."""
+    return (
+        _with_pos(batch, m_bits, k_hashes)
+        .crossJoin(F.broadcast(bits))
+        .withColumn(
+            "maybe",
+            F.expr(
+                "aggregate(pos, true, (acc, p) -> acc AND "
+                "(element_at(bits, CAST(p DIV 64 AS INT) + 1) & "
+                "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) != 0)"
+            ),
+        )
+        .select("k", "maybe")
+    )
+
+
 def bloom_confusion(
     spark: SparkSession,
     store: DataFrame,
@@ -75,62 +157,8 @@ def bloom_confusion(
     deployment rule a fixed-size demo cannot show). ``store``/``batch``
     must each expose one string column ``k``; m_bits must be a multiple
     of 64."""
-    h1 = F.expr(_poly_fold_sql("k"))
-    with_pos = lambda df: (  # noqa: E731  (local plan builder)
-        df.withColumn("h1", h1)
-        .withColumn("h2", (F.col("h1") * _H2A + _H2B) % _P)
-        .withColumn(
-            "pos",
-            F.array(
-                *[
-                    ((F.col("h1") + F.lit(i) * F.col("h2")) % _P) % m_bits
-                    for i in range(1, k_hashes + 1)
-                ]
-            ),
-        )
-        .drop("h1", "h2")
-    )
-
-    # --- build: store positions -> packed m/64-word bitset, one row
-    words = (
-        with_pos(store)
-        .select(F.explode("pos").alias("p"))
-        .distinct()
-        .select(
-            F.expr("p DIV 64").alias("widx"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias(
-                "bit"
-            ),
-        )
-        .groupBy("widx")
-        .agg(F.expr("bit_or(bit)").alias("word"))
-    )
-    spine = spark.range(m_bits // 64).select(F.col("id").alias("widx"))
-    bits = (
-        spine.join(words, "widx", "left")
-        .select("widx", F.coalesce("word", F.lit(0)).alias("word"))
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("widx", "word"))),
-                lambda x: x.word,
-            ).alias("bits")
-        )
-    )
-
-    # --- probe: every batch key tests its k bits against the broadcast
-    probed = (
-        with_pos(batch)
-        .crossJoin(F.broadcast(bits))
-        .withColumn(
-            "maybe",
-            F.expr(
-                "aggregate(pos, true, (acc, p) -> acc AND "
-                "(element_at(bits, CAST(p DIV 64 AS INT) + 1) & "
-                "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) != 0)"
-            ),
-        )
-        .select("k", "maybe")
-    )
+    bits = bloom_bits(spark, store, m_bits, k_hashes)
+    probed = bloom_probe(batch, bits, m_bits, k_hashes)
 
     # --- measurement: exact membership for the confusion counts
     fl = probed.join(

@@ -543,3 +543,84 @@ def stream_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [row], "multi_batch boolean, no_missing boolean, no_extra boolean"
     )
+
+
+@register(
+    "stream_bloom_probe",
+    ops=("OP-STR-01", "OP-DEDUP-01", "OP-SNK-01"),
+    # micro-batch invariance for the Bloom prefilter: a key's verdict
+    # depends only on the key and the immutable bitset, so the union of
+    # per-batch classifications must EQUAL the one-shot classification
+    # of the same delta — and no key the store contains may ever be
+    # classified new (a Bloom filter never lies about absence).
+    oracle="""
+        SELECT TRUE AS multi_batch, TRUE AS no_missing, TRUE AS no_extra,
+               TRUE AS no_false_neg
+    """,
+)
+def stream_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bloom-gated dedup, end-to-end: the store (event
+    deciles 0-8 of the ``bloom_dedup_probe`` key) packs its bitset ONCE
+    (plans/sketches.bloom_bits, persisted as one parquet row); the
+    arriving delta (decile 9) drains as a multi-file stream, each
+    micro-batch classifying against the stored bitset inside
+    ``foreachBatch`` (streaming/ingest.bloom_probe_ingest). The verdict
+    compares the accumulated (k, maybe) rows with the one-shot probe
+    and asserts zero false negatives against the exact store."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources import load_table
+    from ..streaming.ingest import bloom_probe_ingest
+    from .sketches import _KEY_SQL, bloom_bits, bloom_probe
+
+    ev = load_table(spark, sf_dir, "events")
+    key = F.expr(_KEY_SQL).alias("k")
+    store = ev.where(F.col("event_id") % 10 != 9).select(key).distinct()
+    delta = ev.where(F.col("event_id") % 10 == 9).select(key).distinct()
+
+    root = tempfile.mkdtemp(prefix="bloom_probe_")
+    try:
+        delta_dir, bits_dir = f"{root}/delta", f"{root}/bits"
+        out_dir, ckpt = f"{root}/cls", f"{root}/ckpt"
+        delta.repartition(4).write.parquet(delta_dir)
+        bloom_bits(spark, store).write.parquet(bits_dir)
+        n_batches = bloom_probe_ingest(
+            spark, delta_dir, bits_dir, out_dir, ckpt, "k string"
+        )
+        oneshot = bloom_probe(
+            spark.read.parquet(delta_dir), spark.read.parquet(bits_dir)
+        )
+        streamed = spark.read.schema("k string, maybe boolean").parquet(
+            out_dir
+        )
+
+        def _n(df, alias):
+            return df.agg(F.count(F.lit(1)).alias(alias))
+
+        common = _n(streamed.join(oneshot, ["k", "maybe"]), "n_common")
+        fneg = _n(
+            streamed.where(~F.col("maybe")).join(store, "k"), "n_false_neg"
+        )
+        [row] = (
+            _n(streamed, "n_stream")
+            .crossJoin(_n(oneshot, "n_oneshot"))
+            .crossJoin(common)
+            .crossJoin(fneg)
+            .select(
+                F.lit(n_batches > 1).alias("multi_batch"),
+                (F.col("n_common") == F.col("n_oneshot")).alias("no_missing"),
+                (F.col("n_common") == F.col("n_stream")).alias("no_extra"),
+                (F.col("n_false_neg") == 0).alias("no_false_neg"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        "multi_batch boolean, no_missing boolean, no_extra boolean, "
+        "no_false_neg boolean",
+    )

@@ -224,3 +224,44 @@ def pq_probe_ingest(
         max_files_per_trigger,
         lambda batch: pq_probe_index(batch, books, codes, k=k),
     )
+
+
+def bloom_probe_ingest(
+    spark: SparkSession,
+    delta_path: str,
+    bits_path: str,
+    out_path: str,
+    checkpoint: str,
+    schema,
+    max_files_per_trigger: int | None = 1,
+    m_bits: int | None = None,
+    k_hashes: int | None = None,
+) -> int:
+    """Streaming Bloom-gated dedup classification — the sketch mirror
+    of :func:`ann_probe_ingest`: the store's packed bitset is built
+    ONCE (plans/sketches.bloom_bits, one parquet row of m/64 int64
+    words) and each arriving key micro-batch classifies against the
+    broadcast bitset inside ``foreachBatch``, appending (k, maybe)
+    rows. ``maybe=false`` keys are PROVEN new and can append to the
+    store without the exact anti-join; only ``maybe=true`` keys (true
+    dups + the sized-filter FP tail) fall through to it — at 100 TB
+    this turns the per-batch store-membership probe from a store-sized
+    join into per-row expression work. A key's verdict depends only on
+    the key and the immutable bitset, so any micro-batch slicing
+    yields the same row union (pinned by ``stream_bloom_probe``).
+
+    Returns the number of micro-batches processed."""
+    from ..plans.sketches import _BLOOM_BITS, _BLOOM_K, bloom_probe
+
+    m = m_bits if m_bits is not None else _BLOOM_BITS
+    kh = k_hashes if k_hashes is not None else _BLOOM_K
+    bits = spark.read.parquet(bits_path)
+    return _probe_ingest(
+        spark,
+        delta_path,
+        out_path,
+        checkpoint,
+        schema,
+        max_files_per_trigger,
+        lambda batch: bloom_probe(batch, bits, m, kh),
+    )

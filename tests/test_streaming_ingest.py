@@ -199,3 +199,54 @@ def test_incremental_neardup_stream_matches_oneshot(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert want  # the fixture corpus plants cross-decile near-dups
+
+
+def test_bloom_probe_ingest_matches_oneshot(spark, sf_dir, tmp_path):
+    """Drained Bloom classifications equal the one-shot probe of the
+    same delta, with zero false negatives vs the exact store — and the
+    bitset survives a parquet roundtrip."""
+    from pyspark.sql import functions as F
+
+    from crawlingbigdatavisionaid_spark.plans.sketches import (
+        _KEY_SQL,
+        bloom_bits,
+        bloom_probe,
+    )
+    from crawlingbigdatavisionaid_spark.sources import load_table
+    from crawlingbigdatavisionaid_spark.streaming.ingest import (
+        bloom_probe_ingest,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    key = F.expr(_KEY_SQL).alias("k")
+    store = ev.where(F.col("event_id") % 10 != 9).select(key).distinct()
+    delta = ev.where(F.col("event_id") % 10 == 9).select(key).distinct()
+    delta.repartition(3).write.parquet(str(tmp_path / "delta"))
+    bloom_bits(spark, store).write.parquet(str(tmp_path / "bits"))
+
+    n_batches = bloom_probe_ingest(
+        spark,
+        str(tmp_path / "delta"),
+        str(tmp_path / "bits"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        "k string",
+    )
+    assert n_batches == 3
+
+    got = {
+        (r.k, r.maybe)
+        for r in spark.read.schema("k string, maybe boolean")
+        .parquet(str(tmp_path / "out"))
+        .collect()
+    }
+    want = {
+        (r.k, r.maybe)
+        for r in bloom_probe(
+            spark.read.parquet(str(tmp_path / "delta")),
+            spark.read.parquet(str(tmp_path / "bits")),
+        ).collect()
+    }
+    assert got == want and want
+    store_keys = {r.k for r in store.collect()}
+    assert not any(k in store_keys for k, maybe in got if not maybe)
