@@ -112,6 +112,8 @@ HEADLINE = [
     "hll_partial_merge",
     "weighted_sample_aes",
     "vocab_growth_deciles",
+    "lang_id_confusion",
+    "bigram_pmi_topk",
 ]
 
 

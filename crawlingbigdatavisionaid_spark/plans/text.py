@@ -1643,3 +1643,150 @@ def vocab_growth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_types",
         F.sum("new_types").over(cum).alias("cum_types"),
     )
+
+
+@register(
+    "lang_id_confusion",
+    ops=("OP-X-TXT-04", "OP-AGG-01"),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, {_SQL_TOKENS} AS toks FROM documents
+        ), s AS (
+            SELECT doc_id, lang, len(toks) AS n,
+                   len(list_filter(toks, x -> x IN ({_SW}))) AS sw
+            FROM t
+        ), pred AS (
+            SELECT lang AS true_lang,
+                   CASE WHEN n > 0 AND 5 * sw >= n
+                        THEN 'en' ELSE 'other' END AS predicted_lang
+            FROM s
+        ), cm AS (
+            SELECT true_lang, predicted_lang, COUNT(*) AS n_docs
+            FROM pred GROUP BY 1, 2
+        ), tot AS (
+            SELECT true_lang, SUM(n_docs) AS n_true FROM cm GROUP BY 1
+        )
+        SELECT cm.true_lang, cm.predicted_lang, cm.n_docs,
+               ROUND(CAST(cm.n_docs AS DOUBLE) / tot.n_true, 4) AS row_frac
+        FROM cm JOIN tot ON cm.true_lang = tot.true_lang
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation harness over the corpus: the confusion
+    matrix of the stopword-density language classifier
+    (``lang_id_heuristic``) against the documents table's ground-truth
+    ``lang`` label, with per-true-language recall fractions — the
+    quality report a curator reads before trusting a filter enough to
+    drop data with it. The same two-aggregate shape evaluates ANY
+    cheap classifier (quality gate, PII detector) against any labeled
+    slice at 100 TB: one corpus scan collapsing map-side into
+    |labels x predictions| cells, then a cells-x-cells join for the
+    row margins; ``row_frac`` is a single exact-integer division."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n = F.size(toks)
+    sw = F.size(F.filter(toks, lambda x: x.isin(*T.STOPWORDS)))
+    pred = docs.select(
+        F.col("lang").alias("true_lang"),
+        F.when((n > 0) & (5 * sw >= n), F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("predicted_lang"),
+    )
+    cm = pred.groupBy("true_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = cm.groupBy("true_lang").agg(F.sum("n_docs").alias("n_true"))
+    return cm.join(tot, "true_lang").select(
+        "true_lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.col("n_true"), 4).alias(
+            "row_frac"
+        ),
+    )
+
+
+@register(
+    "bigram_pmi_topk",
+    ops=("OP-TXT-01", "OP-TXT-02", "OP-TOPK-01"),
+    oracle=f"""
+        WITH tok AS (
+            SELECT {_SQL_TOKENS} AS toks FROM documents
+        ), big AS (
+            SELECT toks[i] AS w1, toks[i + 1] AS w2
+            FROM tok, LATERAL unnest(
+                generate_series(1, greatest(len(toks) - 1, 0))) AS t(i)
+        ), c12 AS (
+            SELECT w1, w2, COUNT(*) AS n12 FROM big GROUP BY 1, 2
+        ), c1 AS (
+            SELECT w1, COUNT(*) AS n1 FROM big GROUP BY 1
+        ), c2 AS (
+            SELECT w2, COUNT(*) AS n2 FROM big GROUP BY 1
+        ), n AS (
+            SELECT COUNT(*) AS ntot FROM big
+        )
+        SELECT c12.w1, c12.w2, c12.n12,
+               ROUND(LN(CAST(c12.n12 AS DOUBLE) * n.ntot
+                        / (CAST(c1.n1 AS DOUBLE) * c2.n2)), 4) AS pmi
+        FROM c12
+        JOIN c1 ON c12.w1 = c1.w1
+        JOIN c2 ON c12.w2 = c2.w2
+        CROSS JOIN n
+        WHERE c12.n12 >= 5
+        ORDER BY pmi DESC, c12.w1, c12.w2 LIMIT 25
+    """,
+)
+def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information (Church &
+    Hanks 1990): PMI(w1,w2) = ln(N*c12 / (c1*c2)) over the bigram
+    stream, top-25 among pairs seen >= 5 times — the statistic that
+    separates true collocations ("hash join") from chance adjacency of
+    two frequent words, used to build phrase vocabularies for
+    tokenizers and to spot templated boilerplate.
+
+    Determinism: the PMI argument is an exact product/quotient chain of
+    integers evaluated in one pinned order (n12*N first, then divide by
+    the c1*c2 product), a single ln, rounded to 4; the min-support
+    filter and the (pmi, w1, w2) total order make the top-25 unique.
+
+    Plan shape at 100 TB: the three margin tables are vocab-bounded
+    hash aggregations with map-side combine; scoring joins aggregate x
+    aggregate (the corpus-sized stream is never re-joined); the top-25
+    is a TakeOrderedAndProject, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    big = (
+        docs.select(T.tokens("text").alias("toks"))
+        .select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(toks) < 2 THEN "
+                    "cast(array() as array<struct<w1:string,w2:string>>) "
+                    "ELSE transform(sequence(1, size(toks) - 1), i -> "
+                    "struct(element_at(toks, i) AS w1, "
+                    "element_at(toks, i + 1) AS w2)) END"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    c2 = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n2"))
+    n = big.agg(F.count(F.lit(1)).alias("ntot"))
+    pmi = F.round(
+        F.log(
+            F.col("n12").cast("double")
+            * F.col("ntot")
+            / (F.col("n1").cast("double") * F.col("n2"))
+        ),
+        4,
+    )
+    return (
+        c12.where(F.col("n12") >= 5)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select("w1", "w2", "n12", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(25)
+    )

@@ -185,3 +185,23 @@ def test_vocab_growth_cumulative_consistency(spark, sf_dir):
         .first()[0]
     )
     assert cum == vocab
+
+
+def test_lang_confusion_rows_sum_to_one(spark, sf_dir):
+    from collections import defaultdict
+
+    rows = query_map()["lang_id_confusion"](spark, sf_dir).collect()
+    by_true = defaultdict(float)
+    for r in rows:
+        by_true[r["true_lang"]] += r["row_frac"]
+    assert by_true
+    for lang, s in by_true.items():
+        assert abs(s - 1.0) < 0.01, (lang, s)
+
+
+def test_bigram_pmi_sorted_and_supported(spark, sf_dir):
+    rows = query_map()["bigram_pmi_topk"](spark, sf_dir).collect()
+    assert len(rows) == 25
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    assert all(r["n12"] >= 5 for r in rows)
