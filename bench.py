@@ -114,6 +114,7 @@ HEADLINE = [
     "vocab_growth_deciles",
     "lang_id_confusion",
     "bigram_pmi_topk",
+    "semdedup_threshold_sweep",
 ]
 
 

@@ -599,3 +599,72 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("query_id", "rank", "neighbor_id", "neg_label")
     )
+
+
+@register(
+    "semdedup_threshold_sweep",
+    ops=("OP-X-DEDUP-02", "OP-X-SIM-01", "OP-AGG-01"),
+    oracle=f"""
+        WITH pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   {_SQL_COS.format(a="a.embedding", b="b.embedding")} AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE {_SQL_COS.format(a="a.embedding", b="b.embedding")} >= 0.40
+        )
+        SELECT t.t AS threshold,
+               CAST(COUNT(CASE WHEN cos >= t.t THEN 1 END) AS BIGINT)
+                   AS n_pairs,
+               CAST(COUNT(DISTINCT CASE WHEN cos >= t.t THEN vec_b END)
+                   AS BIGINT) AS n_pruned
+        FROM pairs, LATERAL unnest([0.40, 0.45, 0.50, 0.55, 0.60]) AS t(t)
+        GROUP BY t.t
+    """,
+)
+def semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tuning curve a curator reads before fixing a SemDeDup
+    threshold: for each candidate cut in {{0.40..0.60}}, the number of
+    near-dup pairs and the number of docs the strict rule would prune
+    (a doc is pruned if ANY lower-id doc is at least that similar —
+    the order-free form of the keep-first policy, ``semdedup_prune``'s
+    semantics). The whole sweep rides ONE pair computation: pairs at
+    the loosest threshold are computed once and every tighter cut is a
+    conditional aggregate over that table — five thresholds cost one
+    similarity pass plus a 5x fan-out of the (tiny) surviving pair
+    set, not five passes.
+
+    All-pairs at test scale; at 100 TB the pair table comes from the
+    LSH/IVF bucketed path (same operator family above) and this sweep
+    is unchanged downstream of it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), V.as_double("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), V.as_double("embedding").alias("vb")
+    )
+    pairs = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            V.cosine(F.col("va"), F.col("vb")).alias("cos"),
+        )
+        .where(F.col("cos") >= 0.40)
+    )
+    sweep = pairs.select(
+        "vec_b",
+        "cos",
+        F.explode(
+            F.array(*[F.lit(t) for t in (0.40, 0.45, 0.50, 0.55, 0.60)])
+        ).alias("threshold"),
+    )
+    return sweep.groupBy("threshold").agg(
+        F.sum(F.when(F.col("cos") >= F.col("threshold"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pairs"),
+        F.countDistinct(
+            F.when(F.col("cos") >= F.col("threshold"), F.col("vec_b"))
+        )
+        .cast("bigint")
+        .alias("n_pruned"),
+    )

@@ -1481,12 +1481,14 @@ def lm_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedent, with multiplication order pinned as (0.4*c)/d in both
     engines), so both sum identical doubles; final mean rounds to 4.
 
-    Plan shape at 100 TB: the five count tables and the distinct
-    held-out trigram table are all aggregate-sized (vocab-bounded);
-    scoring is aggregate-x-aggregate left joins. The corpus-sized
-    held-out stream collapses to per-(doc, trigram) counts with
-    map-side combine and then shuffles into exactly ONE join against
-    the scored trigram table. No UDF, no collect, no window."""
+    Plan shape at 100 TB: the TRAIN stream is aggregated exactly once
+    (c123, map-side combined, checkpointed); all four margin tables are
+    re-aggregations of that vocab-bounded table — sums of n123 — not
+    fresh passes over the corpus (the naive form costs five corpus
+    shuffles; this costs one, plus a narrow doc-count scan for N). The
+    held-out stream likewise collapses to per-(doc, trigram) counts
+    and shuffles into exactly ONE join against the scored trigram
+    table. No UDF, no collect, no window."""
     docs = load_table(spark, sf_dir, "documents")
     toks = T.tokens("text")
     tri = (
@@ -1508,18 +1510,39 @@ def lm_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_ho = F.col("doc_id") % 10 == 9
     train = tri.where(~is_ho)
+    # ho feeds both the distinct-trigram probe set and the final score
+    # join: checkpointed so the held-out decile is scanned once
     ho = (
         tri.where(is_ho)
         .groupBy("doc_id", "w1", "w2", "w3")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
     )
-    c123 = train.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("n123"))
-    c12 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
-    c23 = train.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("n23"))
-    c2 = train.groupBy("w2").agg(F.count(F.lit(1)).alias("n2"))
-    c3 = train.groupBy("w3").agg(F.count(F.lit(1)).alias("n3"))
-    n = train.agg(
-        (F.count(F.lit(1)) + 2 * F.countDistinct("doc_id")).alias("ntok")
+    # ONE corpus-size aggregation; every margin is a re-aggregation of
+    # the vocab-bounded c123 table (each trigram has exactly one w1/w2/
+    # w3, so the margins are sums of n123) — the naive form shuffles
+    # the corpus-size trigram stream once PER COUNT TABLE (5x at
+    # 100 TB). c123 is checkpointed so the five consumers share one
+    # materialization instead of re-running the tokenize+explode scan.
+    c123 = (
+        train.groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("n123"))
+        .localCheckpoint(eager=False)
+    )
+    c12 = c123.groupBy("w1", "w2").agg(F.sum("n123").alias("n12"))
+    c23 = c123.groupBy("w2", "w3").agg(F.sum("n123").alias("n23"))
+    c2 = c123.groupBy("w2").agg(F.sum("n123").alias("n2"))
+    c3 = c123.groupBy("w3").agg(F.sum("n123").alias("n3"))
+    # N = trigram rows + 2 per trigram-bearing train doc: the row total
+    # rides c123; the doc count is a narrow scan of the docs table
+    # (size(toks) >= 3 without re-exploding the stream)
+    ndocs = docs.where(~is_ho).where(F.size(toks) >= 3).agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    n = (
+        c123.agg(F.sum("n123").alias("nrows"))
+        .crossJoin(F.broadcast(ndocs))
+        .select((F.col("nrows") + 2 * F.col("nd")).alias("ntok"))
     )
     dtri = ho.select("w1", "w2", "w3").distinct()
     lvl = (
