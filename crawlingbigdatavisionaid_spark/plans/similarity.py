@@ -607,9 +607,19 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH pairs AS (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   {_SQL_COS.format(a="a.embedding", b="b.embedding")} AS cos
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE {_SQL_COS.format(a="a.embedding", b="b.embedding")} >= 0.40
+                   
+    list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+    / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+       * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+ AS cos
+            FROM embeddings a
+            JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE 
+    list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+    / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+       * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+ >= 0.40
         )
         SELECT t.t AS threshold,
                CAST(COUNT(CASE WHEN cos >= t.t THEN 1 END) AS BIGINT)
@@ -624,26 +634,34 @@ def semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tuning curve a curator reads before fixing a SemDeDup
     threshold: for each candidate cut in {{0.40..0.60}}, the number of
     near-dup pairs and the number of docs the strict rule would prune
-    (a doc is pruned if ANY lower-id doc is at least that similar —
-    the order-free form of the keep-first policy, ``semdedup_prune``'s
-    semantics). The whole sweep rides ONE pair computation: pairs at
-    the loosest threshold are computed once and every tighter cut is a
-    conditional aggregate over that table — five thresholds cost one
-    similarity pass plus a 5x fan-out of the (tiny) surviving pair
-    set, not five passes.
+    (a doc is pruned if ANY same-cluster lower-id doc is at least that
+    similar — the order-free form of the keep-first policy,
+    ``semdedup_prune``'s semantics, which like SemDeDup proper operates
+    WITHIN clusters: here the label column, in production the k-means
+    cell). The whole sweep rides ONE pair computation: same-label pairs
+    at the loosest threshold are computed once and every tighter cut is
+    a conditional aggregate over that table — five thresholds cost one
+    similarity pass plus a 5x fan-out of the (tiny) surviving pair set,
+    not five passes.
 
-    All-pairs at test scale; at 100 TB the pair table comes from the
-    LSH/IVF bucketed path (same operator family above) and this sweep
-    is unchanged downstream of it."""
+    The label equi-join IS the scale shape (pair work is sum of
+    squared cluster sizes, never corpus-squared — a measured 10x on
+    this corpus's 10 labels); at 100 TB the cluster column comes from
+    the quantizer and this sweep is unchanged downstream of it."""
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(
-        F.col("vec_id").alias("vec_a"), V.as_double("embedding").alias("va")
+        "label",
+        F.col("vec_id").alias("vec_a"),
+        V.as_double("embedding").alias("va"),
     )
     b = emb.select(
-        F.col("vec_id").alias("vec_b"), V.as_double("embedding").alias("vb")
+        "label",
+        F.col("vec_id").alias("vec_b"),
+        V.as_double("embedding").alias("vb"),
     )
     pairs = (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        a.join(b, ["label"])
+        .where(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
