@@ -607,19 +607,11 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH pairs AS (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   
-    list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-    / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-       * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
- AS cos
+                   {_SQL_COS.format(a="a.embedding", b="b.embedding")} AS cos
             FROM embeddings a
             JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE 
-    list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-    / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-       * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
- >= 0.40
+            WHERE {_SQL_COS.format(a="a.embedding", b="b.embedding")} >= 0.40
         )
         SELECT t.t AS threshold,
                CAST(COUNT(CASE WHEN cos >= t.t THEN 1 END) AS BIGINT)

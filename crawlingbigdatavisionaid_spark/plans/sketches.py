@@ -157,6 +157,9 @@ def bloom_confusion(
     deployment rule a fixed-size demo cannot show). ``store``/``batch``
     must each expose one string column ``k``; m_bits must be a multiple
     of 64."""
+    # store feeds the bitset build, the exact-membership join, and the
+    # n_store scalar: one materialization, not three scan+distinct runs
+    store = store.localCheckpoint(eager=False)
     bits = bloom_bits(spark, store, m_bits, k_hashes)
     probed = bloom_probe(batch, bits, m_bits, k_hashes)
 
@@ -280,7 +283,7 @@ def cms_probe(
     the scale smoke (which grows ``width`` with the vocab to show the
     overcount-vs-width tradeoff)."""
 
-    def _cells(col_i):
+    def _cells():
         return F.array(
             *[
                 F.struct(
@@ -298,13 +301,13 @@ def cms_probe(
         .withColumn("h2", (F.col("h1") * _H2A + _H2B) % _P)
     )
     cells = (
-        th.select("c", F.explode(_cells(None)).alias("rc"))
+        th.select("c", F.explode(_cells()).alias("rc"))
         .groupBy("rc.i", "rc.cell")
         .agg(F.sum("c").alias("cellsum"))
     )
     top = th.orderBy(F.col("c").desc(), F.col("w").asc()).limit(topn)
     probe = top.select(
-        "w", "c", F.explode(_cells(None)).alias("rc")
+        "w", "c", F.explode(_cells()).alias("rc")
     ).select("w", "c", "rc.i", "rc.cell")
     return (
         probe.join(F.broadcast(cells), ["i", "cell"])
@@ -484,6 +487,7 @@ def winnow_doc_fps(
     kgram: int = _WIN_K,
     win: int = _WIN_W,
     df_cap: int = _WIN_DF,
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-doc winnowed fingerprints after the rarity cap: distinct
     (doc_id, fp) rows for every fingerprint kept (df <= ``df_cap``).
@@ -491,9 +495,14 @@ def winnow_doc_fps(
     per-doc kept-fingerprint totals (its duplication invariant needs
     D = #docs with >= shared_min kept fps)."""
     s = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+    # the size guard matters: Spark's sequence(1, 0) is the DESCENDING
+    # [1, 0] (operators/bpe.py precedent) — without the CASE a doc
+    # shorter than the k-gram emits phantom fingerprints the DuckDB
+    # oracle (empty generate_series) does not
     hs = F.expr(
-        f"transform(sequence(1, greatest(length(s) - {kgram - 1}, 0)), "
-        f"i -> {_poly_fold_sql(f'substring(s, i, {kgram})')})"
+        f"CASE WHEN length(s) < {kgram} THEN cast(array() as array<bigint>) "
+        f"ELSE transform(sequence(1, length(s) - {kgram - 1}), "
+        f"i -> {_poly_fold_sql(f'substring(s, i, {kgram})')}) END"
     )
     mins = F.expr(
         f"CASE WHEN size(h) = 0 THEN cast(array() as array<bigint>) "
@@ -501,11 +510,17 @@ def winnow_doc_fps(
         f"ELSE transform(sequence(1, size(h) - {win - 1}), "
         f"j -> array_min(slice(h, j, {win}))) END"
     )
+    # checkpointed: the O(len*k) char-fold fingerprinting feeds the
+    # df-cap aggregate, the probe side, and (via winnow_pairs) both
+    # self-join aliases — one materialization instead of four passes
+    # (the dedup.py shingle_rows precedent)
     fp = (
         docs.select("doc_id", s.alias("s"))
         .select("doc_id", hs.alias("h"))
         .select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
     )
+    if materialize:  # False only for plan inspection in tests
+        fp = fp.localCheckpoint(eager=False)
     keep = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")).where(
         F.col("_df") <= df_cap
     )
@@ -523,7 +538,9 @@ def winnow_pairs(
     shared by the registered query (fixed geometry, oracle-matched)
     and the scale smoke (duplication invariant under a corpus-relative
     df cap)."""
-    f2 = winnow_doc_fps(docs, kgram, win, df_cap)
+    f2 = winnow_doc_fps(docs, kgram, win, df_cap).localCheckpoint(
+        eager=False
+    )
     a, b = f2.alias("a"), f2.alias("b")
     return (
         a.join(

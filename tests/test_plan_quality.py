@@ -306,16 +306,35 @@ def test_bloom_probe_no_cartesian_and_pruned_scan(spark, sf_dir):
 
 def test_winnow_pair_join_is_hash_or_smj_on_fp(spark, sf_dir):
     """The fingerprint self-join must be an equi-join on fp (the
-    doc_id inequality rides it) — never a nested-loop over doc pairs —
-    and the documents scan must read only (doc_id, text)."""
+    doc_id inequality rides it) — never a nested-loop over doc pairs.
+    The documents scan lives inside the checkpointed fingerprint
+    segment (invisible in the final plan), so its column pruning is
+    asserted on winnow_doc_fps's own plan."""
     plan = _plan(spark, sf_dir, "winnow_fingerprint_pairs")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    schema = _read_schema(
-        spark, sf_dir, "winnow_fingerprint_pairs", "documents"
+
+    from crawlingbigdatavisionaid_spark.plans.sketches import winnow_doc_fps
+    from crawlingbigdatavisionaid_spark.sources import load_table
+
+    df = winnow_doc_fps(
+        load_table(spark, sf_dir, "documents"), materialize=False
     )
-    assert "doc_id" in schema and "text" in schema
-    assert "lang" not in schema and "source" not in schema
+    txt = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    schemas = [
+        b[b.index("ReadSchema") :].splitlines()[0]
+        for b in txt.split("\n\n")
+        if "documents.parquet" in b and "ReadSchema" in b
+    ]
+    assert schemas  # un-checkpointed: one scan per fp reference
+    for schema in schemas:
+        # every scan reads at most (doc_id, text) — the df-cap branch
+        # prunes even doc_id — and never the unused lang/source/n_chars
+        assert "text" in schema
+        assert "lang" not in schema and "source" not in schema
+        assert "n_chars" not in schema
 
 
 def test_cms_probe_joins_broadcast(spark, sf_dir):

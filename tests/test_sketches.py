@@ -205,3 +205,19 @@ def test_bigram_pmi_sorted_and_supported(spark, sf_dir):
     pmis = [r["pmi"] for r in rows]
     assert pmis == sorted(pmis, reverse=True)
     assert all(r["n12"] >= 5 for r in rows)
+
+
+def test_winnow_short_doc_emits_no_fingerprints(spark):
+    """Docs shorter than the k-gram must produce ZERO fingerprints:
+    Spark's sequence(1, 0) is the descending [1, 0], and without the
+    size guard a short doc emitted a phantom fingerprint the DuckDB
+    oracle (empty generate_series) does not."""
+    from crawlingbigdatavisionaid_spark.plans.sketches import winnow_doc_fps
+
+    df = spark.createDataFrame(
+        [(0, "ab cd"), (1, ""), (2, "exactly8"), (3, "longer than eight")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id for r in winnow_doc_fps(df).collect()}
+    assert 0 not in got and 1 not in got  # < 8 normalized chars
+    assert 2 in got and 3 in got
