@@ -539,18 +539,19 @@ def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         ), keyed AS (
             SELECT doc_id, lang, wt,
-                   ROUND(ROUND(LN(
+                   CAST(ROUND(LN(
                        (list_reduce(list_prepend(CAST(0 AS BIGINT),
                             list_transform(
                                 string_split(CAST(doc_id AS VARCHAR), ''),
                                 c -> CAST(ascii(c) AS BIGINT))),
                             (a, b) -> (a*31 + b) % 1000000007) + 1.0)
-                       / 1000000008.0), 6) / wt, 9) AS aes_key
+                       / 1000000008.0) * 1000000.0, 0) AS BIGINT)
+                       AS ln_u_e6
             FROM w WHERE wt > 0
         )
-        SELECT doc_id, lang, wt, aes_key
+        SELECT doc_id, lang, wt, ln_u_e6
         FROM keyed
-        ORDER BY aes_key DESC, doc_id LIMIT 50
+        ORDER BY CAST(ln_u_e6 AS DOUBLE) / wt DESC, doc_id LIMIT 50
     """,
 )
 def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -569,9 +570,12 @@ def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus with NO stateful scan.
 
     Determinism: u = (polyhash(doc_id)+1)/(P+1) is an exact-integer
-    division; ln rounds to 6 decimals first (single-op rule), the
-    /weight quotient to 9; ties break on doc_id. Plan: one scan, keys
-    in codegen, TakeOrderedAndProject — no global sort, no window."""
+    division; ln is scaled to an INTEGER (round(ln(u)*1e6) — the only
+    emitted float-derived column is a BIGINT, so the value hash has no
+    float-tolerance edge at all), and the ordering key ln_u_e6/wt is a
+    single IEEE division of two exact integers — bit-identical in both
+    engines; ties break on doc_id. Plan: one scan, keys in codegen,
+    TakeOrderedAndProject — no global sort, no window."""
     docs = load_table(spark, sf_dir, "documents")
     from .sketches import _P, _poly_fold_sql
 
@@ -580,23 +584,20 @@ def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", wt.alias("wt"))
         .where(F.col("wt") > 0)
         .withColumn(
-            "aes_key",
+            "ln_u_e6",
             F.round(
-                F.round(
-                    F.log(
-                        (
-                            F.expr(
-                                _poly_fold_sql("cast(doc_id as string)")
-                            )
-                            + F.lit(1.0)
-                        )
-                        / F.lit(float(_P + 1))
-                    ),
-                    6,
+                F.log(
+                    (
+                        F.expr(_poly_fold_sql("cast(doc_id as string)"))
+                        + F.lit(1.0)
+                    )
+                    / F.lit(float(_P + 1))
                 )
-                / F.col("wt"),
-                9,
-            ),
+                * F.lit(1000000.0),
+                0,
+            ).cast("bigint"),
         )
     )
-    return keyed.orderBy(F.col("aes_key").desc(), "doc_id").limit(50)
+    return keyed.orderBy(
+        (F.col("ln_u_e6").cast("double") / F.col("wt")).desc(), "doc_id"
+    ).limit(50)

@@ -624,3 +624,77 @@ def stream_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "multi_batch boolean, no_missing boolean, no_extra boolean, "
         "no_false_neg boolean",
     )
+
+
+@register(
+    "stream_mv_maintenance",
+    ops=("OP-STR-01", "OP-AGG-03", "OP-AGG-06", "OP-SNK-01"),
+    # the folded state is a sum of doubles whose grouping order differs
+    # from the one-shot recompute's; the verdict compares within 1e-6
+    # per row — counts are exact-integer and compared exactly
+    oracle="""
+        SELECT TRUE AS multi_batch, TRUE AS state_matches_recompute
+    """,
+)
+def stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental MV maintenance, end-to-end: the events
+    table streams in as a multi-file delta; each micro-batch folds its
+    partial (day, event_type) aggregate into versioned parquet state
+    (streaming/ingest.mv_maintenance_ingest). The verdict compares the
+    FINAL state against a from-scratch recompute of the same data —
+    the dashboard-rollup maintenance loop that replaces the
+    reference's full-store re-read per render (app.py:60-75) with
+    per-delta folds whose cost never grows with the archive."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources import load_table
+    from ..streaming.ingest import mv_maintenance_ingest
+
+    ev = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="mv_maint_")
+    try:
+        delta_dir = f"{root}/delta"
+        ev.repartition(3).write.parquet(delta_dir)
+        n_batches, final_dir = mv_maintenance_ingest(
+            spark,
+            delta_dir,
+            f"{root}/state",
+            f"{root}/ckpt",
+            ev.schema,
+        )
+        state = spark.read.parquet(final_dir).select(
+            "day", "event_type", "n_events", F.col("_sv").alias("sv")
+        )
+        want = (
+            ev.where(F.col("ts").isNotNull())
+            .groupBy(F.to_date("ts").alias("day"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events_w"),
+                F.sum("value").alias("sv_w"),
+            )
+        )
+        j = state.join(want, ["day", "event_type"], "full")
+        [row] = j.agg(
+            F.lit(n_batches > 1).alias("multi_batch"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("n_events").eqNullSafe(F.col("n_events_w"))
+                        & (
+                            F.abs(F.col("sv") - F.col("sv_w"))
+                            < F.lit(1e-6)
+                        ),
+                        0,
+                    ).otherwise(1)
+                )
+                == 0
+            ).alias("state_matches_recompute"),
+        ).collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [row], "multi_batch boolean, state_matches_recompute boolean"
+    )

@@ -265,3 +265,70 @@ def bloom_probe_ingest(
         max_files_per_trigger,
         lambda batch: bloom_probe(batch, bits, m, kh),
     )
+
+
+def mv_maintenance_ingest(
+    spark: SparkSession,
+    delta_path: str,
+    state_root: str,
+    checkpoint: str,
+    schema,
+    max_files_per_trigger: int | None = 1,
+) -> tuple[int, str | None]:
+    """Streaming incremental materialized-view maintenance — the
+    ``foreachBatch`` form of ``plans/incremental.incremental_mv_daily``:
+    each micro-batch folds its (day, event_type) partial aggregate into
+    a VERSIONED state table (state_v{n} reads state_v{n-1} plus the
+    batch partial; writing a fresh directory per version keeps every
+    fold atomic and idempotently replayable — re-running a batch
+    overwrites its own version rather than double-counting, the
+    checkpoint/versioning contract a transactional table format gives
+    you natively via MERGE). State rows stay aggregate-sized
+    (|days x types|) no matter how much history has streamed past.
+
+    Returns (n_batches, final_state_dir)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(delta_path)
+    n_batches = 0
+    final_dir: str | None = None
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches, final_dir
+        partial = (
+            batch_df.where(F.col("ts").isNotNull())
+            .groupBy(F.to_date("ts").alias("day"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("_sv"),
+            )
+        )
+        prev = final_dir
+        if prev is not None:
+            partial = (
+                spark.read.parquet(prev)
+                .unionByName(partial)
+                .groupBy("day", "event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("_sv").alias("_sv"),
+                )
+            )
+        out = os.path.join(state_root, f"state_v{batch_id}")
+        partial.write.mode("overwrite").parquet(out)
+        final_dir = out
+        n_batches += 1
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches, final_dir

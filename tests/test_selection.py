@@ -481,8 +481,8 @@ def test_weighted_sample_aes_is_deterministic_and_weighted(spark, sf_dir):
     a = [tuple(r) for r in q(spark, sf_dir).collect()]
     b = [tuple(r) for r in q(spark, sf_dir).collect()]
     assert a == b and len(a) == 50
-    # keys are sorted descending (it IS the top-50 by key)
-    keys = [r[3] for r in a]
+    # ordering key is ln_u_e6/wt: sorted descending (top-50 by key)
+    keys = [r[3] / r[2] for r in a]
     assert keys == sorted(keys, reverse=True)
     # weighted: the sample over-represents heavy (long) docs
     docs = load_table(spark, sf_dir, "documents")
