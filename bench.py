@@ -115,6 +115,7 @@ HEADLINE = [
     "lang_id_confusion",
     "bigram_pmi_topk",
     "semdedup_threshold_sweep",
+    "kmv_distinct_sketch",
 ]
 
 

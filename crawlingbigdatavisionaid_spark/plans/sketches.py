@@ -456,7 +456,7 @@ _WIN_SHARED = 5
     """,
 )
 def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    f"""Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
     2003 — the MOSS local-fingerprinting algorithm): normalize each doc
     to its alphanumeric characters, hash every 8-char k-gram, keep the
     MINIMUM hash of every window of 4 consecutive k-gram hashes, and
@@ -553,4 +553,91 @@ def winnow_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= shared_min)
+    )
+
+
+_KMV_K = 256  # sketch size: ~1/sqrt(k) ~ 6% relative error when full
+
+
+@register(
+    "kmv_distinct_sketch",
+    ops=("OP-X-APPROX-01", "OP-AGG-01"),
+    oracle=f"""
+        WITH keys AS (
+            SELECT DISTINCT event_type,
+                   concat(user_id, ':', props) AS k
+            FROM events
+        ), hashed AS (
+            SELECT DISTINCT event_type, {_poly_fold_duck('k')} AS h
+            FROM keys
+        ), ranked AS (
+            SELECT event_type, h,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY h) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS nh
+            FROM hashed
+        ), kth AS (
+            SELECT event_type, MAX(nh) AS nh,
+                   MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS hk
+            FROM ranked WHERE rn <= {_KMV_K} GROUP BY event_type
+        ), ex AS (
+            SELECT event_type, COUNT(*) AS n_exact FROM keys GROUP BY 1
+        )
+        SELECT e.event_type, e.n_exact,
+               CAST(CASE WHEN k.nh < {_KMV_K} THEN k.nh
+                    ELSE ({_KMV_K - 1} * CAST({_P} AS BIGINT)) // k.hk
+               END AS BIGINT) AS kmv_est
+        FROM ex e JOIN kth k ON e.event_type = k.event_type
+    """,
+)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002;
+    the theta-sketch core): per event_type, keep the {_KMV_K} smallest
+    polynomial-hash values of the (user, props) key; the estimate is
+    (k-1)*P / h_k (uniform order statistics), or the observed count
+    when the sketch isn't full. Unlike the DataSketches HLL verdicts
+    (``hll_partial_merge`` — engine-internal bytes, tolerance-checked)
+    this sketch is PURE PORTABLE INTEGER ARITHMETIC: the oracle
+    reproduces the k-th minimum and therefore the ESTIMATE ITSELF, so
+    the hash check pins the sketch exactly, not within a band. KMV is
+    also trivially mergeable (k smallest of a union = k smallest of
+    the per-part k-smallest — an associative min-k), the property the
+    test suite pins under a 3-way split.
+
+    Scale shape: one distinct on (type, key) with map-side combine,
+    then a min-k per type. The window form here sorts each type's
+    distinct-hash set; the 100 TB form replaces it with the two-phase
+    min-k (per-partition k-smallest, then merge k-smallest of
+    k-smallest) that mergeability licenses — same output, bounded
+    memory. The exact count exists solely to grade the estimate
+    (~6% observed at k={_KMV_K})."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.select(
+        "event_type",
+        F.concat_ws(":", F.col("user_id"), F.col("props")).alias("k"),
+    ).distinct()
+    hashed = keys.select(
+        "event_type", F.expr(_poly_fold_sql("k")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = hashed.select(
+        "event_type",
+        "h",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("nh"),
+    ).where(F.col("rn") <= _KMV_K)
+    kth = ranked.groupBy("event_type").agg(
+        F.max("nh").alias("nh"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("hk"),
+    )
+    ex = keys.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = F.when(F.col("nh") < _KMV_K, F.col("nh")).otherwise(
+        F.expr(f"({_KMV_K - 1} * CAST({_P} AS BIGINT)) DIV hk")
+    )
+    return ex.join(kth, "event_type").select(
+        "event_type", "n_exact", est.cast("bigint").alias("kmv_est")
     )

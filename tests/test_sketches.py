@@ -221,3 +221,49 @@ def test_winnow_short_doc_emits_no_fingerprints(spark):
     got = {r.doc_id for r in winnow_doc_fps(df).collect()}
     assert 0 not in got and 1 not in got  # < 8 normalized chars
     assert 2 in got and 3 in got
+
+
+def test_kmv_accuracy_and_mergeability(spark, sf_dir):
+    """KMV estimate within ~3/sqrt(k) of exact when full (exact when
+    not full), and merging per-batch sketches (k smallest of the
+    per-part k-smallest) reproduces the direct sketch estimate."""
+    from crawlingbigdatavisionaid_spark.plans.sketches import (
+        _KMV_K,
+        _P,
+        _poly_fold_sql,
+    )
+    from crawlingbigdatavisionaid_spark.sources import load_table
+
+    rows = query_map()["kmv_distinct_sketch"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["n_exact"] < _KMV_K:
+            assert r["kmv_est"] == r["n_exact"], r
+        else:
+            assert (
+                abs(r["kmv_est"] - r["n_exact"])
+                <= 3 * r["n_exact"] / (_KMV_K ** 0.5)
+            ), r
+
+    # mergeability: 3-way split, per-part k-smallest, merged k-smallest
+    ev = load_table(spark, sf_dir, "events")
+    hashed = (
+        ev.select(
+            F.concat_ws(":", F.col("user_id"), F.col("props")).alias("k"),
+            (F.col("event_id") % 3).alias("part"),
+        )
+        .withColumn("h", F.expr(_poly_fold_sql("k")))
+        .select("part", "h")
+        .distinct()
+    )
+    direct = sorted(
+        {r.h for r in hashed.select("h").distinct().collect()}
+    )[:_KMV_K]
+    per_part = [
+        sorted({r.h for r in hashed.where(F.col("part") == i).collect()})[
+            :_KMV_K
+        ]
+        for i in range(3)
+    ]
+    merged = sorted(set().union(*[set(p) for p in per_part]))[:_KMV_K]
+    assert merged == direct
