@@ -86,13 +86,19 @@ def bloom_bits(
     m_bits: int = _BLOOM_BITS,
     k_hashes: int = _BLOOM_K,
 ) -> DataFrame:
-    """Build the packed Bloom bitset for a store's key column ``k``:
-    ONE row holding m/64 int64 words, assembled wholly in-plan (word
-    spine + bit_or + ordered collect) — no driver collect, bounded at
-    m/64 rows regardless of store size. Persist this row to parquet and
-    every future probe (batch or streaming) reuses it without touching
-    the store."""
-    words = (
+    """Build the packed Bloom bitset for a store's key column ``k`` as
+    a (widx, word) TABLE of bit-packed int64 words — at most m/64 rows
+    regardless of store size, zero-words omitted (an absent widx means
+    no bit set). No driver collect. Persist to parquet and every
+    future probe (batch or streaming) broadcast-joins it without
+    touching the store.
+
+    Deliberately a table, not one array row: an earlier single-row
+    ``array<bigint>`` form evaluated the membership fold through the
+    interpreted HOF path carrying the whole array per probe row — 76 s
+    at an 849 k-key store (m=16.8 Mbit) where this hash-join form
+    takes ~3 s."""
+    return (
         _with_pos(store, m_bits, k_hashes)
         .select(F.explode("pos").alias("p"))
         .distinct()
@@ -105,17 +111,6 @@ def bloom_bits(
         .groupBy("widx")
         .agg(F.expr("bit_or(bit)").alias("word"))
     )
-    spine = spark.range(m_bits // 64).select(F.col("id").alias("widx"))
-    return (
-        spine.join(words, "widx", "left")
-        .select("widx", F.coalesce("word", F.lit(0)).alias("word"))
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("widx", "word"))),
-                lambda x: x.word,
-            ).alias("bits")
-        )
-    )
 
 
 def bloom_probe(
@@ -124,23 +119,34 @@ def bloom_probe(
     m_bits: int = _BLOOM_BITS,
     k_hashes: int = _BLOOM_K,
 ) -> DataFrame:
-    """Classify a batch's key column ``k`` against a packed bitset row
-    (:func:`bloom_bits`, fresh or read back from parquet): returns
-    (k, maybe) where ``maybe=false`` is a PROVEN-new key. Pure per-row
-    expression work against the broadcast 1-row bitset."""
-    return (
-        _with_pos(batch, m_bits, k_hashes)
-        .crossJoin(F.broadcast(bits))
-        .withColumn(
-            "maybe",
-            F.expr(
-                "aggregate(pos, true, (acc, p) -> acc AND "
-                "(element_at(bits, CAST(p DIV 64 AS INT) + 1) & "
-                "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) != 0)"
+    """Classify a batch's key column ``k`` against a packed bitset
+    table (:func:`bloom_bits`, fresh or read back from parquet):
+    returns (k, maybe) where ``maybe=false`` is a PROVEN-new key.
+    Shape: explode the k positions, broadcast-hash-join the word
+    table on widx (absent widx = word 0 = bit clear), test the bit,
+    and AND the k verdicts back per key — whole-stage-codegen
+    throughout, never a per-row copy of the bitset."""
+    pos = _with_pos(batch, m_bits, k_hashes).select(
+        "k", F.explode("pos").alias("p")
+    )
+    tested = (
+        pos.select(
+            "k",
+            F.expr("p DIV 64").alias("widx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias(
+                "bit"
             ),
         )
-        .select("k", "maybe")
+        .join(F.broadcast(bits), "widx", "left")
+        .select(
+            "k",
+            (
+                F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("bit"))
+                != 0
+            ).alias("hit"),
+        )
     )
+    return tested.groupBy("k").agg(F.bool_and("hit").alias("maybe"))
 
 
 def bloom_confusion(
@@ -256,13 +262,12 @@ def bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole filter bit-for-bit, so the hash check pins sketch contents,
     not just the verdict.
 
-    Scale shape: the filter is built by one distinct + one 1,024-group
-    aggregation (bit_or over packed int64 words) — bounded at m/64 rows
-    REGARDLESS of store size, assembled into a single array row wholly
-    in-plan (static word spine + sort, no driver collect) and broadcast
-    to the probe side. Probe cost is pure per-row expression work. The
-    exact-membership join here is the *measurement* harness (it is what
-    the filter replaces); a deployment keeps only build + probe.
+    Scale shape: the filter is built by one distinct + one bounded
+    aggregation (bit_or over packed int64 words) — at most m/64 rows
+    REGARDLESS of store size, no driver collect — and broadcast-joined
+    on the probe side (see :func:`bloom_probe`). The exact-membership
+    join here is the *measurement* harness (it is what the filter
+    replaces); a deployment keeps only build + probe.
     """
     ev = load_table(spark, sf_dir, "events")
     key = F.expr(_KEY_SQL).alias("k")

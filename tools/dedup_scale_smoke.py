@@ -324,34 +324,46 @@ def _sketch_mode(spark, base: str, k: int, out: str) -> None:
 
     res: dict = {"k": k, "mode": "sketch", "build_s": build_s}
 
-    # --- winnowing duplication invariant: pairs(Kx) = K^2*P + C(K,2)*D
+    # --- winnowing duplication invariant: pairs(Kx) = K^2*P + C(K,2)*D.
+    # The pair count is QUADRATIC in K by the formula itself (duplicated
+    # content duplicates pairs), so the winnow section runs only for
+    # K <= 20 — at K=100 the expected output alone is ~50M rows, a
+    # semantic property of duplication, not an operator cost to measure.
+    # Bloom/cms have no such blowup and run at any K.
+    run_winnow = k <= 20
     w1 = spark.read.parquet(f"{out}/w1/documents.parquet")
     t = time.time()
-    b_pairs = SK.winnow_pairs(w1).count()
-    d_docs = (
+    b_pairs = SK.winnow_pairs(w1).count() if run_winnow else 0
+    d_docs = (0 if not run_winnow else (
         SK.winnow_doc_fps(w1)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("nfp"))
         .where(F.col("nfp") >= SK._WIN_SHARED)
         .count()
-    )
+    ))
     res["winnow_base"] = {
         "s": round(time.time() - t, 2),
         "pairs": b_pairs,
         "docs_with_min_fps": d_docs,
     }
     t = time.time()
-    k_pairs = SK.winnow_pairs(
-        spark.read.parquet(f"{out}/wk/documents.parquet"),
-        df_cap=SK._WIN_DF * k,
-    ).count()
+    k_pairs = (
+        SK.winnow_pairs(
+            spark.read.parquet(f"{out}/wk/documents.parquet"),
+            df_cap=SK._WIN_DF * k,
+        ).count()
+        if run_winnow
+        else 0
+    )
     expected = k * k * b_pairs + (k * (k - 1) // 2) * d_docs
     res["winnow_kx"] = {
         "s": round(time.time() - t, 2),
         "pairs": k_pairs,
         "expected": expected,
     }
-    res["winnow_linear_exact"] = k_pairs == expected
+    res["winnow_linear_exact"] = (k_pairs == expected) if run_winnow else None
+    if not run_winnow:
+        res["winnow_skipped"] = "K > 20: expected pairs are K^2-quadratic"
 
     # --- bloom at ~16 bits/key
     def bloom_row(sf: str):
@@ -411,7 +423,8 @@ def _sketch_mode(spark, base: str, k: int, out: str) -> None:
     res["cms_kx_scaled_width"] = cms_row(f"{out}/ck", SK._CMS_W * k)
 
     print(json.dumps(res))
-    assert res["winnow_linear_exact"], "winnow pairs not exactly K-linear"
+    if run_winnow:
+        assert res["winnow_linear_exact"], "winnow pair formula violated"
     assert res["bloom_base"]["false_neg"] == 0
     assert res["bloom_kx"]["false_neg"] == 0
     assert res["bloom_kx"]["fp_rate"] <= 3 * max(
