@@ -317,6 +317,9 @@ def test_winnow_pair_join_is_hash_or_smj_on_fp(spark, sf_dir):
     from crawlingbigdatavisionaid_spark.plans.sketches import winnow_doc_fps
     from crawlingbigdatavisionaid_spark.sources import load_table
 
+    # another test may have cached documents (full-schema InMemoryRelation),
+    # which would mask the scan-level pruning this test asserts
+    spark.catalog.clearCache()
     df = winnow_doc_fps(
         load_table(spark, sf_dir, "documents"), materialize=False
     )
