@@ -116,6 +116,8 @@ HEADLINE = [
     "bigram_pmi_topk",
     "semdedup_threshold_sweep",
     "kmv_distinct_sketch",
+    "daily_anomaly_days",
+    "event_funnel_counts",
 ]
 
 

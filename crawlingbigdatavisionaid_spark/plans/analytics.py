@@ -374,3 +374,116 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.floor(F.col("value") / 25.0).cast("bigint").alias("bin"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@register(
+    "daily_anomaly_days",
+    ops=("OP-AGG-03", "OP-AGG-01"),
+    oracle="""
+        WITH d AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        ), s AS (
+            SELECT event_type,
+                   COUNT(*) AS n, SUM(cnt) AS sm, SUM(cnt * cnt) AS ss
+            FROM d GROUP BY 1
+        )
+        SELECT d.event_type, d.day, d.cnt,
+               (CAST(s.n AS BIGINT) * d.cnt - s.sm)
+                   * (CAST(s.n AS BIGINT) * d.cnt - s.sm)
+                   > 4 * (CAST(s.n AS BIGINT) * s.ss - s.sm * s.sm)
+                   AS is_spike
+        FROM d JOIN s ON d.event_type = s.event_type
+    """,
+)
+def daily_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-anomaly screen over the daily rollup: flag any
+    (event_type, day) whose count sits more than two population
+    standard deviations from that type's daily mean — the monitoring
+    query a crawl operator runs over exactly the MV that
+    ``incremental_mv_daily`` maintains. The z-test is evaluated in
+    PURE INTEGER arithmetic — z^2 > 4 rewritten as
+    (n*cnt - S)^2 > 4*(n*SS - S^2) with S, SS integer sums — so the
+    verdict column has no float boundary at all (contrast a
+    stddev-based filter, whose accumulation-order noise could flip a
+    borderline day between engines).
+
+    Scale shape: the daily table is |days x types|-sized after one
+    map-side-combined aggregation; moments are a second aggregation of
+    THAT table; the flag join is aggregate x aggregate."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("sm"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+    )
+    dev = F.col("n").cast("bigint") * F.col("cnt") - F.col("sm")
+    var_n3 = F.col("n").cast("bigint") * F.col("ss") - F.col("sm") * F.col(
+        "sm"
+    )
+    return d.join(s, "event_type").select(
+        "event_type",
+        "day",
+        "cnt",
+        (dev * dev > 4 * var_n3).alias("is_spike"),
+    )
+
+
+@register(
+    "event_funnel_counts",
+    ops=("OP-AGG-01", "OP-X-WIN-01"),
+    oracle="""
+        WITH f AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS t_buy
+            FROM events WHERE ts IS NOT NULL GROUP BY user_id
+        )
+        SELECT COUNT(*) AS n_users,
+               CAST(SUM(CASE WHEN t_view IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS step_view,
+               CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+               CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                             AND t_buy > t_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase
+        FROM f
+    """,
+)
+def event_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: a user
+    advances a step only if their FIRST click follows their first view
+    and their first purchase follows that click (strict event-time
+    order, the standard funnel semantics product analytics runs; NULL
+    comparisons fail closed, so a user who never clicked cannot count
+    as purchased). One conditional min-aggregate per user then a
+    single summary row — no joins, no windows, integer-exact output.
+
+    Scale shape: the corpus collapses map-side to one row per user
+    (three conditional MINs in the same aggregation pass); the funnel
+    counts are a second aggregation of that user table."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+
+    def first(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    f = ev.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_buy"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    bought = clicked & (F.col("t_buy") > F.col("t_click"))
+    one = lambda c, a: F.sum(F.when(c, 1).otherwise(0)).alias(a)  # noqa: E731
+    return f.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        one(viewed, "step_view"),
+        one(clicked, "step_click"),
+        one(bought, "step_purchase"),
+    )

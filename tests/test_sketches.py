@@ -267,3 +267,35 @@ def test_kmv_accuracy_and_mergeability(spark, sf_dir):
     ]
     merged = sorted(set().union(*[set(p) for p in per_part]))[:_KMV_K]
     assert merged == direct
+
+
+def test_funnel_is_monotone(spark, sf_dir):
+    [r] = query_map()["event_funnel_counts"](spark, sf_dir).collect()
+    assert (
+        r["n_users"]
+        >= r["step_view"]
+        >= r["step_click"]
+        >= r["step_purchase"]
+        >= 0
+    )
+
+
+def test_anomaly_flags_match_float_zscore(spark, sf_dir):
+    """The integer form must agree with the plain float z-score away
+    from boundaries (the integer rewrite exists to avoid boundary
+    flips, not to change the test)."""
+    import statistics
+    from collections import defaultdict
+
+    rows = query_map()["daily_anomaly_days"](spark, sf_dir).collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r["event_type"]].append(r)
+    for et, rs in by_type.items():
+        cnts = [r["cnt"] for r in rs]
+        mu = statistics.mean(cnts)
+        sd = statistics.pstdev(cnts)
+        for r in rs:
+            z2 = ((r["cnt"] - mu) / sd) ** 2 if sd else 0.0
+            if abs(z2 - 4) > 1e-9:
+                assert r["is_spike"] == (z2 > 4), (et, r, z2)
