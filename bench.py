@@ -118,6 +118,8 @@ HEADLINE = [
     "kmv_distinct_sketch",
     "daily_anomaly_days",
     "event_funnel_counts",
+    "weekly_change_report",
+    "customer_rfm_segments",
 ]
 
 

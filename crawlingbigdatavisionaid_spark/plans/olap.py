@@ -580,3 +580,99 @@ def value_dispersion_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("corr_user_e4"),
         F.count(F.lit(1)).alias("cnt"),
     )
+
+
+@register(
+    "weekly_change_report",
+    ops=("OP-AGG-03", "OP-AGG-01", "OP-X-WIN-01"),
+    oracle="""
+        WITH w AS (
+            SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
+                   COUNT(*) AS cnt
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT event_type, week, cnt,
+               cnt - LAG(cnt) OVER (PARTITION BY event_type
+                                    ORDER BY week) AS delta
+        FROM w
+    """,
+)
+def weekly_change_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week traffic change per event type — the trend panel
+    next to ``daily_anomaly_days`` on the same maintained rollup: one
+    calendar-week aggregation, then a LAG over each type's week
+    sequence. The lag window partitions by event_type over
+    |weeks|-sized groups (bounded by the calendar, not the data — the
+    documented bounded-cardinality window contract); first week's
+    delta is NULL by definition. Integer-exact output."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    w = ev.groupBy(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    lag = Window.partitionBy("event_type").orderBy("week")
+    return w.select(
+        "event_type",
+        "week",
+        "cnt",
+        (F.col("cnt") - F.lag("cnt").over(lag)).alias("delta"),
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    ops=("OP-AGG-01", "OP-TOPK-01", "OP-X-WIN-01"),
+    oracle="""
+        WITH rfm AS (
+            SELECT o_custkey AS custkey,
+                   MAX(o_orderdate) AS last_order,
+                   COUNT(*) AS freq,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+            FROM orders GROUP BY 1
+        ), scored AS (
+            SELECT custkey,
+                   NTILE(4) OVER (ORDER BY last_order, custkey) AS r_q,
+                   NTILE(4) OVER (ORDER BY freq, custkey) AS f_q,
+                   NTILE(4) OVER (ORDER BY monetary, custkey) AS m_q,
+                   monetary
+            FROM rfm
+        )
+        SELECT r_q, f_q, m_q,
+               COUNT(*) AS n_customers,
+               CAST(SUM(monetary) AS DOUBLE) AS total_monetary
+        FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartiles) of
+    the customer base — the classic marketing cube: per customer, last
+    order date, order count, and exact-decimal lifetime spend; each
+    metric is cut into population quartiles and customers are counted
+    per (R,F,M) cell with the cell's total spend.
+
+    The three quartile cuts are corpus-wide quantiles over a
+    customer-cardinality table — the one place a naive ``F.ntile``
+    plans the single-task global window. All three reuse
+    ``operators/rank.global_rank`` (range-repartitioned sort +
+    per-partition row_number + broadcast offsets) + ``ntile_expr``,
+    checked against DuckDB's real NTILE; money stays DECIMAL(18,2)
+    until the final cast (bit-identical under any partitioning)."""
+    from ..operators.rank import global_rank, ntile_expr
+
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).alias("monetary"),
+    )
+    cur = rfm
+    for col, q in (("last_order", "r_q"), ("freq", "f_q"), ("monetary", "m_q")):
+        cur = global_rank(
+            cur, [col, "custkey"], alias="_rk", total_alias="_n"
+        ).withColumn(q, ntile_expr(F.col("_rk"), F.col("_n"), 4)).drop(
+            "_rk", "_n"
+        )
+    return cur.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary").cast("double").alias("total_monetary"),
+    )
