@@ -72,6 +72,13 @@ QUERIES = [
     "q8_market_share",
     "q9_product_profit",
     "chunk_dedup_rebuild",
+    # r7 (third session): the new heavies — trigram LM (single
+    # checkpointed corpus aggregation + margin re-aggregations),
+    # winnowing (char-fold fingerprints + rarity-capped self-join),
+    # and the triple-global_rank RFM cube — earn 10x rows from birth
+    "lm_trigram_backoff",
+    "winnow_fingerprint_pairs",
+    "customer_rfm_segments",
 ]
 
 
