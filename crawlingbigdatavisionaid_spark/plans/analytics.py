@@ -420,10 +420,15 @@ def daily_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").alias("sm"),
         F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
     )
-    dev = F.col("n").cast("bigint") * F.col("cnt") - F.col("sm")
-    var_n3 = F.col("n").cast("bigint") * F.col("ss") - F.col("sm") * F.col(
-        "sm"
-    )
+    # decimal(38,0): sm*sm overflows int64 once a type passes ~3e9
+    # events — well inside this query's advertised scale (DuckDB's SUM
+    # promotes to HUGEINT, so the oracle would survive where ANSI-mode
+    # Spark threw)
+    _d = "decimal(38,0)"
+    dev = F.col("n").cast(_d) * F.col("cnt") - F.col("sm").cast(_d)
+    var_n3 = F.col("n").cast(_d) * F.col("ss").cast(_d) - F.col("sm").cast(
+        _d
+    ) * F.col("sm").cast(_d)
     return d.join(s, "event_type").select(
         "event_type",
         "day",

@@ -122,10 +122,14 @@ def bloom_probe(
     """Classify a batch's key column ``k`` against a packed bitset
     table (:func:`bloom_bits`, fresh or read back from parquet):
     returns (k, maybe) where ``maybe=false`` is a PROVEN-new key.
-    Shape: explode the k positions, broadcast-hash-join the word
-    table on widx (absent widx = word 0 = bit clear), test the bit,
-    and AND the k verdicts back per key — whole-stage-codegen
-    throughout, never a per-row copy of the bitset."""
+    ``batch`` keys must be DISTINCT (every in-repo caller dedups
+    first): the per-key regroup emits one row per distinct key, so a
+    duplicated input key would collapse and undercount row-based
+    confusion stats. Shape: explode the k positions,
+    broadcast-hash-join the word table on widx (absent widx = word 0 =
+    bit clear), test the bit, and AND the k verdicts back per key —
+    whole-stage-codegen throughout, never a per-row copy of the
+    bitset."""
     pos = _with_pos(batch, m_bits, k_hashes).select(
         "k", F.explode("pos").alias("p")
     )
@@ -461,7 +465,7 @@ _WIN_SHARED = 5
     """,
 )
 def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
     2003 — the MOSS local-fingerprinting algorithm): normalize each doc
     to its alphanumeric characters, hash every 8-char k-gram, keep the
     MINIMUM hash of every window of 4 consecutive k-gram hashes, and
@@ -479,8 +483,8 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per-doc fingerprinting is one codegen'd expression
     (O(len * k) char folds, ~w-fold fewer fingerprints than k-grams —
     the density guarantee); the pair stage is the standard inverted
-    index with the corpus-relative df cap (fingerprints shared by more
-    than {_WIN_DF} docs are boilerplate, dropped identically in both
+    index with the rarity df cap (fingerprints shared by more
+    than 5 docs are boilerplate, dropped identically in both
     engines) bounding every bucket, the `dedup_ngram_jaccard`
     precedent. No UDF, no cross join, no collect."""
     docs = load_table(spark, sf_dir, "documents")
@@ -596,8 +600,8 @@ _KMV_K = 256  # sketch size: ~1/sqrt(k) ~ 6% relative error when full
     """,
 )
 def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002;
-    the theta-sketch core): per event_type, keep the {_KMV_K} smallest
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002;
+    the theta-sketch core): per event_type, keep the k=256 smallest
     polynomial-hash values of the (user, props) key; the estimate is
     (k-1)*P / h_k (uniform order statistics), or the observed count
     when the sketch isn't full. Unlike the DataSketches HLL verdicts
@@ -615,7 +619,7 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-k (per-partition k-smallest, then merge k-smallest of
     k-smallest) that mergeability licenses — same output, bounded
     memory. The exact count exists solely to grade the estimate
-    (~6% observed at k={_KMV_K})."""
+    (~6% observed at k=256)."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")

@@ -561,7 +561,8 @@ def stream_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Bloom-gated dedup, end-to-end: the store (event
     deciles 0-8 of the ``bloom_dedup_probe`` key) packs its bitset ONCE
-    (plans/sketches.bloom_bits, persisted as one parquet row); the
+    (plans/sketches.bloom_bits, persisted as a (widx, word) parquet
+    table); the
     arriving delta (decile 9) drains as a multi-file stream, each
     micro-batch classifying against the stored bitset inside
     ``foreachBatch`` (streaming/ingest.bloom_probe_ingest). The verdict
@@ -685,7 +686,12 @@ def stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("n_events").eqNullSafe(F.col("n_events_w"))
                         & (
                             F.abs(F.col("sv") - F.col("sv_w"))
-                            < F.lit(1e-6)
+                            < F.lit(1e-9)
+                            * F.greatest(
+                                F.abs(F.col("sv")),
+                                F.abs(F.col("sv_w")),
+                                F.lit(1.0),
+                            )
                         ),
                         0,
                     ).otherwise(1)

@@ -239,10 +239,10 @@ def bloom_probe_ingest(
 ) -> int:
     """Streaming Bloom-gated dedup classification — the sketch mirror
     of :func:`ann_probe_ingest`: the store's packed bitset is built
-    ONCE (plans/sketches.bloom_bits, one parquet row of m/64 int64
-    words) and each arriving key micro-batch classifies against the
-    broadcast bitset inside ``foreachBatch``, appending (k, maybe)
-    rows. ``maybe=false`` keys are PROVEN new and can append to the
+    ONCE (plans/sketches.bloom_bits, a (widx, word) parquet table of
+    at most m/64 bit-packed int64 rows) and each arriving key
+    micro-batch classifies against it via broadcast hash join inside
+    ``foreachBatch``, appending (k, maybe) rows. ``maybe=false`` keys are PROVEN new and can append to the
     store without the exact anti-join; only ``maybe=true`` keys (true
     dups + the sized-filter FP tail) fall through to it — at 100 TB
     this turns the per-batch store-membership probe from a store-sized
@@ -280,14 +280,16 @@ def mv_maintenance_ingest(
     each micro-batch folds its (day, event_type) partial aggregate into
     a VERSIONED state table (state_v{n} reads state_v{n-1} plus the
     batch partial; writing a fresh directory per version keeps every
-    fold atomic and idempotently replayable — re-running a batch
-    overwrites its own version rather than double-counting, the
-    checkpoint/versioning contract a transactional table format gives
-    you natively via MERGE). State rows stay aggregate-sized
+    fold atomic and idempotently replayable — a replayed batch
+    overwrites its own version rather than double-counting, and a
+    restarted drain re-seeds from the highest committed version below
+    the restart batch — the checkpoint/versioning contract a
+    transactional table format gives you natively via MERGE). State rows stay aggregate-sized
     (|days x types|) no matter how much history has streamed past.
 
     Returns (n_batches, final_state_dir)."""
     import os
+    import re
 
     from pyspark.sql import functions as F
 
@@ -298,8 +300,25 @@ def mv_maintenance_ingest(
     n_batches = 0
     final_dir: str | None = None
 
+    def _latest_state(before: int) -> str | None:
+        """Highest persisted state_v{i} with i < ``before`` — the seed
+        after a checkpoint restart (the in-memory final_dir is gone,
+        but committed versions are on disk; without this, a restarted
+        drain would fold from the restart batch alone and silently
+        drop all earlier history)."""
+        if not os.path.isdir(state_root):
+            return None
+        best = -1
+        for d in os.listdir(state_root):
+            m = re.fullmatch(r"state_v(\d+)", d)
+            if m and best < int(m.group(1)) < before:
+                best = int(m.group(1))
+        return None if best < 0 else os.path.join(state_root, f"state_v{best}")
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         nonlocal n_batches, final_dir
+        if final_dir is None:
+            final_dir = _latest_state(batch_id)
         partial = (
             batch_df.where(F.col("ts").isNotNull())
             .groupBy(F.to_date("ts").alias("day"), "event_type")

@@ -229,7 +229,6 @@ def test_kmv_accuracy_and_mergeability(spark, sf_dir):
     per-part k-smallest) reproduces the direct sketch estimate."""
     from crawlingbigdatavisionaid_spark.plans.sketches import (
         _KMV_K,
-        _P,
         _poly_fold_sql,
     )
     from crawlingbigdatavisionaid_spark.sources import load_table

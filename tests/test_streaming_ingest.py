@@ -250,3 +250,53 @@ def test_bloom_probe_ingest_matches_oneshot(spark, sf_dir, tmp_path):
     assert got == want and want
     store_keys = {r.k for r in store.collect()}
     assert not any(k in store_keys for k, maybe in got if not maybe)
+
+
+def test_mv_maintenance_survives_restart(spark, sf_dir, tmp_path):
+    """A second drain with the SAME checkpoint (fresh in-memory state,
+    continuing batch ids — the process-restart scenario) must seed from
+    the highest committed state version instead of silently dropping
+    the first drain's history."""
+    from pyspark.sql import functions as F
+
+    from crawlingbigdatavisionaid_spark.sources import load_table
+    from crawlingbigdatavisionaid_spark.streaming.ingest import (
+        mv_maintenance_ingest,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.where(F.col("event_id") % 2 == 0)
+    second = ev.where(F.col("event_id") % 2 == 1)
+    delta = str(tmp_path / "delta")
+    first.repartition(2).write.parquet(delta)
+
+    n1, dir1 = mv_maintenance_ingest(
+        spark, delta, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        ev.schema,
+    )
+    assert n1 >= 2 and dir1
+
+    # new files land; the drain restarts in a "fresh process" (the
+    # module function holds no memory of dir1)
+    second.repartition(2).write.mode("append").parquet(delta)
+    n2, dir2 = mv_maintenance_ingest(
+        spark, delta, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        ev.schema,
+    )
+    assert n2 >= 1 and dir2 and dir2 != dir1
+
+    got = {
+        (r.day, r.event_type): (r.n_events, round(r["_sv"], 4))
+        for r in spark.read.parquet(dir2).collect()
+    }
+    want = {
+        (r.day, r.event_type): (r.n, round(r.s, 4))
+        for r in ev.where(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, sv) in want.items():
+        assert got[k][0] == n, k
+        assert abs(got[k][1] - sv) < 1e-3, k

@@ -302,12 +302,16 @@ def _sketch_mode(spark, base: str, k: int, out: str) -> None:
             F.concat(F.col("props"), F.lit(tag(i))).alias("props"),
         )
 
+    run_winnow = k <= 20  # see the winnow section note below
     t0 = time.time()
-    drep(0).write.mode("overwrite").parquet(f"{out}/w1/documents.parquet")
-    du = drep(0)
-    for i in range(1, k):
-        du = du.unionByName(drep(i))
-    du.write.mode("overwrite").parquet(f"{out}/wk/documents.parquet")
+    if run_winnow:
+        drep(0).write.mode("overwrite").parquet(
+            f"{out}/w1/documents.parquet"
+        )
+        du = drep(0)
+        for i in range(1, k):
+            du = du.unionByName(drep(i))
+        du.write.mode("overwrite").parquet(f"{out}/wk/documents.parquet")
     drep_tagged(0).write.mode("overwrite").parquet(
         f"{out}/c1/documents.parquet"
     )
@@ -329,13 +333,18 @@ def _sketch_mode(spark, base: str, k: int, out: str) -> None:
     # content duplicates pairs), so the winnow section runs only for
     # K <= 20 — at K=100 the expected output alone is ~50M rows, a
     # semantic property of duplication, not an operator cost to measure.
-    # Bloom/cms have no such blowup and run at any K.
-    run_winnow = k <= 20
-    w1 = spark.read.parquet(f"{out}/w1/documents.parquet")
+    # Bloom/cms have no such blowup and run at any K. (The w1/wk
+    # corpora are only built when this section runs.)
     t = time.time()
-    b_pairs = SK.winnow_pairs(w1).count() if run_winnow else 0
+    b_pairs = (
+        SK.winnow_pairs(
+            spark.read.parquet(f"{out}/w1/documents.parquet")
+        ).count()
+        if run_winnow
+        else 0
+    )
     d_docs = (0 if not run_winnow else (
-        SK.winnow_doc_fps(w1)
+        SK.winnow_doc_fps(spark.read.parquet(f"{out}/w1/documents.parquet"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("nfp"))
         .where(F.col("nfp") >= SK._WIN_SHARED)
