@@ -120,6 +120,8 @@ HEADLINE = [
     "event_funnel_counts",
     "weekly_change_report",
     "customer_rfm_segments",
+    "basket_type_lift",
+    "cms_screening_verdict",
 ]
 
 

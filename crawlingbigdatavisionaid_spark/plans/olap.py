@@ -676,3 +676,80 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("monetary").cast("double").alias("total_monetary"),
     )
+
+
+@register(
+    "basket_type_lift",
+    ops=("OP-AGG-01", "OP-TOPK-01"),
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l.l_orderkey AS okey, p.p_type AS t
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ), n AS (
+            SELECT COUNT(DISTINCT okey) AS n_orders FROM items
+        ), m AS (
+            SELECT t, COUNT(*) AS c FROM items GROUP BY t
+        ), pairs AS (
+            SELECT a.t AS type_a, b.t AS type_b, COUNT(*) AS c_ab
+            FROM items a JOIN items b
+              ON a.okey = b.okey AND a.t < b.t
+            GROUP BY 1, 2 HAVING COUNT(*) >= 20
+        )
+        SELECT p.type_a, p.type_b, p.c_ab,
+               ROUND(CAST(p.c_ab AS DOUBLE) * n.n_orders
+                     / (CAST(ma.c AS DOUBLE) * mb.c), 4) AS lift
+        FROM pairs p
+        JOIN m ma ON p.type_a = ma.t
+        JOIN m mb ON p.type_b = mb.t
+        CROSS JOIN n
+        ORDER BY lift DESC, p.type_a, p.type_b LIMIT 25
+    """,
+)
+def basket_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over orders: for part-type
+    pairs co-occurring in >= 20 orders, lift = P(a,b)/(P(a)P(b)) —
+    the retail cousin of ``bigram_pmi_topk``, top-25 by lift. Lift > 1
+    = genuinely associated types, not just two popular ones.
+
+    Scale shape: the pair stage self-joins WITHIN orderkey, so pair
+    work is the sum of squared basket sizes (baskets are <= 7 items in
+    this schema — bounded fan-out, never corpus-squared); margins and
+    the order count are aggregate-sized; the lift argument is a pinned
+    product/quotient chain (c_ab*N first, then divide by the margin
+    product), single round, total tie-broken top-25."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_partkey"
+    )
+    pt = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_type").alias("t")
+    )
+    items = li.join(
+        broadcast_if_small(pt, spark, sf_dir, ("part",)), "l_partkey"
+    ).select(
+        "okey", "t"
+    ).distinct()
+    n = items.agg(F.countDistinct("okey").alias("n_orders"))
+    m = items.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    a = items.select(F.col("okey"), F.col("t").alias("type_a"))
+    b = items.select(F.col("okey"), F.col("t").alias("type_b"))
+    pairs = (
+        a.join(b, "okey")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= 20)
+    )
+    lift = F.round(
+        F.col("c_ab").cast("double")
+        * F.col("n_orders")
+        / (F.col("ca").cast("double") * F.col("cb")),
+        4,
+    )
+    return (
+        pairs.join(m.select(F.col("t").alias("type_a"), F.col("c").alias("ca")), "type_a")
+        .join(m.select(F.col("t").alias("type_b"), F.col("c").alias("cb")), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select("type_a", "type_b", "c_ab", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "type_a", "type_b")
+        .limit(25)
+    )

@@ -66,13 +66,14 @@ QUERIES: dict[str, QuerySpec] = {}
 # q4/q5/q10/q13/q15/q17/q19, ann_pq_persisted_recall, stream_pq_probe)
 # and the 11 r7-continued additions (q2/q7/q8/q9/q11/q16/q20,
 # chunk_dedup_rebuild, gopher_quality_filter, ann_hard_negatives,
-# bpe_encode_by_lang), and the 18 r7 third-session additions
+# bpe_encode_by_lang), and the 20 r7 third-session additions
 # (lm_trigram_backoff, bloom_dedup_probe, cms_heavy_hitters,
 # winnow_fingerprint_pairs, incremental_mv_daily, hll_partial_merge,
 # weighted_sample_aes, vocab_growth_deciles, stream_bloom_probe,
 # lang_id_confusion, bigram_pmi_topk, semdedup_threshold_sweep,
 # stream_mv_maintenance, kmv_distinct_sketch, daily_anomaly_days,
-# event_funnel_counts, weekly_change_report, customer_rfm_segments)
+# event_funnel_counts, weekly_change_report, customer_rfm_segments,
+# basket_type_lift, cms_screening_verdict)
 # — seat those first in r8.
 _PRIORITY: tuple[str, ...] = (
     # --- never driver-checked (late r6)

@@ -650,3 +650,95 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.join(kth, "event_type").select(
         "event_type", "n_exact", est.cast("bigint").alias("kmv_est")
     )
+
+
+_CMS_SCREEN_T = 100  # screening threshold (true bigram counts reach ~900)
+
+
+@register(
+    "cms_screening_verdict",
+    ops=("OP-TXT-02", "OP-AGG-05"),
+    oracle=f"""
+        WITH tok AS (
+            SELECT regexp_extract_all(lower(text), '[a-z]+') AS toks
+            FROM documents
+        ), tc AS (
+            SELECT w, COUNT(*) AS c
+            FROM (SELECT toks[i] || ' ' || toks[i + 1] AS w
+                  FROM tok, LATERAL unnest(
+                      generate_series(1, greatest(len(toks) - 1, 0))) AS t(i))
+            GROUP BY w
+        ), th AS (
+            SELECT w, c, h1, (h1 * {_H2A} + {_H2B}) % {_P} AS h2
+            FROM (SELECT w, c, {_poly_fold_duck('w')} AS h1 FROM tc)
+        ), cells AS (
+            SELECT i, ((h1 + i * h2) % {_P}) % {_CMS_W} AS cell,
+                   SUM(c) AS cellsum
+            FROM th, LATERAL unnest(
+                generate_series(1, {_CMS_D})) AS t(i)
+            GROUP BY 1, 2
+        ), est AS (
+            SELECT t.w, t.c, MIN(cl.cellsum) AS e
+            FROM th t, LATERAL unnest(
+                generate_series(1, {_CMS_D})) AS u(i)
+            JOIN cells cl
+              ON cl.i = u.i
+             AND cl.cell = ((t.h1 + u.i * t.h2) % {_P}) % {_CMS_W}
+            GROUP BY t.w, t.c
+        )
+        SELECT CAST(SUM(CASE WHEN c >= {_CMS_SCREEN_T} THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_true,
+               CAST(SUM(CASE WHEN e >= {_CMS_SCREEN_T} THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_candidates,
+               CAST(SUM(CASE WHEN c >= {_CMS_SCREEN_T}
+                             AND e < {_CMS_SCREEN_T}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS missed
+        FROM est
+    """,
+)
+def cms_screening_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operational use of the count-min sketch's ONE-SIDED error:
+    screening every bigram type against the sketch at a count
+    threshold can produce false candidates (overcounts) but can NEVER
+    miss a true heavy hitter (est >= exact always), so ``missed`` is
+    structurally 0 — a deployment screens the (cheap, fixed-size)
+    sketch first and exact-counts only the candidate set. Outputs the
+    true-heavy count, the candidate count (their gap = the screening
+    cost of collisions at this width), and the guaranteed-zero miss
+    count; all integers, sketch arithmetic identical to
+    ``cms_heavy_hitters`` so the oracle rebuilds it bit-for-bit."""
+    from ..functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(T.tokens("text").alias("toks"))
+        .select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(toks) < 2 THEN "
+                    "cast(array() as array<string>) "
+                    "ELSE transform(sequence(1, size(toks) - 1), i -> "
+                    "concat(element_at(toks, i), ' ', "
+                    "element_at(toks, i + 1))) END"
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    est = cms_probe(tc, topn=2_000_000_000)
+    t = F.lit(_CMS_SCREEN_T)
+    return est.agg(
+        F.sum(F.when(F.col("exact_cnt") >= t, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_true"),
+        F.sum(F.when(F.col("cms_est") >= t, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_candidates"),
+        F.sum(
+            F.when((F.col("exact_cnt") >= t) & (F.col("cms_est") < t), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("missed"),
+    )

@@ -298,3 +298,9 @@ def test_anomaly_flags_match_float_zscore(spark, sf_dir):
             z2 = ((r["cnt"] - mu) / sd) ** 2 if sd else 0.0
             if abs(z2 - 4) > 1e-9:
                 assert r["is_spike"] == (z2 > 4), (et, r, z2)
+
+
+def test_cms_screening_never_misses(spark, sf_dir):
+    [r] = query_map()["cms_screening_verdict"](spark, sf_dir).collect()
+    assert r["missed"] == 0
+    assert r["n_candidates"] >= r["n_true"] >= 0
