@@ -25,6 +25,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Editorial notes that should survive regeneration — investigation
 # outcomes that a generated table cannot carry.
 STANDING_NOTES = [
+    "winnow_fingerprint_pairs sf1 bench-context drift RESOLVED (r7): the "
+    "full-bench sf1 row read 22.6 s where a standalone idle-box min-of-4 "
+    "in the exact same replica context measures 8.5-9.5 s — the bench "
+    "number is late-pass JVM pressure (90+ queries of accumulated "
+    "checkpoint RDDs/GC in one session), not a plan change; plan counts "
+    "identical. Same pathology class as the r3/r4 drifts below.",
     "`timeline_gapfill` r3 bench anomaly RESOLVED: warm regressed 0.606 s "
     "(r2) -> 1.105 s (r3) with no code change; re-benched r4 on an idle "
     "box at 0.61-0.74 s warm in the exact bench context (get_spark + noop "
