@@ -280,17 +280,57 @@ def bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_confusion(spark, store, batch)
 
 
+# shared bigram-count construction (Spark + oracle) for the two
+# count-min queries — one place to fix tokenization/bigram edges
+_BIGRAM_TC_SQL = """
+        WITH tok AS (
+            SELECT regexp_extract_all(lower(text), '[a-z]+') AS toks
+            FROM documents
+        ), tc AS (
+            SELECT w, COUNT(*) AS c
+            FROM (SELECT toks[i] || ' ' || toks[i + 1] AS w
+                  FROM tok, LATERAL unnest(
+                      generate_series(1, greatest(len(toks) - 1, 0))) AS t(i))
+            GROUP BY w
+        )"""
+
+
+def _bigram_counts(docs: DataFrame) -> DataFrame:
+    """(w, c) token-BIGRAM counts over a (doc_id, text) table."""
+    from ..functions import text as T
+
+    return (
+        docs.select(T.tokens("text").alias("toks"))
+        .select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(toks) < 2 THEN "
+                    "cast(array() as array<string>) "
+                    "ELSE transform(sequence(1, size(toks) - 1), i -> "
+                    "concat(element_at(toks, i), ' ', "
+                    "element_at(toks, i + 1))) END"
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def cms_probe(
     tc: DataFrame,
     width: int = _CMS_W,
     depth: int = _CMS_D,
-    topn: int = 20,
+    topn: int | None = 20,
 ) -> DataFrame:
     """Parameterized count-min core over a (w, c) token-count table:
-    build the depth x width sketch, probe the exact top-``topn`` tokens.
-    Shared by the registered query (fixed geometry, oracle-matched) and
-    the scale smoke (which grows ``width`` with the vocab to show the
-    overcount-vs-width tradeoff)."""
+    build the depth x width sketch, probe the exact top-``topn`` tokens
+    — or EVERY token when ``topn`` is None (the screening path: the
+    downstream aggregate is order-insensitive, and a huge-k limit would
+    plan a pointless vocab-wide TakeOrdered through one partition).
+    Shared by the registered queries (fixed geometry, oracle-matched)
+    and the scale smoke (which grows ``width`` with the vocab to show
+    the overcount-vs-width tradeoff)."""
 
     def _cells():
         return F.array(
@@ -314,7 +354,11 @@ def cms_probe(
         .groupBy("rc.i", "rc.cell")
         .agg(F.sum("c").alias("cellsum"))
     )
-    top = th.orderBy(F.col("c").desc(), F.col("w").asc()).limit(topn)
+    top = (
+        th
+        if topn is None
+        else th.orderBy(F.col("c").desc(), F.col("w").asc()).limit(topn)
+    )
     probe = top.select(
         "w", "c", F.explode(_cells()).alias("rc")
     ).select("w", "c", "rc.i", "rc.cell")
@@ -335,16 +379,7 @@ def cms_probe(
     "cms_heavy_hitters",
     ops=("OP-TXT-01", "OP-TXT-02", "OP-TOPK-01"),
     oracle=f"""
-        WITH tok AS (
-            SELECT regexp_extract_all(lower(text), '[a-z]+') AS toks
-            FROM documents
-        ), tc AS (
-            SELECT w, COUNT(*) AS c
-            FROM (SELECT toks[i] || ' ' || toks[i + 1] AS w
-                  FROM tok, LATERAL unnest(
-                      generate_series(1, greatest(len(toks) - 1, 0))) AS t(i))
-            GROUP BY w
-        ), th AS (
+        {_BIGRAM_TC_SQL}, th AS (
             SELECT w, c, h1, (h1 * {_H2A} + {_H2B}) % {_P} AS h2
             FROM (SELECT w, c, {_poly_fold_duck('w')} AS h1 FROM tc)
         ), cells AS (
@@ -392,25 +427,8 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     without a vocab-sized shuffle. The exact top-20 probe set doubles as
     the measurement harness for the overcount column.
     """
-    from ..functions import text as T
-
     docs = load_table(spark, sf_dir, "documents")
-    tc = (
-        docs.select(T.tokens("text").alias("toks"))
-        .select(
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(toks) < 2 THEN "
-                    "cast(array() as array<string>) "
-                    "ELSE transform(sequence(1, size(toks) - 1), i -> "
-                    "concat(element_at(toks, i), ' ', "
-                    "element_at(toks, i + 1))) END"
-                )
-            ).alias("w")
-        )
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    tc = _bigram_counts(docs)
     return cms_probe(tc)
 
 
@@ -659,16 +677,7 @@ _CMS_SCREEN_T = 100  # screening threshold (true bigram counts reach ~900)
     "cms_screening_verdict",
     ops=("OP-TXT-02", "OP-AGG-05"),
     oracle=f"""
-        WITH tok AS (
-            SELECT regexp_extract_all(lower(text), '[a-z]+') AS toks
-            FROM documents
-        ), tc AS (
-            SELECT w, COUNT(*) AS c
-            FROM (SELECT toks[i] || ' ' || toks[i + 1] AS w
-                  FROM tok, LATERAL unnest(
-                      generate_series(1, greatest(len(toks) - 1, 0))) AS t(i))
-            GROUP BY w
-        ), th AS (
+        {_BIGRAM_TC_SQL}, th AS (
             SELECT w, c, h1, (h1 * {_H2A} + {_H2B}) % {_P} AS h2
             FROM (SELECT w, c, {_poly_fold_duck('w')} AS h1 FROM tc)
         ), cells AS (
@@ -707,26 +716,9 @@ def cms_screening_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost of collisions at this width), and the guaranteed-zero miss
     count; all integers, sketch arithmetic identical to
     ``cms_heavy_hitters`` so the oracle rebuilds it bit-for-bit."""
-    from ..functions import text as T
-
     docs = load_table(spark, sf_dir, "documents")
-    tc = (
-        docs.select(T.tokens("text").alias("toks"))
-        .select(
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(toks) < 2 THEN "
-                    "cast(array() as array<string>) "
-                    "ELSE transform(sequence(1, size(toks) - 1), i -> "
-                    "concat(element_at(toks, i), ' ', "
-                    "element_at(toks, i + 1))) END"
-                )
-            ).alias("w")
-        )
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    est = cms_probe(tc, topn=2_000_000_000)
+    tc = _bigram_counts(docs)
+    est = cms_probe(tc, topn=None)
     t = F.lit(_CMS_SCREEN_T)
     return est.agg(
         F.sum(F.when(F.col("exact_cnt") >= t, 1).otherwise(0))

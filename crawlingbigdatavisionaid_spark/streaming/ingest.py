@@ -305,12 +305,18 @@ def mv_maintenance_ingest(
         after a checkpoint restart (the in-memory final_dir is gone,
         but committed versions are on disk; without this, a restarted
         drain would fold from the restart batch alone and silently
-        drop all earlier history)."""
-        if not os.path.isdir(state_root):
+        drop all earlier history). Listed through the Hadoop
+        FileSystem API so remote state roots (hdfs://, s3a://) resolve
+        exactly like local paths — a driver-local os.listdir would
+        return nothing there and silently reintroduce the data loss."""
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(state_root)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(root):
             return None
         best = -1
-        for d in os.listdir(state_root):
-            m = re.fullmatch(r"state_v(\d+)", d)
+        for st in fs.listStatus(root):
+            m = re.fullmatch(r"state_v(\d+)", st.getPath().getName())
             if m and best < int(m.group(1)) < before:
                 best = int(m.group(1))
         return None if best < 0 else os.path.join(state_root, f"state_v{best}")
