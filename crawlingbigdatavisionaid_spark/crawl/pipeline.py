@@ -54,7 +54,9 @@ class DictFetcher:
         return self.pages.get(url)
 
 
-def http_fetcher(url: str, timeout: float = 10.0) -> str:
+def http_fetcher(
+    url: str, timeout: float = 10.0, max_bytes: int = 16 * 1024 * 1024
+) -> str:
     """Live HTTP fetch via stdlib urllib — the reference's
     ``requests.get(url, timeout=10)`` (``crawl.py:32-36``) without the
     third-party dependency. Raises on any failure (connection, HTTP
@@ -63,12 +65,29 @@ def http_fetcher(url: str, timeout: float = 10.0) -> str:
     (OP-STR-02). A module-level function, so it pickles cleanly into
     the ``mapInPandas`` fetch stages. Tests exercise it against a
     127.0.0.1 ``http.server`` only (tests/test_loopback_fetch.py);
-    nothing in this repo talks to the external network."""
+    nothing in this repo talks to the external network.
+
+    Only http(s) URLs are fetched: ``urlopen`` would happily follow
+    ``file://``/``ftp://``, and extracted links preserve absolute
+    schemes (``urljoin`` semantics), so a crawled page could otherwise
+    point the crawler at local files — the reference's ``requests.get``
+    rejects those schemes too (InvalidSchema). The body read is capped
+    at ``max_bytes`` so one pathological page can't exhaust an
+    executor; an over-limit page raises (→ null row upstream) rather
+    than truncating silently, which could strip the very selectors the
+    extraction cascade keys on."""
+    import urllib.parse
     import urllib.request
 
+    scheme = urllib.parse.urlparse(url).scheme
+    if scheme not in ("http", "https"):
+        raise ValueError(f"refusing non-http(s) scheme {scheme!r} for {url!r}")
     with urllib.request.urlopen(url, timeout=timeout) as resp:
+        body = resp.read(max_bytes + 1)
+        if len(body) > max_bytes:
+            raise ValueError(f"response for {url!r} exceeds {max_bytes} bytes")
         charset = resp.headers.get_content_charset() or "utf-8"
-        return resp.read().decode(charset, errors="replace")
+        return body.decode(charset, errors="replace")
 
 
 def _fetch_urls(urls, fetcher) -> list[str | None]:
@@ -147,7 +166,7 @@ def read_store(spark: SparkSession, store_path: str) -> DataFrame:
     # disagree about the same store)
     from ..sources.merge import store_has_data
 
-    if store_has_data(store_path):
+    if store_has_data(spark, store_path):
         return spark.read.parquet(store_path)
     return spark.createDataFrame([], STORE_SCHEMA)
 

@@ -470,6 +470,10 @@ def byte_histogram_embedding(
     operators' expected schema."""
     import numpy as np
 
+    # bins > 256 would floor the width to 0 (numpy //0 → RuntimeWarning
+    # and every byte in bucket 0: a silently degenerate histogram)
+    if not 1 <= bins <= 256:
+        raise ValueError(f"bins must be in [1, 256], got {bins}")
     # bucket width for a non-divisor ``bins`` (e.g. 10): clip the tail
     # bytes into the last bucket instead of silently dropping them
     width = 256 // bins

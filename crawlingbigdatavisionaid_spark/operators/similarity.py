@@ -543,6 +543,27 @@ def _subcluster_labels(x: "np.ndarray", k: int, iters: int = 8) -> "np.ndarray":
     return labels
 
 
+class _MegaEventsParam:
+    """AccumulatorParam for mega-cluster fallback events: a list of
+    (label, cluster_size, n_subcells) tuples merged across tasks."""
+
+    def zero(self, value):  # noqa: D102 — AccumulatorParam protocol
+        return []
+
+    def addInPlace(self, a, b):  # noqa: D102 — AccumulatorParam protocol
+        a.extend(b)
+        return a
+
+
+def mega_cluster_monitor(spark: SparkSession):
+    """An accumulator for :func:`semdedup_keep`'s ``mega_events``: after
+    the action, ``monitor.value`` lists every (label, size, sub-cells)
+    subcluster-fallback trip, so the quantizer bug stays visible while
+    the run completes (the fallback keep-set is documented
+    under-pruning — an operator must be able to LEARN it happened)."""
+    return spark.sparkContext.accumulator([], _MegaEventsParam())
+
+
 def semdedup_keep(
     emb: DataFrame,
     tau: float,
@@ -554,6 +575,7 @@ def semdedup_keep(
     greedy: bool = False,
     max_cluster: int | None = 100_000,
     on_mega: str = "subcluster",
+    mega_events=None,
 ) -> DataFrame:
     """SemDeDup within-cluster pruning (Abbas et al. 2023,
     arXiv:2303.09540): return the kept (id, label) rows.
@@ -610,7 +632,15 @@ def semdedup_keep(
       direction for a keep-set.
     - ``"raise"``: fail fast with the label and size (the pre-r7
       behavior), for pipelines that prefer to surface the quantizer
-      bug."""
+      bug.
+
+    The subcluster fallback never fires silently (advice r7): each trip
+    emits an executor-side ``warnings.warn`` with the cluster label,
+    size, and sub-cell count, and — when a :func:`mega_cluster_monitor`
+    accumulator is passed as ``mega_events`` — records a
+    (label, size, n_subcells) tuple the driver can inspect after the
+    action, so the quantizer regression stays observable while the run
+    still completes."""
     if on_mega not in ("subcluster", "raise"):
         raise ValueError(f"on_mega must be 'subcluster' or 'raise': {on_mega!r}")
 
@@ -659,6 +689,22 @@ def semdedup_keep(
                 labels = _subcluster_labels(x[idx], k)
                 groups = [idx[labels == j] for j in range(k)]
                 groups = [g for g in groups if len(g)]
+                # the fallback must not fire silently: the keep-set is
+                # now approximate for this cluster and the quantizer
+                # produced a mega-cluster — both facts an operator needs
+                import warnings
+
+                label_val = pdf[label_col].iloc[0]
+                warnings.warn(
+                    f"semdedup mega-cluster fallback: cluster "
+                    f"{label_val!r} has {len(idx)} rows > "
+                    f"max_cluster={max_cluster}; re-quantized into "
+                    f"{len(groups)} sub-cells (keep-set may under-prune "
+                    "for this cluster)",
+                    stacklevel=2,
+                )
+                if mega_events is not None:
+                    mega_events.add([(label_val, len(idx), len(groups))])
                 if len(groups) > 1:
                     stack.extend(groups)
                     continue

@@ -35,103 +35,91 @@ QUERIES: dict[str, QuerySpec] = {}
 
 # The driver's correctness gate verifies the FIRST 50 registered queries in
 # iteration order (CORRECTNESS_r01 covered exactly ``list(QUERIES)[:50]``).
-# ``_PRIORITY`` pins a representative, oracle-backed query for every
-# SURVEY.md §2 OP-ID into that window.  Everything else keeps
+# ``_PRIORITY`` pins this round's check window.  Everything else keeps
 # module-import order after the pinned block.  ``tests/test_registry.py``
-# asserts every OP-ID is covered by the first 50.
+# asserts every SURVEY.md §2 OP-ID has a representative in the first 50.
 #
-# Round-7 rotation (judge r6 next-round #1): seats assigned by STALENESS
+# Round-8 rotation (judge r7 next-round #1): seats assigned by STALENESS
 # — last driver-checked round per query computed from the union of
-# CORRECTNESS_r01-r06 keys.  Seated: the 5 never-driver-checked late-r6
-# queries first (4 oracle-backed verdicts plus rows-only
-# ``bpe_merge_rounds`` — deliberately seated so ZERO never-checked
-# queries remain, the judge's r6 done-criterion; its oracle-pinned twins
-# ``bpe_trainer_round1_verdict``/``bpe_top_merges`` carry the hash
-# check), then all 31 oracle-backed r3-stale queries, then 7 of the 12
-# oracle-backed r4-stale (the 5 plain-OLAP r4 entries —
-# customer_order_counts, order_priority_monthly, part_type_stats,
-# supplier_nation_balance, parts_above_type_average — defer to r8; their
-# OP-IDs are covered by the seated TPC-H block), then a greedy coverage
-# repair of 7 (html_extraction, source_distribution,
-# ingest_observed_metrics, timeline_gapfill, approx_distinct_users,
-# crawl_frontier_schedule, crawl_batch_dedup) so every OP-ID keeps a
-# window representative (tests/test_registry.py asserts this).  The
-# other rows-only ops (dedup_minhash_lsh, dedup_simhash, ann_lsh_topk,
-# ann_ivf_topk, stream_neardup_minhash) stay out — each has an
-# oracle-pinned exact/tolerance twin that HAS been driver-green.  After
-# this round no query's last driver row is older than r4; remaining
-# stale for r8 = the 5 deferred r4 entries + the r5 block, plus the
-# queries added after this rotation (never driver-checked): the 11
-# late-r7 additions (lm_bigram_nll, lm_quality_buckets,
-# q4/q5/q10/q13/q15/q17/q19, ann_pq_persisted_recall, stream_pq_probe)
-# and the 11 r7-continued additions (q2/q7/q8/q9/q11/q16/q20,
-# chunk_dedup_rebuild, gopher_quality_filter, ann_hard_negatives,
-# bpe_encode_by_lang), and the 20 r7 third-session additions
-# (lm_trigram_backoff, bloom_dedup_probe, cms_heavy_hitters,
-# winnow_fingerprint_pairs, incremental_mv_daily, hll_partial_merge,
-# weighted_sample_aes, vocab_growth_deciles, stream_bloom_probe,
-# lang_id_confusion, bigram_pmi_topk, semdedup_threshold_sweep,
-# stream_mv_maintenance, kmv_distinct_sketch, daily_anomaly_days,
-# event_funnel_counts, weekly_change_report, customer_rfm_segments,
-# basket_type_lift, cms_screening_verdict)
-# — seat those first in r8.
+# CORRECTNESS_r01-r07 keys.  Seated: ALL 42 never-driver-checked r7
+# additions (each oracle-PASS in the judge's own r7 verify run — the
+# TPC-H back-half, the sketch tier, the LM tier, chunk_dedup_rebuild,
+# gopher/BPE-encode, PQ + the three streaming verdicts, the r7 analytics
+# block, 42 = exactly the judge's list), then a greedy 8-seat coverage
+# repair so every OP-ID keeps a window representative
+# (tests/test_registry.py asserts this): html_extraction (EXT-01..07,
+# SRC-01/02, STR-02), project_with_default (PRJ-01/02, SRC-03),
+# word_topk (FLT-01, TXT-03), ingest_observed_metrics (SRC-04, STR-03),
+# timeline_gapfill (FLT-02, GAP-01), latest_ingested (TOPK-02),
+# json_k_stats_by_type (X-JSON-01, r5-stale), multimodal_decode_audio
+# (X-MM-01, r5-stale).  42 + 8 = 50 exactly; every seat is
+# oracle-backed (no rows-only exception this round — bpe_merge_rounds
+# got its rows-only driver row in r7).  Remaining stale for r9: the 5
+# deferred r4 plain-OLAP entries (customer_order_counts,
+# order_priority_monthly, part_type_stats, supplier_nation_balance,
+# parts_above_type_average), the r5 block, the rows-only sketch twins
+# (dedup_minhash_lsh r3, dedup_simhash/ann_lsh_topk/ann_ivf_topk/
+# stream_neardup_minhash r3-r4 — each has an oracle-pinned exact twin
+# already driver-green), plus any queries registered after this
+# rotation.
 _PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked (late r6)
-    "multimodal_feature_ann_recall",
-    "ann_lsh_persisted_recall",
-    "stream_ann_probe",
-    "bpe_trainer_round1_verdict",
-    "bpe_merge_rounds",          # rows-only, see rotation note above
-    # --- last driver-checked r3 (oracle-backed)
-    "dedup_components",
-    "training_corpus",
-    "crawl_pysource_ingest",
-    "url_canonical_dedup",
-    "multimodal_decode_image",
-    "multimodal_features",
-    "multimodal_resize",
-    "revenue_rollup_region_nation",
-    "ann_brute_force_topk",
-    "dedup_embedding_pairs",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "region_revenue",
-    "q6_forecast_revenue",
-    "q12_linestatus_priority",
-    "q14_promo_revenue_share",
-    "q18_large_volume_orders",
-    "q21_sole_returned_supplier",
-    "q22_idle_rich_customers",
-    "stream_hourly_counts",
-    "stream_dedup_bounded_state",
-    "lang_id_heuristic",
-    "quality_score",
-    "corpus_tfidf",
-    "bigram_topk",
-    "pii_redaction",
-    "hash_sample_by_lang",
-    "pack_sequences",
-    "split_contamination",
-    "window_tumbling_1h",
-    "json_extract_props",
-    # --- last driver-checked r4 (oracle-backed, LLM-pipeline ops kept)
-    "dsir_target_affinity",
-    "duplicate_spans",
-    "semdedup_prune",
-    "mktsegment_share",
-    "train_test_ngram_overlap",
-    "doc_fingerprint",
-    "text_normalize",
-    # --- coverage repair (freshest entries whose OP-IDs nothing above
-    # covers: EXT-01..07, SRC-01..04, STR-02/03, SNK-01, AGG-04/06,
-    # PRJ-01/02, FLT-02, GAP-01, TOPK-02, X-APPROX-01)
+    # --- never driver-checked: r7 analytics / incremental block
+    "daily_anomaly_days",
+    "event_funnel_counts",
+    "weekly_change_report",
+    "customer_rfm_segments",
+    "basket_type_lift",
+    "weighted_sample_aes",
+    "incremental_mv_daily",
+    "hll_partial_merge",
+    # --- never driver-checked: dedup / similarity additions
+    "chunk_dedup_rebuild",
+    "ann_pq_persisted_recall",
+    "ann_hard_negatives",
+    "semdedup_threshold_sweep",
+    # --- never driver-checked: sketch tier
+    "bloom_dedup_probe",
+    "cms_heavy_hitters",
+    "cms_screening_verdict",
+    "winnow_fingerprint_pairs",
+    "kmv_distinct_sketch",
+    # --- never driver-checked: TPC-H back-half
+    "q2_best_supplier",
+    "q4_late_ship_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_item_ranking",
+    "q11_important_parts",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_excess_shippers",
+    # --- never driver-checked: streaming verdicts
+    "stream_pq_probe",
+    "stream_bloom_probe",
+    "stream_mv_maintenance",
+    # --- never driver-checked: LM / text-quality tier
+    "lm_bigram_nll",
+    "lm_quality_buckets",
+    "lm_trigram_backoff",
+    "gopher_quality_filter",
+    "bpe_encode_by_lang",
+    "vocab_growth_deciles",
+    "lang_id_confusion",
+    "bigram_pmi_topk",
+    # --- coverage repair (OP-IDs nothing above covers; stalest eligible)
     "html_extraction",
-    "source_distribution",
+    "project_with_default",
+    "word_topk",
     "ingest_observed_metrics",
     "timeline_gapfill",
-    "approx_distinct_users",
-    "crawl_frontier_schedule",
-    "crawl_batch_dedup",
+    "latest_ingested",
+    "json_k_stats_by_type",
+    "multimodal_decode_audio",
 )
 
 

@@ -29,6 +29,29 @@ import time
 import uuid
 
 
+def local_store_path(path: str) -> str:
+    """Normalize a store path for the os-level marker protocol below:
+    ``file:`` URIs become plain local paths (Spark reads/writes accept
+    either spelling, so the sibling marker files must land in the SAME
+    directory for both); any other scheme (hdfs://, s3a://) is refused
+    loudly — the marker protocol is the plain-LOCAL-parquet stand-in,
+    and a remote store should swap :func:`~.merge.merge_append`'s body
+    for the table format's MERGE (see sources/merge.py:1) rather than
+    run markers that os.open can't place."""
+    if "://" in path:
+        scheme, rest = path.split("://", 1)
+        if scheme != "file":
+            raise NotImplementedError(
+                f"marker protocol needs a local store, got {scheme}://  — "
+                "use a transactional table format (MERGE seam, "
+                "sources/merge.py) for remote stores"
+            )
+        return "/" + rest.lstrip("/") if not rest.startswith("/") else rest
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    return path
+
+
 def dir_bytes(path: str) -> int:
     total = 0
     for root, _dirs, files in os.walk(path):
@@ -126,6 +149,7 @@ def append_guard(path: str, wait_s: float = 600.0, poll_s: float = 0.05):
     whole drain."""
     import threading
 
+    path = local_store_path(path)
     lock = _compact_lock(path)
     marker = path.rstrip("/") + f"._append_{uuid.uuid4().hex}"
     deadline = time.monotonic() + wait_s
@@ -176,6 +200,7 @@ def compact(
     the row-loss race it closes."""
     import threading
 
+    path = local_store_path(path)
     lock = _compact_lock(path)
     _break_if_stale(lock)
     try:

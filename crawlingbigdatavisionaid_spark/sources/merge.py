@@ -33,24 +33,34 @@ the anti-join shuffle-light; AQE broadcasts the (tiny) batch side.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 from .maintenance import append_guard
 
 
-def store_has_data(store_path: str) -> bool:
+def store_has_data(spark: SparkSession, store_path: str) -> bool:
     """THE single definition of "the store holds rows": a directory with
     at least one parquet data file anywhere below it (recursive, so a
     partitioned layout counts). ``crawl.pipeline.read_store`` and
     :func:`merge_append` both route through this — two divergent
     notions of store-emptiness would make the pre-fetch anti-join and
-    the append-time anti-join disagree about the same store."""
-    if not os.path.isdir(store_path):
+    the append-time anti-join disagree about the same store.
+
+    Resolved through the Hadoop FileSystem API (the same route
+    ``streaming.ingest`` uses for its state versions) so non-local
+    store roots — ``hdfs://``, ``s3a://`` — answer truthfully. The
+    earlier driver-local ``os.walk`` returned False for every remote
+    path, which made :func:`merge_append` silently skip its anti-join
+    and re-append duplicate keys on every replay: exactly-once
+    accounting broke precisely when the store moved off the sandbox."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root) or not fs.getFileStatus(root).isDirectory():
         return False
-    for _root, _dirs, files in os.walk(store_path):
-        if any(f.endswith(".parquet") for f in files):
+    it = fs.listFiles(root, True)  # recursive — partitioned layouts count
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
             return True
     return False
 
@@ -87,7 +97,7 @@ def merge_append(
     staged = batch.dropDuplicates([key]).localCheckpoint(eager=True)
     with append_guard(store_path):
         fresh = staged
-        if store_has_data(store_path):
+        if store_has_data(spark, store_path):
             fresh = fresh.join(
                 spark.read.parquet(store_path).select(key), key, "left_anti"
             )

@@ -348,6 +348,21 @@ def mv_maintenance_ingest(
         partial.write.mode("overwrite").parquet(out)
         final_dir = out
         n_batches += 1
+        # retention (advice r7): state is aggregate-sized but a version
+        # per batch grows storage linearly with batches drained. After a
+        # successful write keep the current version plus its immediate
+        # predecessor (the restart re-seed needs exactly "highest
+        # committed version below the restart batch"); everything older
+        # can never be chosen by _latest_state again.
+        if prev is not None:
+            prev_v = int(re.fullmatch(r"state_v(\d+)", os.path.basename(prev)).group(1))
+            jvm = spark._jvm
+            root = jvm.org.apache.hadoop.fs.Path(state_root)
+            fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+            for st in fs.listStatus(root):
+                m = re.fullmatch(r"state_v(\d+)", st.getPath().getName())
+                if m and int(m.group(1)) < prev_v:
+                    fs.delete(st.getPath(), True)
 
     q = (
         stream.writeStream.foreachBatch(sink)

@@ -144,3 +144,36 @@ def test_crawl_batch_end_to_end_over_loopback(spark, tmp_path, loopback_base):
     # replay: same seeds, store already has every URL -> nothing appended
     r2 = crawl_batch(spark, seeds, http_fetcher, store)
     assert r2 == {"new_rows": 0, "store_rows": 3}
+
+
+def test_http_fetcher_rejects_non_http_schemes(tmp_path):
+    """SSRF guard (advice r7): urlopen follows file:// (and ftp://), and
+    extracted links preserve absolute schemes, so a crawled page could
+    otherwise point the crawler at local files. The fetcher must refuse
+    up front — the reference's requests.get raises InvalidSchema on the
+    same inputs (crawl.py:32)."""
+    from crawlingbigdatavisionaid_spark.crawl.pipeline import (
+        _fetch_urls,
+        http_fetcher,
+    )
+
+    secret = tmp_path / "secret.txt"
+    secret.write_text("do not ingest")
+    with pytest.raises(ValueError, match="non-http"):
+        http_fetcher(f"file://{secret}")
+    with pytest.raises(ValueError, match="non-http"):
+        http_fetcher("ftp://127.0.0.1/whatever")
+    # and through the isolation loop it nulls instead of ingesting
+    assert _fetch_urls([f"file://{secret}"], http_fetcher) == [None]
+
+
+def test_http_fetcher_caps_response_bytes(loopback_base):
+    """An over-limit body raises (-> null row upstream) rather than
+    truncating silently; a body exactly at the cap passes."""
+    from crawlingbigdatavisionaid_spark.crawl.pipeline import http_fetcher
+
+    url = f"{loopback_base}/siteA/posts/1"
+    full = http_fetcher(url)
+    with pytest.raises(ValueError, match="exceeds"):
+        http_fetcher(url, max_bytes=10)
+    assert http_fetcher(url, max_bytes=len(full.encode())) == full

