@@ -753,3 +753,66 @@ def basket_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "type_a", "type_b")
         .limit(25)
     )
+
+
+@register(
+    "exact_percentiles",
+    ops=("OP-AGG-05",),
+    # value-at-rank is well-defined under ties (equal rank candidates
+    # carry equal values), so a ROW_NUMBER over the value alone is a
+    # sound oracle even though it is not a total order
+    oracle="""
+        WITH r AS (
+            SELECT l_extendedprice AS v,
+                   ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rk,
+                   COUNT(*) OVER () AS n
+            FROM lineitem
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+               MAX(CASE WHEN rk = CAST(ceil(0.50 * n) AS BIGINT)
+                   THEN v END) AS p50,
+               MAX(CASE WHEN rk = CAST(ceil(0.90 * n) AS BIGINT)
+                   THEN v END) AS p90,
+               MAX(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT)
+                   THEN v END) AS p99
+        FROM r
+    """,
+)
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus-wide percentiles (p50/p90/p99 of the lineitem price
+    distribution) without a single-task global sort — the distributed
+    answer to ``percentile_disc``: the inverse-CDF value at rank
+    ceil(p*N) read off ``operators/rank.global_rank`` (range-
+    repartitioned sort + per-partition row_number + broadcast offsets;
+    a plain ``ROW_NUMBER() OVER (ORDER BY v)`` funnels all 100 TB into
+    ONE window task). ``approx_percentile`` trades exactness for one
+    pass; billing/SLA cuts need the exact order statistic, and the
+    rank plan's cost is a range shuffle — the same as any global sort
+    Spark would run anyway.
+
+    Determinism under ties: every row at a contested rank carries the
+    same value (ranks within a tie group are arbitrary, values are
+    not), so value-at-rank is partitioning-invariant without a
+    tie-breaker column."""
+    from ..operators.rank import global_rank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v")
+    )
+    ranked = global_rank(li, ["v"], alias="rk", total_alias="n")
+    # ceil(p * n) in DOUBLE on both sides: exact for n < 2^53
+    cut = lambda p: F.ceil(F.lit(p) * F.col("n"))  # noqa: E731
+    hit = ranked.where(
+        (F.col("rk") == cut(0.50))
+        | (F.col("rk") == cut(0.90))
+        | (F.col("rk") == cut(0.99))
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(F.col("rk") == cut(p), F.col("v"))
+    )
+    return hit.agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        pick(0.50).alias("p50"),
+        pick(0.90).alias("p90"),
+        pick(0.99).alias("p99"),
+    )

@@ -1813,3 +1813,188 @@ def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(25)
     )
+
+
+@register(
+    "repetition_ngram_filter",
+    ops=("OP-TXT-01", "OP-FLT-03", "OP-AGG-01"),
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, lang, {_SQL_TOKENS} AS toks
+            FROM documents WHERE text IS NOT NULL
+        ), tri AS (
+            SELECT doc_id,
+                   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+            FROM tok, LATERAL unnest(
+                generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+        ), per_g AS (
+            SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY 1, 2
+        ), per_doc AS (
+            SELECT doc_id, SUM(c) AS n3, COUNT(*) AS d3, MAX(c) AS mx3
+            FROM per_g GROUP BY doc_id
+        ), graded AS (
+            SELECT t.lang,
+                   COALESCE(p.n3, 0) AS n3,
+                   COALESCE(p.d3, 0) AS d3,
+                   COALESCE(p.mx3, 0) AS mx3
+            FROM tok t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN 5 * (n3 - d3) > n3 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS drop_dup_trigram,
+               CAST(SUM(CASE WHEN 10 * mx3 > n3 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS drop_top_trigram,
+               CAST(SUM(CASE WHEN 5 * (n3 - d3) <= n3
+                             AND 10 * mx3 <= n3 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS kept
+        FROM graded GROUP BY lang
+    """,
+)
+def repetition_ngram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher REPETITION gates ``gopher_quality_filter`` doesn't
+    cover (Rae et al. 2021 §A1.1: duplicate-n-gram fraction and
+    top-n-gram fraction — the signals that catch boilerplate and
+    keyword-stuffed spam that length/stopword rules miss): per
+    document, the fraction of trigram OCCURRENCES that are repeats
+    (n3 - d3 over n3, dropped above 20%) and the share of the single
+    most frequent trigram (mx3 over n3, dropped above 10%), reported
+    as per-language drop/keep accounting. Both rules are pure integer
+    comparisons (5*(n3-d3) > n3; 10*mx3 > n3) so the keep-set can
+    never drift from the oracle by a float epsilon; docs with fewer
+    than three tokens have no trigrams and are kept (zero-filled via
+    the left join, not silently lost with the explode).
+
+    Scale shape: one tokenize pass, explode shuffles keyed by
+    (doc_id) — per-doc state is bounded by the doc's own trigram
+    multiset, and the final accounting is a ~|langs|-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    tok = docs.select("doc_id", "lang", T.tokens("text").alias("toks"))
+    tri = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) < 3 THEN cast(array() as array<string>)"
+                " ELSE transform(sequence(1, size(toks) - 2), i ->"
+                " concat_ws(' ', element_at(toks, i), element_at(toks, i+1),"
+                " element_at(toks, i+2))) END"
+            )
+        ).alias("g"),
+    )
+    per_doc = (
+        tri.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n3"),
+            F.count(F.lit(1)).alias("d3"),
+            F.max("c").alias("mx3"),
+        )
+    )
+    graded = (
+        tok.select("doc_id", "lang")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "lang",
+            F.coalesce("n3", F.lit(0)).alias("n3"),
+            F.coalesce("d3", F.lit(0)).alias("d3"),
+            F.coalesce("mx3", F.lit(0)).alias("mx3"),
+        )
+    )
+    n3, d3, mx3 = F.col("n3"), F.col("d3"), F.col("mx3")
+    one = lambda cond: F.sum(F.when(cond, 1).otherwise(0))  # noqa: E731
+    return graded.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        one(5 * (n3 - d3) > n3).cast("bigint").alias("drop_dup_trigram"),
+        one(10 * mx3 > n3).cast("bigint").alias("drop_top_trigram"),
+        one((5 * (n3 - d3) <= n3) & (10 * mx3 <= n3))
+        .cast("bigint")
+        .alias("kept"),
+    )
+
+
+_BM25_TERMS = ("hash", "join", "vector")  # fixed retrieval query
+_BM25_EXPR = (
+    "round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))"
+    " * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9)"
+)
+
+
+@register(
+    "bm25_topk",
+    ops=("OP-X-TXT-04", "OP-TOPK-01"),
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, {_SQL_TOKENS} AS toks
+            FROM documents WHERE text IS NOT NULL
+        ), dl AS (
+            SELECT doc_id, len(toks) AS dl FROM tok
+        ), stats AS (
+            SELECT COUNT(*) AS n_docs, SUM(dl) * 1.0 / COUNT(*) AS avgdl
+            FROM dl
+        ), tf AS (
+            SELECT doc_id, w, COUNT(*) AS tf
+            FROM (SELECT doc_id, unnest(toks) AS w FROM tok)
+            WHERE w IN {_BM25_TERMS!r}
+            GROUP BY 1, 2
+        ), df AS (
+            SELECT w, COUNT(*) AS df FROM tf GROUP BY w
+        ), scored AS (
+            SELECT t.doc_id,
+                   CAST({_BM25_EXPR} AS DECIMAL(20, 9)) AS s
+            FROM tf t JOIN df USING (w) JOIN dl USING (doc_id), stats
+        )
+        SELECT doc_id, CAST(ROUND(SUM(s), 5) AS DOUBLE) AS bm25
+        FROM scored GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (Robertson & Zaragoza 2009; k1=1.2,
+    b=0.75, the Lucene-default idf form ln(1 + (N-df+.5)/(df+.5))) for
+    a fixed three-term query — the scoring layer on top of
+    ``corpus_tfidf``'s statistics that an actual search/selection
+    pipeline runs. Determinism across engines: each per-term
+    contribution is ONE arithmetic expression over exact integers
+    (tf, df, dl, N) plus a single ln, rounded to 9 dp and summed as
+    DECIMAL (order-invariant — a double SUM would expose aggregation
+    order), then the final score rounds to 5 dp; the top-20 cut
+    tie-breaks on doc_id.
+
+    Scale shape: tf is a filtered explode (only query terms survive
+    the scan — at |q|=3 the shuffled volume is |q| x |docs| counts at
+    most); df is |q| rows; N/avgdl is a 1-row broadcast cross-join
+    (the share-of-total pattern); the final cut is a
+    TakeOrderedAndProject, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    tok = docs.select("doc_id", T.tokens("text").alias("toks"))
+    dl = tok.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        tok.select("doc_id", F.explode("toks").alias("w"))
+        .where(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(_BM25_EXPR).cast("decimal(20,9)").alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 5).cast("double").alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(20)
+    )

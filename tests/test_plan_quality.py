@@ -378,3 +378,24 @@ def test_kmv_min_k_is_two_phase_window_group_limit(spark, sf_dir):
     assert plan.count("WindowGroupLimit") >= 2, plan
     assert "row_number(), 256, Partial" in plan, plan
     assert "row_number(), 256, Final" in plan, plan
+
+
+def test_exact_percentiles_has_no_single_task_window(spark, sf_dir):
+    """The inverse-CDF cut must ride global_rank's range-repartitioned
+    plan: the rank is computed inside global_rank's checkpointed
+    segment (whose _pid-partitioned window is pinned bit-identical to
+    the plain window by the operator's own tests), so the final plan
+    must contain NO Window operator at all — in particular never the
+    unpartitioned ROW_NUMBER that funnels the corpus into one task —
+    and must read the rank from the checkpoint (ExistingRDD)."""
+    plan = _plan(spark, sf_dir, "exact_percentiles")
+    assert "Window" not in plan, plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_theta_intersection_min_k_is_two_phase(spark, sf_dir):
+    """The per-type theta sample must plan as the same two-phase
+    WindowGroupLimit as kmv_distinct_sketch (rank-only window)."""
+    plan = _plan(spark, sf_dir, "theta_intersection_users")
+    assert "row_number(), 256, Partial" in plan, plan
+    assert "row_number(), 256, Final" in plan, plan
