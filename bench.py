@@ -63,6 +63,7 @@ FAMILIES: dict[str, list[str]] = {
         "q20_excess_shippers",
         # round 8 additions
         "exact_percentiles",
+        "supplier_pagerank",
     ],
     # event-time windows, as-of/range joins, JSON extraction
     "windows": [
@@ -157,6 +158,7 @@ FAMILIES: dict[str, list[str]] = {
         # round 8 additions
         "theta_intersection_users",
         "incremental_join_mv",
+        "cohort_retention",
     ],
 }
 

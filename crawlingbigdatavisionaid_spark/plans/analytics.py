@@ -492,3 +492,65 @@ def event_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         one(clicked, "step_click"),
         one(bought, "step_purchase"),
     )
+
+
+@register(
+    "cohort_retention",
+    ops=("OP-AGG-03", "OP-AGG-01", "OP-X-WIN-01"),
+    oracle="""
+        WITH act AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS wk
+            FROM events WHERE ts IS NOT NULL
+        ), first AS (
+            SELECT user_id, MIN(wk) AS cohort FROM act GROUP BY user_id
+        ), sizes AS (
+            SELECT cohort, COUNT(*) AS cohort_size FROM first GROUP BY cohort
+        ), ret AS (
+            SELECT f.cohort,
+                   CAST(date_diff('day', f.cohort, a.wk) / 7 AS INT)
+                       AS week_offset,
+                   COUNT(DISTINCT a.user_id) AS n_active
+            FROM act a JOIN first f ON a.user_id = f.user_id
+            GROUP BY 1, 2
+        )
+        SELECT r.cohort, r.week_offset, r.n_active, s.cohort_size
+        FROM ret r JOIN sizes s ON r.cohort = s.cohort
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix — the canonical product-analytics
+    rollup: users are cohorted by their first active ISO week, and each
+    (cohort, week_offset) cell counts how many of them were active
+    offset weeks later, with the cohort's size alongside (the
+    denominator a retention curve divides by; emitted as a count so
+    every value stays exact-integer). Offsets are exact because both
+    endpoints are week STARTS — the day difference is always a
+    multiple of 7.
+
+    Scale shape: one distinct on (user, week) with map-side combine,
+    one shuffle keyed by user for the cohort join (a user's activity
+    list bounds the fan-out), and aggregate-sized outputs — no windows
+    anywhere, so nothing funnels into one task no matter how much
+    history streams in."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    first = act.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    ret = (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    return ret.join(sizes, "cohort").select(
+        "cohort", "week_offset", "n_active", "cohort_size"
+    )

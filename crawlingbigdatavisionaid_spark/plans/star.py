@@ -1568,3 +1568,125 @@ def q2_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bal").cast("double").alias("s_acctbal"),
         )
     )
+
+
+_PR_SCALE = 10**12  # integer PageRank mass (fixed-point, 1e-12 units)
+_PR_ITERS = 5
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-iteration DuckDB twin of :func:`supplier_pagerank` —
+    generated so both engines run the SAME fixed-point integer
+    recurrence (// division; no float ever appears)."""
+    pre = f"""
+        WITH pairs AS (
+            SELECT DISTINCT 'c:' || o.o_custkey AS c, 's:' || l.l_suppkey AS s
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ), edges AS (
+            SELECT c AS src, s AS dst FROM pairs
+            UNION ALL SELECT s, c FROM pairs
+        ), nodes AS (
+            SELECT DISTINCT src AS node FROM edges
+        ), nn AS (SELECT COUNT(*) AS n FROM nodes
+        ), deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+        ), p0 AS (
+            SELECT node, (SELECT {_PR_SCALE} // n FROM nn) AS score
+            FROM nodes
+        )"""
+    its = []
+    for i in range(1, _PR_ITERS + 1):
+        its.append(f""", p{i} AS (
+            SELECT nodes.node,
+                   (SELECT (15 * {_PR_SCALE}) // (100 * n) FROM nn)
+                   + (85 * COALESCE(t.c, 0)) // 100 AS score
+            FROM nodes LEFT JOIN (
+                SELECT e.dst AS node2, SUM(p.score // deg.d) AS c
+                FROM edges e
+                JOIN p{i - 1} p ON e.src = p.node
+                JOIN deg ON deg.src = e.src
+                GROUP BY e.dst
+            ) t ON nodes.node = t.node2
+        )""")
+    return (
+        pre
+        + "".join(its)
+        + f"""
+        SELECT node, CAST(score AS BIGINT) AS score
+        FROM p{_PR_ITERS} WHERE node LIKE 's:%'
+        ORDER BY score DESC, node LIMIT 20
+    """
+    )
+
+
+@register(
+    "supplier_pagerank",
+    ops=("OP-AGG-01", "OP-TOPK-01"),
+    oracle=_pagerank_oracle(),
+)
+def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer-supplier transaction graph (Page et
+    al. 1999; damping 0.85, 5 synchronous iterations) — the iterative
+    graph operator beyond connected components: edges are the distinct
+    (customer, supplier) trade relations from orders ⋈ lineitem, taken
+    in both directions (the bipartite random surfer), and the top-20
+    suppliers by mass are the 'systemically important' vendors a
+    procurement-risk analysis ranks.
+
+    Determinism across engines AND partitionings: the recurrence runs
+    in FIXED-POINT INTEGER arithmetic (mass scaled by 1e12; per-edge
+    contribution = score DIV outdegree, damping = (85 * inflow) DIV
+    100) — integer sums are order-invariant where a double PageRank
+    would drift with aggregation order, and the oracle unrolls the
+    identical recurrence per iteration.
+
+    Scale shape: each iteration is one join keyed by the edge source +
+    one aggregate keyed by the destination — the textbook Pregel step
+    as plain DataFrame ops; lineage is cut per round with a lazy
+    localCheckpoint (the connected-components precedent) so the plan
+    stays iteration-sized. 5 iterations = 5 bounded shuffles; nothing
+    driver-side but the node count."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    edges = edges.localCheckpoint(eager=False)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ew = edges.join(deg, "src").localCheckpoint(eager=False)
+    p = nodes.withColumn("score", F.lit(_PR_SCALE // n))
+    base = (15 * _PR_SCALE) // (100 * n)
+    for _ in range(_PR_ITERS):
+        inflow = (
+            ew.join(p, ew.src == p.node)
+            .groupBy("dst")
+            .agg(F.sum(F.expr("score DIV d")).alias("c"))
+        )
+        p = (
+            nodes.join(inflow, nodes.node == inflow.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr("(85 * coalesce(c, 0)) DIV 100")
+                ).alias("score"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        p.where(F.col("node").startswith("s:"))
+        .select("node", F.col("score").cast("bigint").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("node"))
+        .limit(20)
+    )

@@ -800,3 +800,106 @@ def _register_stream_cms_merge():
 
 
 _register_stream_cms_merge()
+
+
+def _register_stream_theta_merge():
+    """Deferred registration (same acyclicity note as the CMS twin)."""
+    from .sketches import _KMV_K, _P, _poly_fold_duck
+
+    @register(
+        "stream_theta_merge",
+        ops=("OP-STR-01", "OP-X-APPROX-01", "OP-AGG-06"),
+        # the drained min-k state is bit-identical to the one-shot
+        # sketch, so the ESTIMATE read off it is reproduced exactly by
+        # the same integer-order-statistics oracle kmv_distinct_sketch
+        # uses — the streamed sketch is graded against DuckDB, not
+        # against our own batch code
+        oracle=f"""
+            WITH keys AS (
+                SELECT DISTINCT event_type,
+                       concat(user_id, ':', props) AS k
+                FROM events
+            ), hashed AS (
+                SELECT DISTINCT event_type, {_poly_fold_duck('k')} AS h
+                FROM keys
+            ), ranked AS (
+                SELECT event_type, h,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY h) AS rn
+                FROM hashed
+            ), st AS (
+                SELECT event_type, COUNT(*) AS cnt,
+                       MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS hk
+                FROM ranked WHERE rn <= {_KMV_K} GROUP BY event_type
+            )
+            SELECT event_type, TRUE AS multi_batch,
+                   CAST(CASE WHEN cnt < {_KMV_K} THEN cnt
+                        ELSE ({_KMV_K - 1} * CAST({_P} AS BIGINT)) // hk
+                   END AS BIGINT) AS kmv_est
+            FROM st
+        """,
+    )
+    def stream_theta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming KMV/theta maintenance, end-to-end: events drain as
+        a multi-file delta, each micro-batch folds its per-type min-k
+        into the versioned state (streaming/ingest.theta_merge_ingest),
+        and the final state — at most k rows per type no matter how
+        much history streamed — yields the distinct-count estimate. A
+        sketch with fewer than k rows IS the full distinct-hash set
+        (its count is exact); a full one estimates (k-1)*P/h_k. The
+        oracle recomputes the estimate from scratch with the same
+        integer order statistics, so micro-batch merge = one-shot is
+        proven against DuckDB, completing the per-batch-partial trio
+        (counts: stream_mv_maintenance; linear cells: stream_cms_merge;
+        order statistics: here)."""
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from ..sources import load_table
+        from ..streaming.ingest import theta_merge_ingest
+        from .sketches import _KMV_K as K
+        from .sketches import _P as P
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_type", "user_id", "props"
+        )
+        root = tempfile.mkdtemp(prefix="theta_merge_")
+        try:
+            delta_dir = f"{root}/delta"
+            ev.repartition(3).write.parquet(delta_dir)
+            n_batches, final_dir = theta_merge_ingest(
+                spark,
+                delta_dir,
+                f"{root}/state",
+                f"{root}/ckpt",
+                "event_type string, user_id long, props string",
+            )
+            state = spark.read.parquet(final_dir)
+            est = (
+                state.groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.max("h").alias("hk"),  # max of min-k = k-th min
+                )
+                .select(
+                    "event_type",
+                    F.lit(n_batches > 1).alias("multi_batch"),
+                    F.when(F.col("cnt") < K, F.col("cnt"))
+                    .otherwise(
+                        F.expr(f"({K - 1} * CAST({P} AS BIGINT)) DIV hk")
+                    )
+                    .cast("bigint")
+                    .alias("kmv_est"),
+                )
+            )
+            rows = est.collect()
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        return spark.createDataFrame(
+            rows, "event_type string, multi_batch boolean, kmv_est bigint"
+        )
+
+
+_register_stream_theta_merge()

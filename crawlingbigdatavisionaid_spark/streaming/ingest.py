@@ -443,3 +443,54 @@ def cms_merge_ingest(
         spark, delta_path, state_root, checkpoint, schema,
         partial, fold, max_files_per_trigger,
     )
+
+
+def theta_merge_ingest(
+    spark: SparkSession,
+    delta_path: str,
+    state_root: str,
+    checkpoint: str,
+    schema,
+    k: int = 256,
+    max_files_per_trigger: int | None = 1,
+) -> tuple[int, str | None]:
+    """Streaming KMV/theta sketch maintenance: each micro-batch of
+    events contributes its own per-type min-k of the (user, props)
+    key hashes, and the fold re-min-ks the union — the associative
+    merge the batch sketch's 3-way-split test pins (k smallest of a
+    union of per-part k-smallests = k smallest of the union). State is
+    bounded at k rows per event type forever; the drained sketch is
+    BIT-IDENTICAL to the one-shot sketch, so the distinct-count
+    estimate read off the final state equals ``kmv_distinct_sketch``'s
+    exactly (exercised by the ``stream_theta_merge`` verdict).
+
+    Returns (n_batches, final_state_dir)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..plans.sketches import _poly_fold_sql
+
+    def minked(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy("h")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .drop("rn")
+        )
+
+    def partial(batch_df: DataFrame) -> DataFrame:
+        hashed = batch_df.select(
+            "event_type",
+            F.expr(
+                _poly_fold_sql("concat(user_id, ':', props)")
+            ).alias("h"),
+        ).distinct()
+        return minked(hashed)
+
+    def fold(prev: DataFrame, part: DataFrame) -> DataFrame:
+        return minked(prev.unionByName(part).distinct())
+
+    return versioned_fold_ingest(
+        spark, delta_path, state_root, checkpoint, schema,
+        partial, fold, max_files_per_trigger,
+    )

@@ -732,6 +732,13 @@ def main() -> None:
             semb, queries, k=10, m=16, built=(pq_books, pq_codes)
         )
         run("pq_refined", lambda: pq_ref.count())
+        # the recall/cost knob (the IVF nprobe analogue): double the
+        # ADC shortlist the exact re-rank consumes
+        pq_ref16 = S.pq_refined_topk(
+            semb, queries, k=10, m=16, shortlist_mult=16,
+            built=(pq_books, pq_codes),
+        )
+        run("pq_refined_mult16", lambda: pq_ref16.count())
         # compression evidence: code bytes vs float-vector bytes on disk
         results["pq_compression"] = {
             "s": 0.0,
@@ -761,6 +768,7 @@ def main() -> None:
             "ivf_topk_nprobe8": recall(ivf8),
             "pq_adc": recall(pq_adc),
             "pq_refined": recall(pq_ref),
+            "pq_refined_mult16": recall(pq_ref16),
         }
 
         print(
