@@ -280,13 +280,21 @@ def _spawn(family: str, sf_dir: str, mem: str) -> dict:
     env["SPARK_GRAFT_PRETOUCH"] = "1"
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     t0 = time.perf_counter()
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--family", family],
-        capture_output=True,
-        text=True,
-        env=env,
-        timeout=3600,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--family", family],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=3600,
+        )
+    except subprocess.TimeoutExpired:
+        # a hung family must not take the whole bench (and every
+        # already-measured family's rows) down with it
+        return {
+            "_family_wall_s": round(time.perf_counter() - t0, 1),
+            "_error": f"family {family!r} exceeded 3600s and was killed",
+        }
     wall = round(time.perf_counter() - t0, 1)
     for line in reversed(proc.stdout.splitlines()):
         if line.startswith("BENCH_FAMILY_JSON:"):

@@ -71,18 +71,36 @@ def http_fetcher(
     ``file://``/``ftp://``, and extracted links preserve absolute
     schemes (``urljoin`` semantics), so a crawled page could otherwise
     point the crawler at local files — the reference's ``requests.get``
-    rejects those schemes too (InvalidSchema). The body read is capped
-    at ``max_bytes`` so one pathological page can't exhaust an
-    executor; an over-limit page raises (→ null row upstream) rather
-    than truncating silently, which could strip the very selectors the
-    extraction cascade keys on."""
+    rejects those schemes too (InvalidSchema). The allowlist is
+    enforced PER REDIRECT HOP, not just on the initial URL: stdlib
+    ``HTTPRedirectHandler`` explicitly permits 3xx targets with scheme
+    ``ftp``, so a malicious server answering ``302 Location: ftp://…``
+    would otherwise walk straight around the guard (r8 self-review
+    finding). The body read is capped at ``max_bytes`` so one
+    pathological page can't exhaust an executor; an over-limit page
+    raises (→ null row upstream) rather than truncating silently,
+    which could strip the very selectors the extraction cascade keys
+    on."""
     import urllib.parse
     import urllib.request
 
-    scheme = urllib.parse.urlparse(url).scheme
-    if scheme not in ("http", "https"):
-        raise ValueError(f"refusing non-http(s) scheme {scheme!r} for {url!r}")
-    with urllib.request.urlopen(url, timeout=timeout) as resp:
+    def _check_scheme(u: str) -> None:
+        scheme = urllib.parse.urlparse(u).scheme
+        if scheme not in ("http", "https"):
+            raise ValueError(
+                f"refusing non-http(s) scheme {scheme!r} for {u!r}"
+            )
+
+    class _HttpOnlyRedirect(urllib.request.HTTPRedirectHandler):
+        def redirect_request(self, req, fp, code, msg, headers, newurl):
+            _check_scheme(newurl)
+            return super().redirect_request(
+                req, fp, code, msg, headers, newurl
+            )
+
+    _check_scheme(url)
+    opener = urllib.request.build_opener(_HttpOnlyRedirect())
+    with opener.open(url, timeout=timeout) as resp:
         body = resp.read(max_bytes + 1)
         if len(body) > max_bytes:
             raise ValueError(f"response for {url!r} exceeds {max_bytes} bytes")

@@ -36,6 +36,15 @@ _CMS_D = 4                  # count-min depth (rows)
 # are true duplicates — a realistic re-crawl mix of revisits and news.
 _KEY_SQL = "concat(user_id, ':', event_type, ':', props)"
 
+# THE (user, props) sketch key, defined once for the batch KMV query,
+# the streaming theta fold, and both oracles (r8 self-review finding:
+# Spark concat() propagates NULL while DuckDB concat() skips it, and a
+# NULL hash would poison the min-k from opposite ends of the two
+# engines' sort orders — explicit coalesce makes the key NULL-safe and
+# engine-identical; values are unchanged wherever props is non-null)
+_KMV_KEY_SQL = "concat(user_id, ':', coalesce(props, ''))"
+_KMV_KEY_DUCK = "user_id || ':' || COALESCE(props, '')"
+
 
 def _poly_fold_sql(expr: str) -> str:
     """Spark-SQL polynomial hash of an arbitrary string expression.
@@ -608,8 +617,7 @@ _KMV_K = 256  # sketch size: ~1/sqrt(k) ~ 6% relative error when full
     ops=("OP-X-APPROX-01", "OP-AGG-01"),
     oracle=f"""
         WITH keys AS (
-            SELECT DISTINCT event_type,
-                   concat(user_id, ':', props) AS k
+            SELECT DISTINCT event_type, {_KMV_KEY_DUCK} AS k
             FROM events
         ), hashed AS (
             SELECT DISTINCT event_type, {_poly_fold_duck('k')} AS h
@@ -666,8 +674,7 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     keys = ev.select(
-        "event_type",
-        F.concat_ws(":", F.col("user_id"), F.col("props")).alias("k"),
+        "event_type", F.expr(_KMV_KEY_SQL).alias("k")
     ).distinct()
     hashed = keys.select(
         "event_type", F.expr(_poly_fold_sql("k")).alias("h")
@@ -760,6 +767,15 @@ def cms_screening_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _THETA_K = 256  # per-set sample bound, same error regime as _KMV_K
+
+# THE (user, props) sketch key, defined once for the batch KMV query,
+# the streaming theta fold, and both oracles (r8 self-review finding:
+# Spark concat() propagates NULL while DuckDB concat() skips it, and a
+# NULL hash would poison the min-k from opposite ends of the two
+# engines' sort orders — explicit coalesce makes the key NULL-safe and
+# engine-identical; values are unchanged wherever props is non-null)
+_KMV_KEY_SQL = "concat(user_id, ':', coalesce(props, ''))"
+_KMV_KEY_DUCK = "user_id || ':' || COALESCE(props, '')"
 
 
 @register(

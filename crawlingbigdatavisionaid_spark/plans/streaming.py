@@ -804,7 +804,7 @@ _register_stream_cms_merge()
 
 def _register_stream_theta_merge():
     """Deferred registration (same acyclicity note as the CMS twin)."""
-    from .sketches import _KMV_K, _P, _poly_fold_duck
+    from .sketches import _KMV_K, _KMV_KEY_DUCK, _P, _poly_fold_duck
 
     @register(
         "stream_theta_merge",
@@ -816,8 +816,7 @@ def _register_stream_theta_merge():
         # against our own batch code
         oracle=f"""
             WITH keys AS (
-                SELECT DISTINCT event_type,
-                       concat(user_id, ':', props) AS k
+                SELECT DISTINCT event_type, {_KMV_KEY_DUCK} AS k
                 FROM events
             ), hashed AS (
                 SELECT DISTINCT event_type, {_poly_fold_duck('k')} AS h

@@ -102,15 +102,44 @@ def _break_if_stale(f: str, stale_s: float | None = None) -> bool:
 
     ``stale_s`` late-binds to the module's ``STALE_LOCK_S`` so the TTL
     and the heartbeat period stay coupled (tests shrink both together).
-    """
+
+    Breaking is ATOMIC via rename-then-verify (r8 self-review finding):
+    the naive getmtime → remove pair let two waiters both observe a
+    stale lock, both "break" it, and both O_EXCL-create — waiter 2's
+    remove deleting waiter 1's FRESH lock, so both entered the critical
+    section the lock guards. Here only ONE waiter's rename of the stale
+    path can succeed (the loser gets FileNotFoundError); the winner
+    re-verifies staleness on ITS private tombstone and, in the sub-ms
+    race where it grabbed a just-recreated LIVE lock instead, restores
+    it with ``os.link`` (which, unlike rename, refuses to clobber a
+    newer lock — the irreducible POSIX residue is a triple-writer race
+    inside that link window, documented here, not silent). The tomb
+    name breaks the ``._append_*`` glob on purpose so a crash-orphaned
+    tomb can never masquerade as a live marker."""
     if stale_s is None:
         stale_s = STALE_LOCK_S
     try:
-        if time.time() - os.path.getmtime(f) > stale_s:
-            os.remove(f)
-            return True
+        if time.time() - os.path.getmtime(f) <= stale_s:
+            return False
     except FileNotFoundError:
-        pass
+        return False
+    d, base = os.path.split(f)
+    tomb = os.path.join(d, f".tomb.{uuid.uuid4().hex}.{base}")
+    try:
+        os.rename(f, tomb)
+    except FileNotFoundError:
+        return False  # another waiter broke it first — not ours to claim
+    try:
+        still_stale = time.time() - os.path.getmtime(tomb) > stale_s
+    except FileNotFoundError:
+        return False
+    if still_stale:
+        os.remove(tomb)
+        return True
+    # we stole a LIVE lock recreated mid-race: put it back atomically
+    with contextlib.suppress(FileExistsError):
+        os.link(tomb, f)
+    os.remove(tomb)
     return False
 
 

@@ -468,7 +468,7 @@ def theta_merge_ingest(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from ..plans.sketches import _poly_fold_sql
+    from ..plans.sketches import _KMV_KEY_SQL, _poly_fold_sql
 
     def minked(df: DataFrame) -> DataFrame:
         w = Window.partitionBy("event_type").orderBy("h")
@@ -479,11 +479,12 @@ def theta_merge_ingest(
         )
 
     def partial(batch_df: DataFrame) -> DataFrame:
+        # the SAME NULL-safe key as the batch kmv_distinct_sketch (a
+        # plain concat() would NULL out on a NULL props and poison the
+        # min-k — r8 self-review finding)
         hashed = batch_df.select(
             "event_type",
-            F.expr(
-                _poly_fold_sql("concat(user_id, ':', props)")
-            ).alias("h"),
+            F.expr(_poly_fold_sql(_KMV_KEY_SQL)).alias("h"),
         ).distinct()
         return minked(hashed)
 

@@ -59,8 +59,20 @@ PAGES = {
 }
 
 
+REDIRECTS = {
+    "/redir/ftp": "ftp://127.0.0.1/secret",
+    "/redir/file": "file:///etc/hostname",
+    "/redir/ok": "/siteA/posts/2",
+}
+
+
 class _Handler(BaseHTTPRequestHandler):
     def do_GET(self) -> None:  # noqa: N802 - stdlib handler API
+        if self.path in REDIRECTS:
+            self.send_response(302)
+            self.send_header("Location", REDIRECTS[self.path])
+            self.end_headers()
+            return
         body = PAGES.get(self.path)
         if body is None:
             self.send_error(404)
@@ -177,3 +189,29 @@ def test_http_fetcher_caps_response_bytes(loopback_base):
     with pytest.raises(ValueError, match="exceeds"):
         http_fetcher(url, max_bytes=10)
     assert http_fetcher(url, max_bytes=len(full.encode())) == full
+
+
+def test_http_fetcher_rejects_redirects_to_non_http(loopback_base):
+    """r8 self-review: stdlib HTTPRedirectHandler explicitly allows 3xx
+    targets with scheme ftp, so checking only the INITIAL url lets a
+    malicious server walk around the allowlist with one Location
+    header. The guard must hold per redirect hop — and plain http->http
+    redirects must still work."""
+    from crawlingbigdatavisionaid_spark.crawl.pipeline import (
+        _fetch_urls,
+        http_fetcher,
+    )
+
+    from urllib.error import HTTPError
+
+    with pytest.raises(ValueError, match="non-http"):
+        http_fetcher(f"{loopback_base}/redir/ftp")
+    # file:// is refused one layer earlier (stdlib's own 302 scheme
+    # check allows only http/https/FTP — ftp is the hole our handler
+    # closes); either refusal shape nulls upstream
+    with pytest.raises((ValueError, HTTPError)):
+        http_fetcher(f"{loopback_base}/redir/file")
+    # a legitimate same-scheme redirect still follows
+    assert "Beta" in http_fetcher(f"{loopback_base}/redir/ok")
+    # and through the isolation loop the attack nulls, never ingests
+    assert _fetch_urls([f"{loopback_base}/redir/ftp"], http_fetcher) == [None]

@@ -327,3 +327,58 @@ def test_concurrent_appenders_and_compactor_exactly_once(spark, tmp_path):
         [(k, len(k)) for k in batch_keys(0, 0)], "key string, klen int"
     )
     assert merge_append(spark, store, df, "key") == 0
+
+
+def test_stale_lock_break_is_atomic_under_contention(spark, tmp_path, monkeypatch):
+    """r8 self-review: the old getmtime->remove break let two waiters
+    both 'break' one stale lock — waiter 2's remove deleting waiter 1's
+    FRESH lock, so both entered the mutex. With rename-then-verify
+    breaking, N waiters racing one orphaned stale lock must serialize:
+    the critical section is never occupied twice."""
+    import threading
+    import time as _t
+
+    from crawlingbigdatavisionaid_spark.sources.maintenance import (
+        append_mutex,
+    )
+
+    path = str(tmp_path / "t")
+    open(tmp_path / "t", "w").close()  # store path (content irrelevant)
+    lock = path + "._writer_mutex"
+    inside = []
+    overlaps = []
+    errors = []
+    lk = threading.Lock()
+
+    def worker() -> None:
+        try:
+            for _ in range(5):
+                with append_mutex(path, wait_s=30.0, poll_s=0.001):
+                    with lk:
+                        inside.append(1)
+                        if len(inside) > 1:
+                            overlaps.append(tuple(inside))
+                    _t.sleep(0.002)
+                    with lk:
+                        inside.pop()
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    # plant an orphaned STALE lock so every round of the race starts
+    # with a break; shrink the TTL so in-test re-orphaning also happens
+    from crawlingbigdatavisionaid_spark.sources import maintenance
+
+    monkeypatch.setattr(maintenance, "STALE_LOCK_S", 900.0)
+    old = _t.time() - 2000
+    open(lock, "x").close()
+    import os
+
+    os.utime(lock, (old, old))
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert not overlaps, overlaps
+    assert not os.path.exists(lock)

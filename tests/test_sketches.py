@@ -304,3 +304,39 @@ def test_cms_screening_never_misses(spark, sf_dir):
     [r] = query_map()["cms_screening_verdict"](spark, sf_dir).collect()
     assert r["missed"] == 0
     assert r["n_candidates"] >= r["n_true"] >= 0
+
+
+def test_kmv_key_is_null_safe_and_engine_identical(spark):
+    """r8 self-review: Spark concat() propagates NULL while DuckDB
+    concat() skips it — a NULL key hash would poison the min-k from
+    opposite ends of the two engines' sort orders. The shared
+    _KMV_KEY_SQL/_KMV_KEY_DUCK pair must hash a NULL-props row to the
+    SAME non-null value in both engines."""
+    import duckdb
+
+    from crawlingbigdatavisionaid_spark.plans.sketches import (
+        _KMV_KEY_DUCK,
+        _KMV_KEY_SQL,
+        _poly_fold_duck,
+        _poly_fold_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(7, None), (7, "x=1")], "user_id long, props string"
+    )
+    got = sorted(
+        r.h
+        for r in df.select(
+            F.expr(_poly_fold_sql(_KMV_KEY_SQL)).alias("h")
+        ).collect()
+    )
+    assert all(h is not None for h in got)
+    con = duckdb.connect()
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            f"SELECT {_poly_fold_duck(f'({_KMV_KEY_DUCK})')} FROM (VALUES "
+            "(7, NULL), (7, 'x=1')) AS t(user_id, props)"
+        ).fetchall()
+    )
+    assert got == want
