@@ -159,6 +159,8 @@ FAMILIES: dict[str, list[str]] = {
         "theta_intersection_users",
         "incremental_join_mv",
         "cohort_retention",
+        "value_drift_psi",
+        "quantile_sketch_verdict",
     ],
 }
 

@@ -554,3 +554,170 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ret.join(sizes, "cohort").select(
         "cohort", "week_offset", "n_active", "cohort_size"
     )
+
+
+_PSI_B = 10  # value-distribution buckets (50-unit bins over [0, 500))
+_PSI_TERM = (
+    "round((1.0 * (ct + 1) / (nt + {b}) - 1.0 * (cg + 1) / (ng + {b}))"
+    " * ln((1.0 * (ct + 1) * (ng + {b})) / (1.0 * (nt + {b}) * (cg + 1)))"
+    ", 9)"
+).format(b=_PSI_B)
+
+
+@register(
+    "value_drift_psi",
+    ops=("OP-AGG-01", "OP-AGG-05"),
+    oracle=f"""
+        WITH b AS (
+            SELECT event_type,
+                   LEAST(CAST(FLOOR(value / 50) AS INT), {_PSI_B - 1})
+                       AS bucket
+            FROM events WHERE value IS NOT NULL
+        ), t AS (
+            SELECT event_type, bucket, COUNT(*) AS ct FROM b GROUP BY 1, 2
+        ), nt AS (
+            SELECT event_type, SUM(ct) AS nt FROM t GROUP BY 1
+        ), g AS (
+            SELECT bucket, COUNT(*) AS cg FROM b GROUP BY 1
+        ), ng AS (SELECT SUM(cg) AS ng FROM g
+        ), spine AS (
+            SELECT e.event_type, bk.bucket
+            FROM (SELECT DISTINCT event_type FROM b) e,
+                 LATERAL unnest(generate_series(0, {_PSI_B - 1}))
+                     AS bk(bucket)
+        ), terms AS (
+            SELECT s.event_type,
+                   CAST({_PSI_TERM} AS DECIMAL(20, 9)) AS term
+            FROM spine s
+            LEFT JOIN t ON t.event_type = s.event_type
+                       AND t.bucket = s.bucket
+            LEFT JOIN g ON g.bucket = s.bucket
+            JOIN nt ON nt.event_type = s.event_type, ng
+            -- zero-fill absent buckets before the smoothed ratio
+        )
+        SELECT event_type, CAST(ROUND(SUM(term), 6) AS DOUBLE) AS psi
+        FROM (SELECT event_type,
+                     COALESCE(term, CAST(0 AS DECIMAL(20, 9))) AS term
+              FROM terms) GROUP BY event_type
+    """,
+)
+def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability index of each event type's value
+    distribution against the GLOBAL distribution — the standard drift
+    monitor a data pipeline alarms on (PSI > 0.2 = investigate): values
+    bucket into 10 fixed 50-unit bins, and psi(type) = sum over
+    buckets of (p_type - p_global) * ln(p_type / p_global) with
+    add-one smoothing (a zero bucket would send ln to -inf; smoothing
+    keeps every term finite and the comparison honest).
+
+    Determinism across engines: each bucket term is ONE expression over
+    exact integer counts (one ln of an integer-ratio product), rounded
+    to 9 dp and summed as DECIMAL — the ``bm25_topk`` pattern, so
+    aggregation order can never flip a digit. The bucket spine is
+    types x 10 — absent (type, bucket) cells zero-fill BEFORE
+    smoothing, identically on both sides.
+
+    Scale shape: two map-side-combined aggregates (type x bucket, and
+    bucket), a broadcast of the |types| x 10 spine, and a
+    |types|-row output; the corpus is scanned once."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    b = ev.select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(_PSI_B - 1))
+        .alias("bucket"),
+    )
+    t = b.groupBy("event_type", "bucket").agg(F.count(F.lit(1)).alias("ct"))
+    nt = t.groupBy("event_type").agg(F.sum("ct").alias("nt"))
+    g = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cg"))
+    ng = g.agg(F.sum("cg").alias("ng"))
+    spine = (
+        b.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(_PSI_B).select(F.col("id").cast("int").alias("bucket"))
+        )
+    )
+    terms = (
+        spine.join(t, ["event_type", "bucket"], "left")
+        .join(F.broadcast(g), "bucket", "left")
+        .join(F.broadcast(nt), "event_type")
+        .crossJoin(F.broadcast(ng))
+        .select(
+            "event_type",
+            F.coalesce(
+                F.expr(_PSI_TERM).cast("decimal(20,9)"),
+                F.lit(0).cast("decimal(20,9)"),
+            ).alias("term"),
+        )
+    )
+    return terms.groupBy("event_type").agg(
+        F.round(F.sum("term"), 6).cast("double").alias("psi")
+    )
+
+
+@register(
+    "quantile_sketch_verdict",
+    ops=("OP-AGG-05", "OP-X-APPROX-01"),
+    # approx_percentile's sketch is engine-internal (no DuckDB twin);
+    # the oracle recomputes the EXACT order statistics the sketch is
+    # graded against, and the within-tolerance verdicts ride along
+    oracle="""
+        WITH r AS (
+            SELECT value AS v,
+                   ROW_NUMBER() OVER (ORDER BY value) AS rk,
+                   COUNT(*) OVER () AS n
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT MAX(CASE WHEN rk = CAST(ceil(0.50 * n) AS BIGINT)
+                   THEN v END) AS p50_exact,
+               MAX(CASE WHEN rk = CAST(ceil(0.90 * n) AS BIGINT)
+                   THEN v END) AS p90_exact,
+               MAX(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT)
+                   THEN v END) AS p99_exact,
+               TRUE AS within_2pct
+        FROM r
+    """,
+)
+def quantile_sketch_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grades Spark's quantile SKETCH against exact order statistics:
+    ``approx_percentile`` (the KLL/GK-style mergeable summary every
+    engine ships for one-pass quantiles at scale) must land within a
+    relative 2% of the true inverse-CDF values, which the plan computes
+    exactly the ``exact_percentiles`` way (global_rank — no single-task
+    window) and the oracle recomputes independently. The verdict is
+    the accuracy contract a pipeline relies on when it swaps the exact
+    two-pass plan for the one-pass sketch at 100 TB.
+
+    The exact values are emitted (hash-checked against DuckDB); the
+    sketch estimates stay internal to the verdict so the row is
+    engine-portable."""
+    from ..operators.rank import global_rank
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    vals = ev.select(F.col("value").alias("v"))
+    ranked = global_rank(vals, ["v"], alias="rk", total_alias="n")
+    cut = lambda p: F.ceil(F.lit(p) * F.col("n"))  # noqa: E731
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(F.col("rk") == cut(p), F.col("v"))
+    )
+    exact = ranked.agg(
+        pick(0.50).alias("p50_exact"),
+        pick(0.90).alias("p90_exact"),
+        pick(0.99).alias("p99_exact"),
+    )
+    approx = vals.agg(
+        F.percentile_approx("v", [0.5, 0.9, 0.99], 10_000).alias("ap")
+    )
+    ok = " AND ".join(
+        f"abs(ap[{i}] - {c}) <= 0.02 * abs({c})"
+        for i, c in enumerate(("p50_exact", "p90_exact", "p99_exact"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(approx))
+        .select(
+            "p50_exact",
+            "p90_exact",
+            "p99_exact",
+            F.expr(ok).alias("within_2pct"),
+        )
+    )
