@@ -79,6 +79,11 @@ QUERIES = [
     "lm_trigram_backoff",
     "winnow_fingerprint_pairs",
     "customer_rfm_segments",
+    # r8: the two new corpus-scan heavies — fixed-point PageRank (5
+    # join+aggregate rounds over the trade graph) and the global_rank
+    # inverse-CDF — earn standing 10x rows from birth
+    "supplier_pagerank",
+    "exact_percentiles",
 ]
 
 
