@@ -25,6 +25,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Editorial notes that should survive regeneration — investigation
 # outcomes that a generated table cannot carry.
 STANDING_NOTES = [
+    "r7 sf1 dedup-heavy drift EXONERATED (judge r7 #3, r8): the five "
+    "flagged rows (`dedup_components` 6.87\u21927.83, `dedup_containment` "
+    "3.84\u21924.58, `incremental_ingest_dedup` 3.88\u21924.43, "
+    "`dsir_target_affinity` 1.60\u21922.10, `duplicate_spans` "
+    "2.06\u21922.55) were A/B'd CODE-vs-CODE on an idle box: a git "
+    "worktree at the r6 bench commit (4e2805a) vs current HEAD, the "
+    "standing `tools/olap_ab.py` protocol (K=10 replica, pretouched heap, "
+    "min-of-4 per invocation), THREE invocations alternating arms. "
+    "Min-of-runs per arm: components r6-code 7.11 s vs current 5.92 s "
+    "(0.83x \u2014 current FASTER), containment 3.67 vs 3.73 (1.02x), "
+    "incremental 3.71 vs 3.93 (1.06x), dsir 1.60 vs 1.64 (1.02x), spans "
+    "1.80 vs 1.75 (0.97x); per-query operator counts from the final "
+    "adaptive plans are IDENTICAL across arms. The r7-recorded deltas do "
+    "not reproduce under either code version in isolation \u2014 "
+    "late-pass JVM pressure in the 95-query single-session bench, the "
+    "exact pathology bench.py's per-family subprocess isolation (r8) now "
+    "removes: the r8 orchestrated bench reads winnow sf1 at 9.45 s "
+    "(idle-box band 8.5-9.5 s) vs the corrupted 22.6 s r7 row.",
     "winnow_fingerprint_pairs sf1 bench-context drift RESOLVED (r7): the "
     "full-bench sf1 row read 22.6 s where a standalone idle-box min-of-4 "
     "in the exact same replica context measures 8.5-9.5 s — the bench "
