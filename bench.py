@@ -64,6 +64,7 @@ FAMILIES: dict[str, list[str]] = {
         # round 8 additions
         "exact_percentiles",
         "supplier_pagerank",
+        "dq_referential_audit",
     ],
     # event-time windows, as-of/range joins, JSON extraction
     "windows": [

@@ -721,3 +721,99 @@ def quantile_sketch_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(ok).alias("within_2pct"),
         )
     )
+
+
+@register(
+    "dq_referential_audit",
+    ops=("OP-AGG-05", "OP-FLT-01"),
+    oracle="""
+        SELECT
+            CAST((SELECT COUNT(*) FROM lineitem l
+                  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                    WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS orphan_lineitems,
+            CAST((SELECT COUNT(*) FROM orders o
+                  WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                    WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS orphan_orders,
+            CAST((SELECT COUNT(*) FROM lineitem l
+                  WHERE NOT EXISTS (SELECT 1 FROM part p
+                                    WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT) AS orphan_parts,
+            CAST((SELECT COUNT(*) FROM events
+                  WHERE ts IS NULL) AS BIGINT) AS null_ts_events,
+            CAST((SELECT COUNT(*) FROM events
+                  WHERE value < 0) AS BIGINT) AS negative_values,
+            CAST((SELECT COUNT(*) FROM lineitem
+                  WHERE l_discount < 0 OR l_discount > 1)
+                AS BIGINT) AS bad_discounts,
+            CAST((SELECT COUNT(*) FROM documents
+                  WHERE text IS NULL OR length(text) = 0)
+                AS BIGINT) AS empty_documents
+    """,
+)
+def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-quality gate a pipeline runs BEFORE publishing a batch
+    (the dbt-test / Deequ check family): referential integrity across
+    the star schema (orphan fact rows whose FK has no dimension row —
+    left-anti joins, the scalable NOT EXISTS) plus domain assertions
+    (NULL event times, negative values, discounts outside [0,1], empty
+    documents). One row of exact counts; a deployment alerts on any
+    non-zero cell, and the driver hash-check proves the counts against
+    an independent engine.
+
+    Scale shape: each anti-join shuffles on its key only (dimension
+    sides broadcast under AQE when they fit); the domain checks are
+    pushed-down scan predicates that aggregate map-side to one row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def n(df, alias):
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias(alias))
+
+    checks = [
+        n(
+            li.select("l_orderkey").join(
+                orders.select(F.col("o_orderkey").alias("l_orderkey")),
+                "l_orderkey",
+                "left_anti",
+            ),
+            "orphan_lineitems",
+        ),
+        n(
+            orders.select("o_custkey").join(
+                cust.select(F.col("c_custkey").alias("o_custkey")),
+                "o_custkey",
+                "left_anti",
+            ),
+            "orphan_orders",
+        ),
+        n(
+            li.select("l_partkey").join(
+                part.select(F.col("p_partkey").alias("l_partkey")),
+                "l_partkey",
+                "left_anti",
+            ),
+            "orphan_parts",
+        ),
+        n(ev.where(F.col("ts").isNull()), "null_ts_events"),
+        n(ev.where(F.col("value") < 0), "negative_values"),
+        n(
+            li.where((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+            "bad_discounts",
+        ),
+        n(
+            docs.where(
+                F.col("text").isNull() | (F.length("text") == 0)
+            ),
+            "empty_documents",
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.crossJoin(c)  # 1-row x 1-row composition
+    return out

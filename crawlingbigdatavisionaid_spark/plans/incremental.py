@@ -137,6 +137,44 @@ def hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_segment_expr():
+    """The value-band segment rule, shared by the batch SCD2 build and
+    the streaming merge fold (one definition — the two sides must never
+    disagree about what a 'change' is)."""
+    return (
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 200, "mid")
+        .otherwise("high")
+        .alias("segment")
+    )
+
+
+def scd2_runs(e: DataFrame) -> DataFrame:
+    """Gaps-and-islands SCD2 intervals of a (user_id, ts, segment)
+    table: one row per run with [valid_from, valid_to) and the run's
+    event count; the last run per user stays open (NULL valid_to).
+    Every window is partitioned by user_id."""
+    from pyspark.sql import Window
+
+    w_u = Window.partitionBy("user_id").orderBy("ts")
+    w_us = Window.partitionBy("user_id", "segment").orderBy("ts")
+    isl = e.withColumn(
+        "island", F.row_number().over(w_u) - F.row_number().over(w_us)
+    )
+    runs = isl.groupBy("user_id", "segment", "island").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("valid_from")
+    return runs.select(
+        "user_id",
+        "segment",
+        "valid_from",
+        F.lead("valid_from").over(w_run).alias("valid_to"),
+        "n_events",
+    )
+
+
 @register(
     "scd2_user_segments",
     ops=("OP-X-WIN-01", "OP-AGG-04"),
@@ -182,35 +220,10 @@ def scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user_id, ts) is unique in the test data; ties would make island
     numbering ambiguous, which the oracle would surface as a hash
     mismatch rather than silently accept."""
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf_dir, "events").where(
         F.col("ts").isNotNull() & F.col("value").isNotNull()
     )
-    seg = (
-        F.when(F.col("value") < 50, "low")
-        .when(F.col("value") < 200, "mid")
-        .otherwise("high")
-        .alias("segment")
-    )
-    e = ev.select("user_id", "ts", seg)
-    w_u = Window.partitionBy("user_id").orderBy("ts")
-    w_us = Window.partitionBy("user_id", "segment").orderBy("ts")
-    isl = e.withColumn(
-        "island", F.row_number().over(w_u) - F.row_number().over(w_us)
-    )
-    runs = isl.groupBy("user_id", "segment", "island").agg(
-        F.min("ts").alias("valid_from"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-    w_run = Window.partitionBy("user_id").orderBy("valid_from")
-    return runs.select(
-        "user_id",
-        "segment",
-        "valid_from",
-        F.lead("valid_from").over(w_run).alias("valid_to"),
-        "n_events",
-    )
+    return scd2_runs(ev.select("user_id", "ts", scd2_segment_expr()))
 
 
 @register(

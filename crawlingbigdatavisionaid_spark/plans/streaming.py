@@ -902,3 +902,129 @@ def _register_stream_theta_merge():
 
 
 _register_stream_theta_merge()
+
+
+@register(
+    "stream_scd2_merge",
+    ops=("OP-STR-01", "OP-X-WIN-01", "OP-SNK-01"),
+    # the drained dimension history must BE the batch build; the oracle
+    # recomputes the interval/user counts from the same gaps-and-islands
+    # construction, so the verdict carries independently-derived values
+    oracle="""
+        WITH e AS (
+            SELECT user_id, ts,
+                   CASE WHEN value < 50 THEN 'low'
+                        WHEN value < 200 THEN 'mid'
+                        ELSE 'high' END AS segment
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        ), isl AS (
+            SELECT user_id, ts, segment,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts)
+                   - ROW_NUMBER() OVER (PARTITION BY user_id, segment
+                                        ORDER BY ts) AS island
+            FROM e
+        ), runs AS (
+            SELECT user_id, segment, island FROM isl
+            GROUP BY user_id, segment, island
+        )
+        SELECT TRUE AS multi_batch, TRUE AS matches_batch,
+               CAST(COUNT(*) AS BIGINT) AS n_intervals,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM runs
+    """,
+)
+def stream_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD Type-2 maintenance, end-to-end: the event stream
+    arrives as three TIME-SLICED delta files (mtime-ordered — the file
+    source delivers oldest first, standing in for a per-key-ordered CDC
+    log), and each micro-batch folds into the dimension history via
+    ``streaming/ingest.scd2_merge_ingest`` (extend the open interval on
+    an unchanged segment, close-and-append on a change). The verdict
+    full-outer-joins the drained state against the batch
+    ``scd2_user_segments`` build — segment, bounds, and event counts
+    must all match row-for-row, proving a batch boundary can land
+    ANYWHERE in a user's history (including mid-interval) without
+    changing the result."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources import load_table
+    from ..streaming.ingest import scd2_merge_ingest
+    from .incremental import scd2_runs, scd2_segment_expr
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select("user_id", "ts", "value")
+    )
+    days = sorted(
+        r.d for r in ev.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    c1, c2 = days[len(days) // 3], days[2 * len(days) // 3]
+    slices = [
+        ev.where(F.to_date("ts") < F.lit(c1)),
+        ev.where((F.to_date("ts") >= F.lit(c1)) & (F.to_date("ts") < F.lit(c2))),
+        ev.where(F.to_date("ts") >= F.lit(c2)),
+    ]
+    root = tempfile.mkdtemp(prefix="scd2_merge_")
+    try:
+        delta_dir = f"{root}/delta"
+        t0 = 1_700_000_000
+        seen: set[str] = set()
+        for i, sl in enumerate(slices):
+            sl.coalesce(1).write.mode("append").parquet(delta_dir)
+            for f in set(os.listdir(delta_dir)) - seen:
+                os.utime(f"{delta_dir}/{f}", (t0 + i, t0 + i))
+                seen.add(f)
+        n_batches, final_dir = scd2_merge_ingest(
+            spark,
+            delta_dir,
+            f"{root}/state",
+            f"{root}/ckpt",
+            "user_id long, ts timestamp, value double",
+        )
+        streamed = spark.read.parquet(final_dir)
+        batch = scd2_runs(ev.select("user_id", "ts", scd2_segment_expr()))
+        j = streamed.select(
+            "user_id",
+            "valid_from",
+            F.col("segment").alias("seg_s"),
+            F.col("valid_to").alias("vt_s"),
+            F.col("n_events").alias("n_s"),
+        ).join(
+            batch.select(
+                "user_id",
+                "valid_from",
+                F.col("segment").alias("seg_b"),
+                F.col("valid_to").alias("vt_b"),
+                F.col("n_events").alias("n_b"),
+            ),
+            ["user_id", "valid_from"],
+            "full",
+        )
+        [row] = j.agg(
+            F.lit(n_batches > 1).alias("multi_batch"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("seg_s").eqNullSafe(F.col("seg_b"))
+                        & F.col("vt_s").eqNullSafe(F.col("vt_b"))
+                        & F.col("n_s").eqNullSafe(F.col("n_b")),
+                        0,
+                    ).otherwise(1)
+                )
+                == 0
+            ).alias("matches_batch"),
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        ).collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        "multi_batch boolean, matches_batch boolean, "
+        "n_intervals bigint, n_users bigint",
+    )

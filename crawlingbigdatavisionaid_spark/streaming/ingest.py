@@ -495,3 +495,109 @@ def theta_merge_ingest(
         spark, delta_path, state_root, checkpoint, schema,
         partial, fold, max_files_per_trigger,
     )
+
+
+def scd2_merge_ingest(
+    spark: SparkSession,
+    delta_path: str,
+    state_root: str,
+    checkpoint: str,
+    schema,
+    max_files_per_trigger: int | None = 1,
+) -> tuple[int, str | None]:
+    """Streaming SCD Type-2 maintenance: each micro-batch's events fold
+    into the dimension-history state (one row per validity interval,
+    NULL valid_to = the user's current segment). The fold is the CDC
+    merge rule: a batch whose first run continues the user's OPEN
+    interval extends it (same segment — the interval absorbs the run's
+    events and inherits its valid_to); a segment CHANGE closes the open
+    interval at the batch's first timestamp and appends the new runs.
+
+    ORDERING CONTRACT: batches must be per-key time-ordered (every ts
+    in batch b >= every ts of that user in batch b-1) — the guarantee a
+    real CDC log (Kafka keyed by user, a database WAL) provides. An
+    out-of-order event could split an already-closed interval, which
+    this insert-only fold — like any SCD2 MERGE — does not re-open.
+    The file source delivers pre-existing files oldest-mtime-first, so
+    the verdict query stamps its time-sliced delta files accordingly.
+
+    State is dimension-history-sized (one row per interval, NOT per
+    event); each fold is three user-keyed joins over
+    |open intervals| + |batch runs| rows. Drained over the whole table
+    it is BIT-IDENTICAL to the batch ``scd2_user_segments`` build —
+    the ``stream_scd2_merge`` verdict proves it against the oracle."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..plans.incremental import scd2_runs, scd2_segment_expr
+
+    def partial(batch_df: DataFrame) -> DataFrame:
+        e = batch_df.where(
+            F.col("ts").isNotNull() & F.col("value").isNotNull()
+        ).select("user_id", "ts", scd2_segment_expr())
+        return scd2_runs(e)
+
+    def fold(prev: DataFrame, part: DataFrame) -> DataFrame:
+        closed = prev.where(F.col("valid_to").isNotNull())
+        o = prev.where(F.col("valid_to").isNull()).select(
+            "user_id",
+            F.col("segment").alias("o_seg"),
+            F.col("valid_from").alias("o_vf"),
+            F.col("n_events").alias("o_n"),
+            F.lit(True).alias("o_here"),
+        )
+        w = Window.partitionBy("user_id").orderBy("valid_from")
+        ranked = part.withColumn("_rn", F.row_number().over(w))
+        firsts = ranked.where(F.col("_rn") == 1).select(
+            "user_id",
+            F.col("segment").alias("f_seg"),
+            F.col("valid_from").alias("f_vf"),
+            F.col("valid_to").alias("f_vt"),
+            F.col("n_events").alias("f_n"),
+            F.lit(True).alias("f_here"),
+        )
+        rest = ranked.where(F.col("_rn") > 1).drop("_rn")
+        j = o.join(firsts, "user_id", "full")
+        both = F.col("o_here") & F.col("f_here")
+        out = F.lit(None).cast("timestamp")
+
+        def iv(seg, vf, vt, n):
+            return [
+                F.col("user_id"),
+                F.col(seg).alias("segment"),
+                F.col(vf).alias("valid_from"),
+                (vt if not isinstance(vt, str) else F.col(vt)).alias(
+                    "valid_to"
+                ),
+                (
+                    n
+                    if not isinstance(n, str)
+                    else F.col(n)
+                ).cast("bigint").alias("n_events"),
+            ]
+
+        same = j.where(both & (F.col("o_seg") == F.col("f_seg"))).select(
+            *iv("o_seg", "o_vf", "f_vt", F.col("o_n") + F.col("f_n"))
+        )
+        changed = j.where(both & (F.col("o_seg") != F.col("f_seg")))
+        closed_open = changed.select(*iv("o_seg", "o_vf", "f_vf", "o_n"))
+        new_first = changed.select(*iv("f_seg", "f_vf", "f_vt", "f_n"))
+        only_open = j.where(
+            F.col("o_here") & F.col("f_here").isNull()
+        ).select(*iv("o_seg", "o_vf", out, "o_n"))
+        only_new = j.where(
+            F.col("o_here").isNull() & F.col("f_here")
+        ).select(*iv("f_seg", "f_vf", "f_vt", "f_n"))
+        return (
+            closed.unionByName(same)
+            .unionByName(closed_open)
+            .unionByName(new_first)
+            .unionByName(only_open)
+            .unionByName(only_new)
+            .unionByName(rest)
+        )
+
+    return versioned_fold_ingest(
+        spark, delta_path, state_root, checkpoint, schema,
+        partial, fold, max_files_per_trigger,
+    )

@@ -359,3 +359,46 @@ def test_store_has_data_resolves_scheme_paths(spark, tmp_path):
     # replay over the scheme-qualified path is a no-op, not a double-append
     assert merge_append(spark, uri, batch, "key") == 0
     assert spark.read.parquet(uri).count() == 5
+
+
+def test_scd2_fold_extends_and_closes_across_batch_boundaries(spark, tmp_path):
+    """The two CDC merge branches, pinned on a crafted history: user 1's
+    segment is UNCHANGED across the boundary (its open interval must
+    EXTEND — one row, summed events), user 2's segment CHANGES (the open
+    interval must CLOSE at the first new timestamp), and user 3 appears
+    only in batch 2 (pass-through)."""
+    import datetime as dt
+    import os
+
+    from crawlingbigdatavisionaid_spark.streaming.ingest import (
+        scd2_merge_ingest,
+    )
+
+    T = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+    b1 = [(1, T(1), 10.0), (1, T(2), 20.0), (2, T(1), 10.0)]
+    b2 = [(1, T(5), 30.0), (2, T(6), 300.0), (3, T(7), 100.0)]
+    delta = str(tmp_path / "delta")
+    seen: set[str] = set()
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        ).coalesce(1).write.mode("append").parquet(delta)
+        for f in set(os.listdir(delta)) - seen:
+            os.utime(f"{delta}/{f}", (1_700_000_000 + i,) * 2)
+            seen.add(f)
+    n, final_dir = scd2_merge_ingest(
+        spark, delta, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        "user_id long, ts timestamp, value double",
+    )
+    assert n == 2
+    got = {
+        (r.user_id, r.segment, r.valid_from, r.valid_to): r.n_events
+        for r in spark.read.parquet(final_dir).collect()
+    }
+    want = {
+        (1, "low", T(1), None): 3,          # extended across the boundary
+        (2, "low", T(1), T(6)): 1,          # closed at the change
+        (2, "high", T(6), None): 1,
+        (3, "mid", T(7), None): 1,          # batch-2-only passthrough
+    }
+    assert got == want
