@@ -142,6 +142,7 @@ FAMILIES: dict[str, list[str]] = {
         # round 8 additions
         "repetition_ngram_filter",
         "bm25_topk",
+        "doc_keywords_tfidf",
     ],
     # sketches, incremental maintenance, event analytics
     "sketch": [
@@ -162,6 +163,7 @@ FAMILIES: dict[str, list[str]] = {
         "cohort_retention",
         "value_drift_psi",
         "quantile_sketch_verdict",
+        "markov_transition_matrix",
     ],
 }
 

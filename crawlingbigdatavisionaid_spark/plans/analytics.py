@@ -817,3 +817,60 @@ def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.crossJoin(c)  # 1-row x 1-row composition
     return out
+
+
+@register(
+    "markov_transition_matrix",
+    ops=("OP-X-WIN-01", "OP-AGG-01"),
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, ts, event_type,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts) AS prev_type
+            FROM events WHERE ts IS NOT NULL
+        ), tr AS (
+            SELECT prev_type AS from_type, event_type AS to_type,
+                   COUNT(*) AS n_trans
+            FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        ), tot AS (
+            SELECT from_type, SUM(n_trans) AS n_from FROM tr GROUP BY 1
+        )
+        SELECT t.from_type, t.to_type, t.n_trans,
+               ROUND(1.0 * t.n_trans / o.n_from, 6) AS p
+        FROM tr t JOIN tot o ON t.from_type = o.from_type
+    """,
+)
+def markov_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior — the
+    sequence-analytics building block (next-event prediction baselines,
+    session-flow dashboards, anomaly screens): per user, consecutive
+    event pairs via LAG over the time order, counted into a
+    |types| x |types| matrix with row-normalized probabilities (one
+    exact integer division, rounded — the determinism rule for float
+    outputs).
+
+    Scale shape: the only window is partitioned by user_id (bounded
+    per-user state); transitions aggregate map-side into at most
+    |types|² rows, and the row totals join aggregate-x-aggregate."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    tr = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    tot = tr.groupBy("from_type").agg(F.sum("n_trans").alias("n_from"))
+    return tr.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.round(F.lit(1.0) * F.col("n_trans") / F.col("n_from"), 6).alias("p"),
+    )

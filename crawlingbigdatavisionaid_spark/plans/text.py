@@ -1998,3 +1998,85 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), F.col("doc_id"))
         .limit(20)
     )
+
+
+@register(
+    "doc_keywords_tfidf",
+    ops=("OP-X-TXT-04", "OP-TOPK-01"),
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, {_SQL_TOKENS} AS toks
+            FROM documents WHERE text IS NOT NULL
+        ), tf AS (
+            SELECT doc_id, w, COUNT(*) AS tf
+            FROM (SELECT doc_id, unnest(toks) AS w FROM tok)
+            GROUP BY 1, 2
+        ), df AS (
+            SELECT w, COUNT(*) AS df FROM tf GROUP BY w
+        ), n AS (SELECT COUNT(*) AS n_docs FROM tok
+        ), scored AS (
+            SELECT doc_id, w,
+                   tf * ROUND(LN(1.0 * n_docs / df), 6) AS score
+            FROM tf JOIN df USING (w), n
+        ), ranked AS (
+            SELECT doc_id, w, score,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, w) AS rnk
+            FROM scored
+        )
+        SELECT doc_id, w AS term, CAST(rnk AS INT) AS rnk,
+               ROUND(score, 6) AS score
+        FROM ranked WHERE rnk <= 3
+    """,
+)
+def doc_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the top-3 terms by tf-idf
+    (tf x the corpus idf ``corpus_tfidf`` publishes) — the lightweight
+    tagging/faceting pass a curation UI runs over every document.
+    Determinism: idf is one ln rounded to 6 dp (the ``corpus_tfidf``
+    rule), the score is an exact integer tf times that, and the
+    per-doc rank tie-breaks on the term.
+
+    Scale shape: the per-doc top-3 is a rank-ONLY window keyed by
+    doc_id, so Catalyst plans the two-phase WindowGroupLimit (each map
+    partition keeps 3 per doc before the shuffle — the
+    ``kmv_distinct_sketch`` plan shape); the idf side is a
+    vocab-bounded broadcast."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    tok = docs.select("doc_id", T.tokens("text").alias("toks"))
+    tf = (
+        tok.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n = tok.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "w",
+            (
+                F.col("tf")
+                * F.round(F.log(F.lit(1.0) * F.col("n_docs") / F.col("df")), 6)
+            ).alias("score"),
+        )
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("w")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_doc))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            F.col("rnk").cast("int").alias("rnk"),
+            F.round("score", 6).alias("score"),
+        )
+    )

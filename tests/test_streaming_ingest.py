@@ -402,3 +402,55 @@ def test_scd2_fold_extends_and_closes_across_batch_boundaries(spark, tmp_path):
         (3, "mid", T(7), None): 1,          # batch-2-only passthrough
     }
     assert got == want
+
+
+def test_theta_merge_survives_restart_and_matches_batch(spark, sf_dir, tmp_path):
+    """The generic versioned drain's restart re-seed, exercised under
+    the MIN-K fold (not just the aggregate fold mv pins): a second
+    drain with the SAME checkpoint must seed from the committed state,
+    and the final min-k per type must be bit-identical to the one-shot
+    min-k over all events."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from crawlingbigdatavisionaid_spark.plans.sketches import (
+        _KMV_KEY_SQL,
+        _poly_fold_sql,
+    )
+    from crawlingbigdatavisionaid_spark.sources import load_table
+    from crawlingbigdatavisionaid_spark.streaming.ingest import (
+        theta_merge_ingest,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "props"
+    )
+    schema = "event_type string, user_id long, props string"
+    delta = str(tmp_path / "delta")
+    ev.where(F.col("user_id") % 2 == 0).repartition(2).write.parquet(delta)
+    n1, d1 = theta_merge_ingest(
+        spark, delta, str(tmp_path / "state"), str(tmp_path / "ckpt"), schema
+    )
+    assert n1 >= 1 and d1
+    ev.where(F.col("user_id") % 2 == 1).repartition(2).write.mode(
+        "append"
+    ).parquet(delta)
+    n2, d2 = theta_merge_ingest(
+        spark, delta, str(tmp_path / "state"), str(tmp_path / "ckpt"), schema
+    )
+    assert n2 >= 1 and d2 != d1
+
+    got = {
+        (r.event_type, r.h) for r in spark.read.parquet(d2).collect()
+    }
+    hashed = ev.select(
+        "event_type", F.expr(_poly_fold_sql(_KMV_KEY_SQL)).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    want = {
+        (r.event_type, r.h)
+        for r in hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 256)
+        .collect()
+    }
+    assert got == want and want
