@@ -93,3 +93,41 @@ def ntile_expr(rank: Column, n_rows: Column, n: int) -> Column:
         .otherwise(r + F.ceil((rank - big_span) / F.greatest(q, F.lit(1))))
         .cast("int")
     )
+
+
+def inverse_cdf(
+    df: DataFrame,
+    value_col: str,
+    cuts: list[tuple[str, float]],
+    total_alias: str | None = None,
+) -> DataFrame:
+    """One-row DataFrame holding the EXACT inverse-CDF value at each
+    requested percentile — ``alias -> value at rank ceil(p * N)`` —
+    computed on :func:`global_rank` (never a single-task window). THE
+    shared definition for every exact-percentile consumer
+    (``exact_percentiles``, ``quantile_sketch_verdict``): the rank
+    convention (ceil, value-at-rank under ties) lives here once, so two
+    'exact percentile' plans can never silently diverge.
+
+    Ties are safe without a tie-breaker column: every row at a
+    contested rank carries the same value, so value-at-rank is
+    partitioning-invariant."""
+    ranked = global_rank(
+        df.select(F.col(value_col).alias("v")),
+        ["v"],
+        alias="rk",
+        total_alias="n",
+    )
+    cut = lambda p: F.ceil(F.lit(p) * F.col("n"))  # noqa: E731
+    hit_cond = None
+    for _, p in cuts:
+        c = F.col("rk") == cut(p)
+        hit_cond = c if hit_cond is None else (hit_cond | c)
+    aggs = []
+    if total_alias:
+        aggs.append(F.max("n").cast("bigint").alias(total_alias))
+    aggs += [
+        F.max(F.when(F.col("rk") == cut(p), F.col("v"))).alias(a)
+        for a, p in cuts
+    ]
+    return ranked.where(hit_cond).agg(*aggs)

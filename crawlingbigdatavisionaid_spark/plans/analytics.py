@@ -570,35 +570,39 @@ _PSI_TERM = (
     oracle=f"""
         WITH b AS (
             SELECT event_type,
-                   LEAST(CAST(FLOOR(value / 50) AS INT), {_PSI_B - 1})
-                       AS bucket
+                   LEAST(GREATEST(CAST(FLOOR(value / 50) AS INT), 0),
+                         {_PSI_B - 1}) AS bucket
             FROM events WHERE value IS NOT NULL
         ), t AS (
             SELECT event_type, bucket, COUNT(*) AS ct FROM b GROUP BY 1, 2
         ), nt AS (
             SELECT event_type, SUM(ct) AS nt FROM t GROUP BY 1
         ), g AS (
-            SELECT bucket, COUNT(*) AS cg FROM b GROUP BY 1
+            SELECT bucket, SUM(ct) AS cg FROM t GROUP BY 1
         ), ng AS (SELECT SUM(cg) AS ng FROM g
         ), spine AS (
             SELECT e.event_type, bk.bucket
-            FROM (SELECT DISTINCT event_type FROM b) e,
+            FROM (SELECT event_type FROM nt) e,
                  LATERAL unnest(generate_series(0, {_PSI_B - 1}))
                      AS bk(bucket)
-        ), terms AS (
+        ), filled AS (
+            -- zero-fill absent cells BEFORE the smoothed ratio: a
+            -- bucket a type never hits is the strongest drift signal
+            -- and must reach the add-one formula as ct=0, not short-
+            -- circuit to a 0 term
             SELECT s.event_type,
-                   CAST({_PSI_TERM} AS DECIMAL(20, 9)) AS term
+                   COALESCE(t.ct, 0) AS ct, COALESCE(g.cg, 0) AS cg,
+                   nt.nt, ng.ng
             FROM spine s
             LEFT JOIN t ON t.event_type = s.event_type
                        AND t.bucket = s.bucket
             LEFT JOIN g ON g.bucket = s.bucket
             JOIN nt ON nt.event_type = s.event_type, ng
-            -- zero-fill absent buckets before the smoothed ratio
         )
         SELECT event_type, CAST(ROUND(SUM(term), 6) AS DOUBLE) AS psi
         FROM (SELECT event_type,
-                     COALESCE(term, CAST(0 AS DECIMAL(20, 9))) AS term
-              FROM terms) GROUP BY event_type
+                     CAST({_PSI_TERM} AS DECIMAL(20, 9)) AS term
+              FROM filled) GROUP BY event_type
     """,
 )
 def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -617,38 +621,49 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     types x 10 — absent (type, bucket) cells zero-fill BEFORE
     smoothing, identically on both sides.
 
-    Scale shape: two map-side-combined aggregates (type x bucket, and
-    bucket), a broadcast of the |types| x 10 spine, and a
-    |types|-row output; the corpus is scanned once."""
+    Scale shape: ONE corpus scan feeds a map-side-combined
+    (type x bucket) aggregate; every other input (global buckets,
+    totals, the |types| x 10 spine) is algebra over that aggregate's
+    checkpoint. Values outside [0, 500) clamp into the edge bins on
+    BOTH sides, so no probability mass is silently dropped."""
     ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     b = ev.select(
         "event_type",
-        F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(_PSI_B - 1))
-        .alias("bucket"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 50).cast("int"), F.lit(0)),
+            F.lit(_PSI_B - 1),
+        ).alias("bucket"),
     )
+    # everything below derives from t: ONE corpus scan feeds the whole
+    # query (g, nt, ng, and the spine's type list are all t-algebra —
+    # r8 self-review: the earlier form re-scanned events three times)
     t = b.groupBy("event_type", "bucket").agg(F.count(F.lit(1)).alias("ct"))
+    t = t.localCheckpoint(eager=False)
     nt = t.groupBy("event_type").agg(F.sum("ct").alias("nt"))
-    g = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cg"))
+    g = t.groupBy("bucket").agg(F.sum("ct").alias("cg"))
     ng = g.agg(F.sum("cg").alias("ng"))
-    spine = (
-        b.select("event_type")
-        .distinct()
-        .crossJoin(
-            spark.range(_PSI_B).select(F.col("id").cast("int").alias("bucket"))
-        )
+    spine = nt.select("event_type").crossJoin(
+        spark.range(_PSI_B).select(F.col("id").cast("int").alias("bucket"))
     )
-    terms = (
+    # zero-fill absent (type, bucket) cells BEFORE the smoothed ratio:
+    # a bucket a type never hits is the strongest drift signal and must
+    # reach the add-one formula as ct=0, never short-circuit to 0
+    # (r8 self-review: the old coalesce-AFTER-the-term halved the PSI)
+    filled = (
         spine.join(t, ["event_type", "bucket"], "left")
         .join(F.broadcast(g), "bucket", "left")
         .join(F.broadcast(nt), "event_type")
         .crossJoin(F.broadcast(ng))
         .select(
             "event_type",
-            F.coalesce(
-                F.expr(_PSI_TERM).cast("decimal(20,9)"),
-                F.lit(0).cast("decimal(20,9)"),
-            ).alias("term"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cg", F.lit(0)).alias("cg"),
+            "nt",
+            "ng",
         )
+    )
+    terms = filled.select(
+        "event_type", F.expr(_PSI_TERM).cast("decimal(20,9)").alias("term")
     )
     return terms.groupBy("event_type").agg(
         F.round(F.sum("term"), 6).cast("double").alias("psi")
@@ -691,19 +706,14 @@ def quantile_sketch_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact values are emitted (hash-checked against DuckDB); the
     sketch estimates stay internal to the verdict so the row is
     engine-portable."""
-    from ..operators.rank import global_rank
+    from ..operators.rank import inverse_cdf
 
     ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     vals = ev.select(F.col("value").alias("v"))
-    ranked = global_rank(vals, ["v"], alias="rk", total_alias="n")
-    cut = lambda p: F.ceil(F.lit(p) * F.col("n"))  # noqa: E731
-    pick = lambda p: F.max(  # noqa: E731
-        F.when(F.col("rk") == cut(p), F.col("v"))
-    )
-    exact = ranked.agg(
-        pick(0.50).alias("p50_exact"),
-        pick(0.90).alias("p90_exact"),
-        pick(0.99).alias("p99_exact"),
+    exact = inverse_cdf(
+        vals,
+        "v",
+        [("p50_exact", 0.50), ("p90_exact", 0.90), ("p99_exact", 0.99)],
     )
     approx = vals.agg(
         F.percentile_approx("v", [0.5, 0.9, 0.99], 10_000).alias("ap")
@@ -800,8 +810,17 @@ def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "orphan_parts",
         ),
-        n(ev.where(F.col("ts").isNull()), "null_ts_events"),
-        n(ev.where(F.col("value") < 0), "negative_values"),
+        # the two events domain checks fold into ONE scan (conditional
+        # sums) — r8 self-review; every remaining scan is column-pruned
+        # to its own 1-2 columns
+        ev.agg(
+            F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("null_ts_events"),
+            F.sum(F.when(F.col("value") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("negative_values"),
+        ),
         n(
             li.where((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
             "bad_discounts",

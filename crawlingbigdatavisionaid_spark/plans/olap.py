@@ -794,25 +794,12 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     same value (ranks within a tie group are arbitrary, values are
     not), so value-at-rank is partitioning-invariant without a
     tie-breaker column."""
-    from ..operators.rank import global_rank
+    from ..operators.rank import inverse_cdf
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_extendedprice").alias("v")
-    )
-    ranked = global_rank(li, ["v"], alias="rk", total_alias="n")
-    # ceil(p * n) in DOUBLE on both sides: exact for n < 2^53
-    cut = lambda p: F.ceil(F.lit(p) * F.col("n"))  # noqa: E731
-    hit = ranked.where(
-        (F.col("rk") == cut(0.50))
-        | (F.col("rk") == cut(0.90))
-        | (F.col("rk") == cut(0.99))
-    )
-    pick = lambda p: F.max(  # noqa: E731
-        F.when(F.col("rk") == cut(p), F.col("v"))
-    )
-    return hit.agg(
-        F.max("n").cast("bigint").alias("n_rows"),
-        pick(0.50).alias("p50"),
-        pick(0.90).alias("p90"),
-        pick(0.99).alias("p99"),
+    li = load_table(spark, sf_dir, "lineitem")
+    return inverse_cdf(
+        li,
+        "l_extendedprice",
+        [("p50", 0.50), ("p90", 0.90), ("p99", 0.99)],
+        total_alias="n_rows",
     )

@@ -960,15 +960,28 @@ def stream_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
         .select("user_id", "ts", "value")
     )
-    days = sorted(
-        r.d for r in ev.select(F.to_date("ts").alias("d")).distinct().collect()
-    )
-    c1, c2 = days[len(days) // 3], days[2 * len(days) // 3]
+    # tercile cutoffs on the raw timestamps (day indexing raised on
+    # <3 distinct days and let degenerate slices pass the verdict
+    # vacuously — r8 self-review); the non-empty guard below makes a
+    # boundary-free drain a LOUD failure, never a trivially-true row
+    [(lo, hi)] = ev.agg(F.min("ts"), F.max("ts")).collect()
+    if lo is None or lo == hi:
+        raise ValueError(
+            "stream_scd2_merge needs a time-spanning events table to "
+            "exercise cross-batch boundaries; got a degenerate range"
+        )
+    c1 = lo + (hi - lo) / 3
+    c2 = lo + 2 * (hi - lo) / 3
     slices = [
-        ev.where(F.to_date("ts") < F.lit(c1)),
-        ev.where((F.to_date("ts") >= F.lit(c1)) & (F.to_date("ts") < F.lit(c2))),
-        ev.where(F.to_date("ts") >= F.lit(c2)),
+        ev.where(F.col("ts") < F.lit(c1)),
+        ev.where((F.col("ts") >= F.lit(c1)) & (F.col("ts") < F.lit(c2))),
+        ev.where(F.col("ts") >= F.lit(c2)),
     ]
+    if any(sl.limit(1).count() == 0 for sl in slices):
+        raise ValueError(
+            "stream_scd2_merge produced an empty time slice — the "
+            "multi-batch verdict would be vacuous; widen the input"
+        )
     root = tempfile.mkdtemp(prefix="scd2_merge_")
     try:
         delta_dir = f"{root}/delta"

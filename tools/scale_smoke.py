@@ -84,6 +84,9 @@ QUERIES = [
     # inverse-CDF — earn standing 10x rows from birth
     "supplier_pagerank",
     "exact_percentiles",
+    # r8 (continued): the user-keyed window heavies at 10x events
+    "scd2_user_segments",
+    "markov_transition_matrix",
 ]
 
 
