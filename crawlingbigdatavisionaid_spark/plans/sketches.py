@@ -34,7 +34,10 @@ _CMS_D = 4                  # count-min depth (rows)
 # The crawl-store dedup key for the events table: at sf0.01 the decile
 # split yields 8,482 distinct store keys vs 990 batch keys of which 117
 # are true duplicates — a realistic re-crawl mix of revisits and news.
-_KEY_SQL = "concat(user_id, ':', event_type, ':', props)"
+# NULL-safe like _KMV_KEY_SQL below: Spark concat() propagates NULL
+# while DuckDB's skips it, so a NULL props would otherwise hash to
+# nothing on one side and 'user:type:' on the other
+_KEY_SQL = "concat(user_id, ':', event_type, ':', coalesce(props, ''))"
 
 # THE (user, props) sketch key, defined once for the batch KMV query,
 # the streaming theta fold, and both oracles (r8 self-review finding:
@@ -768,14 +771,6 @@ def cms_screening_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _THETA_K = 256  # per-set sample bound, same error regime as _KMV_K
 
-# THE (user, props) sketch key, defined once for the batch KMV query,
-# the streaming theta fold, and both oracles (r8 self-review finding:
-# Spark concat() propagates NULL while DuckDB concat() skips it, and a
-# NULL hash would poison the min-k from opposite ends of the two
-# engines' sort orders — explicit coalesce makes the key NULL-safe and
-# engine-identical; values are unchanged wherever props is non-null)
-_KMV_KEY_SQL = "concat(user_id, ':', coalesce(props, ''))"
-_KMV_KEY_DUCK = "user_id || ':' || COALESCE(props, '')"
 
 
 @register(
