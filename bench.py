@@ -65,6 +65,8 @@ FAMILIES: dict[str, list[str]] = {
         "exact_percentiles",
         "supplier_pagerank",
         "dq_referential_audit",
+        "revenue_trend_ols",
+        "value_equidepth_histogram",
     ],
     # event-time windows, as-of/range joins, JSON extraction
     "windows": [
@@ -164,6 +166,7 @@ FAMILIES: dict[str, list[str]] = {
         "value_drift_psi",
         "quantile_sketch_verdict",
         "markov_transition_matrix",
+        "mg_screening_verdict",
     ],
 }
 

@@ -803,3 +803,117 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("p50", 0.50), ("p90", 0.90), ("p99", 0.99)],
         total_alias="n_rows",
     )
+
+
+@register(
+    "revenue_trend_ols",
+    ops=("OP-AGG-03", "OP-AGG-05"),
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+                       AS BIGINT) AS x,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+            FROM orders GROUP BY 1
+        ), s AS (
+            SELECT COUNT(*) AS n, SUM(x) AS sx,
+                   SUM(x * x) AS sxx,
+                   SUM(CAST(x AS DECIMAL(20,2)) * y) AS sxy,
+                   SUM(y) AS sy
+            FROM daily
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+               ROUND(CAST(sy AS DOUBLE) / n, 2) AS mean_daily_revenue
+        FROM s
+    """,
+)
+def revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ordinary-least-squares revenue trend — the
+    regression a forecast dashboard fits over the daily revenue series:
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with x = days since the
+    epoch of the dataset (1992-01-01) and y = the day's exact-DECIMAL
+    revenue. Every Σ is an exact integer/decimal aggregate (order-
+    invariant), so the only floats are the final two divisions — one
+    each — rounded; the 'train a trend model' step runs as ONE
+    aggregation pass, no iteration, no driver-side math.
+
+    Scale shape: map-side combine into |days| rows, then a 5-column
+    single-row aggregate. 100 TB of orders is still one pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+        .cast("bigint")
+        .alias("x")
+    ).agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("y"))
+    s = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(20,2)") * F.col("y")).alias("sxy"),
+        F.sum("y").alias("sy"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            ),
+            6,
+        ).alias("slope"),
+        F.round(F.col("sy").cast("double") / F.col("n"), 2).alias(
+            "mean_daily_revenue"
+        ),
+    )
+
+
+@register(
+    "value_equidepth_histogram",
+    ops=("OP-AGG-05",),
+    oracle="""
+        WITH r AS (
+            SELECT l_extendedprice AS v,
+                   ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rk,
+                   COUNT(*) OVER () AS n
+            FROM lineitem
+        )
+        SELECT MAX(CASE WHEN rk = CAST(ceil(0.1 * n) AS BIGINT)
+                   THEN v END) AS d1,
+               MAX(CASE WHEN rk = CAST(ceil(0.2 * n) AS BIGINT)
+                   THEN v END) AS d2,
+               MAX(CASE WHEN rk = CAST(ceil(0.3 * n) AS BIGINT)
+                   THEN v END) AS d3,
+               MAX(CASE WHEN rk = CAST(ceil(0.4 * n) AS BIGINT)
+                   THEN v END) AS d4,
+               MAX(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT)
+                   THEN v END) AS d5,
+               MAX(CASE WHEN rk = CAST(ceil(0.6 * n) AS BIGINT)
+                   THEN v END) AS d6,
+               MAX(CASE WHEN rk = CAST(ceil(0.7 * n) AS BIGINT)
+                   THEN v END) AS d7,
+               MAX(CASE WHEN rk = CAST(ceil(0.8 * n) AS BIGINT)
+                   THEN v END) AS d8,
+               MAX(CASE WHEN rk = CAST(ceil(0.9 * n) AS BIGINT)
+                   THEN v END) AS d9
+        FROM r
+    """,
+)
+def value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth (decile) histogram boundaries of the price
+    distribution — what a CBO's column statistics and a partition-range
+    designer both need: the nine cut values splitting the corpus into
+    ten equal-count buckets, exactly. One call into the shared
+    ``operators/rank.inverse_cdf`` (global_rank underneath — no
+    single-task sort; the ``exact_percentiles`` contract reused
+    verbatim for nine cuts instead of three)."""
+    from ..operators.rank import inverse_cdf
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return inverse_cdf(
+        li,
+        "l_extendedprice",
+        [(f"d{i}", i / 10) for i in range(1, 10)],
+    )

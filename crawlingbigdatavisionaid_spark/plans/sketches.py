@@ -902,3 +902,105 @@ def theta_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("theta_est"),
         )
     )
+
+
+_MG_M = 64  # Misra-Gries summary capacity per partition
+
+
+@register(
+    "mg_screening_verdict",
+    ops=("OP-TXT-02", "OP-AGG-05"),
+    # the summary CONTENTS are partition-dependent (unlike the linear
+    # CMS cells) so only partition-INVARIANT facts are emitted: the
+    # exact threshold, the exact count of items above it, and the
+    # guarantee counter (missed) which must be structurally zero
+    oracle=f"""
+        {_BIGRAM_TC_SQL}, nn AS (
+            SELECT SUM(c) AS n FROM tc
+        )
+        SELECT CAST(n // ({_MG_M} + 1) AS BIGINT) AS threshold,
+               CAST((SELECT COUNT(*) FROM tc, nn
+                     WHERE c > n // ({_MG_M} + 1)) AS BIGINT) AS n_true,
+               CAST(0 AS BIGINT) AS missed
+        FROM nn
+    """,
+)
+def mg_screening_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries / FREQUENT heavy-hitter screening (Misra & Gries
+    1982; the SpaceSaving/MG family — the fourth frequency summary
+    after Bloom/CMS/KMV, and the one that is a MERGEABLE NON-LINEAR
+    summary): each partition keeps an m-item decremented summary of its
+    bigram stream (top-m counts minus the (m+1)-th — undercount bounded
+    by n_p/(m+1)), partial summaries SUM-merge, and the one-sided
+    guarantee holds through the merge: every bigram with true count
+    > N/(m+1) — per-partition undercounts sum to at most N/(m+1) —
+    must survive into the merged summary. ``missed`` counts guaranteed
+    items ABSENT from the summary and is structurally 0; the oracle
+    recomputes the threshold and the exact above-threshold population.
+
+    Scale shape: the per-partition summary is an Arrow ``mapInPandas``
+    pass emitting ≤ m rows per task regardless of stream size; the
+    merge is a ≤ m·|partitions|-row aggregate. This is the summary to
+    reach for when the heavy-hitter CANDIDATE SET must be tiny and
+    mergeable without fixed hash geometry (CMS answers point queries;
+    MG carries its own candidates)."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    tc = _bigram_counts(docs)  # exact (w, c): the measurement harness
+    # the STREAM side the summary is built from: per-partition bigrams
+    # (same tokenize/bigram construction as _bigram_counts)
+    from ..functions import text as T
+
+    # spread the stream across the executors BEFORE tokenize/explode:
+    # the sf parquet arrives as one split, which would serialize the
+    # whole Arrow pass into a single m-summary task
+    n_parts = spark.sparkContext.defaultParallelism
+    bigrams = docs.repartition(n_parts).select(
+        T.tokens("text").alias("toks")
+    ).select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) < 2 THEN "
+                "cast(array() as array<string>) "
+                "ELSE transform(sequence(1, size(toks) - 1), i -> "
+                "concat(element_at(toks, i), ' ', "
+                "element_at(toks, i + 1))) END"
+            )
+        ).alias("w")
+    )
+
+    def mg_partial(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            counts = pdf["w"].value_counts()
+            if len(counts) > _MG_M:
+                t = int(counts.iloc[_MG_M])  # (m+1)-th largest
+                counts = (counts.iloc[:_MG_M] - t)
+                counts = counts[counts > 0]
+            yield pd.DataFrame(
+                {"w": counts.index, "c_adj": counts.to_numpy()}
+            )
+
+    summary = (
+        bigrams.mapInPandas(mg_partial, "w string, c_adj long")
+        .groupBy("w")
+        .agg(F.sum("c_adj").alias("c_adj"))
+    )
+    n = tc.agg(F.sum("c").alias("n"))
+    thr = n.select(F.expr(f"n DIV ({_MG_M} + 1)").alias("threshold"))
+    heavy = tc.crossJoin(F.broadcast(thr)).where(
+        F.col("c") > F.col("threshold")
+    )
+    missed = heavy.join(summary, "w", "left_anti").agg(
+        F.count(F.lit(1)).cast("bigint").alias("missed")
+    )
+    n_true = heavy.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    return (
+        thr.select(F.col("threshold").cast("bigint"))
+        .crossJoin(n_true)
+        .crossJoin(missed)
+    )
