@@ -307,25 +307,31 @@ _BIGRAM_TC_SQL = """
         )"""
 
 
-def _bigram_counts(docs: DataFrame) -> DataFrame:
-    """(w, c) token-BIGRAM counts over a (doc_id, text) table."""
+def _bigram_stream(docs: DataFrame) -> DataFrame:
+    """One ``w`` row per token-BIGRAM occurrence over a (doc_id, text)
+    table — THE single definition of the bigram population (the module
+    header's 'one place to fix tokenization/bigram edges' invariant):
+    the exact counts, the CMS builds, and the Misra-Gries stream all
+    derive from this, so they can never count different bigrams."""
     from ..functions import text as T
 
-    return (
-        docs.select(T.tokens("text").alias("toks"))
-        .select(
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(toks) < 2 THEN "
-                    "cast(array() as array<string>) "
-                    "ELSE transform(sequence(1, size(toks) - 1), i -> "
-                    "concat(element_at(toks, i), ' ', "
-                    "element_at(toks, i + 1))) END"
-                )
-            ).alias("w")
-        )
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
+    return docs.select(T.tokens("text").alias("toks")).select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) < 2 THEN "
+                "cast(array() as array<string>) "
+                "ELSE transform(sequence(1, size(toks) - 1), i -> "
+                "concat(element_at(toks, i), ' ', "
+                "element_at(toks, i + 1))) END"
+            )
+        ).alias("w")
+    )
+
+
+def _bigram_counts(docs: DataFrame) -> DataFrame:
+    """(w, c) token-BIGRAM counts over a (doc_id, text) table."""
+    return _bigram_stream(docs).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
     )
 
 
@@ -907,6 +913,34 @@ def theta_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MG_M = 64  # Misra-Gries summary capacity per partition
 
 
+def _char_bigram_stream(docs: DataFrame) -> DataFrame:
+    """One ``w`` row per within-token CHARACTER-bigram occurrence — the
+    Misra-Gries demo stream: unlike this corpus' deliberately-uniform
+    word unigrams (31 types) and near-flat word bigrams (max count
+    under N/(m+1) at test scale), char bigrams are Zipf-ish (82 types,
+    top ~5% of mass), so the summary's cut path actually fires AND the
+    above-threshold population is non-empty. THE single definition —
+    the exact harness counts and the summary stream both derive from
+    it, so they can never count different populations. The len<2 CASE
+    guard matters: Spark's sequence(1, 0) is DESCENDING (the winnowing
+    lesson), so 1-char tokens would emit phantom grams without it."""
+    from ..functions import text as T
+
+    return (
+        docs.select(F.explode(T.tokens("text")).alias("t"))
+        .select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN length(t) < 2 THEN "
+                    "cast(array() as array<string>) "
+                    "ELSE transform(sequence(1, length(t) - 1), i -> "
+                    "substring(t, i, 2)) END"
+                )
+            ).alias("w")
+        )
+    )
+
+
 @register(
     "mg_screening_verdict",
     ops=("OP-TXT-02", "OP-AGG-05"),
@@ -915,7 +949,16 @@ _MG_M = 64  # Misra-Gries summary capacity per partition
     # exact threshold, the exact count of items above it, and the
     # guarantee counter (missed) which must be structurally zero
     oracle=f"""
-        {_BIGRAM_TC_SQL}, nn AS (
+        WITH t AS (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+            FROM documents WHERE text IS NOT NULL
+        ), cb AS (
+            SELECT substring(tok, i, 2) AS w
+            FROM t, LATERAL unnest(
+                generate_series(1, greatest(len(tok) - 1, 0))) AS u(i)
+        ), tc AS (
+            SELECT w, COUNT(*) AS c FROM cb GROUP BY w
+        ), nn AS (
             SELECT SUM(c) AS n FROM tc
         )
         SELECT CAST(n // ({_MG_M} + 1) AS BIGINT) AS threshold,
@@ -930,59 +973,60 @@ def mg_screening_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     1982; the SpaceSaving/MG family — the fourth frequency summary
     after Bloom/CMS/KMV, and the one that is a MERGEABLE NON-LINEAR
     summary): each partition keeps an m-item decremented summary of its
-    bigram stream (top-m counts minus the (m+1)-th — undercount bounded
-    by n_p/(m+1)), partial summaries SUM-merge, and the one-sided
-    guarantee holds through the merge: every bigram with true count
-    > N/(m+1) — per-partition undercounts sum to at most N/(m+1) —
-    must survive into the merged summary. ``missed`` counts guaranteed
-    items ABSENT from the summary and is structurally 0; the oracle
-    recomputes the threshold and the exact above-threshold population.
+    char-bigram stream — batches fold into ONE running summary per
+    task (merge = add counts, cut at the (m+1)-th largest; undercounts
+    telescope to <= n_partition/(m+1), Agarwal et al. 2013, so a task
+    emits <= m rows no matter how many Arrow batches stream through).
+    Partial summaries SUM-merge (<= m x |partitions| rows) and the
+    one-sided guarantee survives the merge: every item with true count
+    > N/(m+1) must be present. ``missed`` counts guaranteed items
+    ABSENT from the summary and is structurally 0; the oracle
+    recomputes the threshold and the exact above-threshold population
+    (17 char-bigrams at sf0.01 — non-vacuous by construction, see
+    :func:`_char_bigram_stream`).
 
-    Scale shape: the per-partition summary is an Arrow ``mapInPandas``
-    pass emitting ≤ m rows per task regardless of stream size; the
-    merge is a ≤ m·|partitions|-row aggregate. This is the summary to
-    reach for when the heavy-hitter CANDIDATE SET must be tiny and
-    mergeable without fixed hash geometry (CMS answers point queries;
-    MG carries its own candidates)."""
+    This is the summary to reach for when the heavy-hitter CANDIDATE
+    SET must be tiny and mergeable without fixed hash geometry (CMS
+    answers point queries; MG carries its own candidates)."""
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull()
     )
-    tc = _bigram_counts(docs)  # exact (w, c): the measurement harness
-    # the STREAM side the summary is built from: per-partition bigrams
-    # (same tokenize/bigram construction as _bigram_counts)
-    from ..functions import text as T
-
+    # exact (w, c): the measurement harness — checkpointed because the
+    # threshold scalar, the heavy set, and the verdict all derive from
+    # it (the store/fp checkpoint convention above)
+    tc = (
+        _char_bigram_stream(docs)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     # spread the stream across the executors BEFORE tokenize/explode:
     # the sf parquet arrives as one split, which would serialize the
     # whole Arrow pass into a single m-summary task
     n_parts = spark.sparkContext.defaultParallelism
-    bigrams = docs.repartition(n_parts).select(
-        T.tokens("text").alias("toks")
-    ).select(
-        F.explode(
-            F.expr(
-                "CASE WHEN size(toks) < 2 THEN "
-                "cast(array() as array<string>) "
-                "ELSE transform(sequence(1, size(toks) - 1), i -> "
-                "concat(element_at(toks, i), ' ', "
-                "element_at(toks, i + 1))) END"
-            )
-        ).alias("w")
-    )
+    bigrams = _char_bigram_stream(docs.repartition(n_parts))
 
     def mg_partial(it):
+        # ONE summary per PARTITION: Arrow hands the stream over as
+        # many batches, and a summary per batch would emit
+        # m x ceil(rows/arrow_batch) rows (r8 third-review finding) —
+        # fold every batch into a running m-item summary instead
+        acc = None
         for pdf in it:
             if len(pdf) == 0:
                 continue
             counts = pdf["w"].value_counts()
-            if len(counts) > _MG_M:
-                t = int(counts.iloc[_MG_M])  # (m+1)-th largest
-                counts = (counts.iloc[:_MG_M] - t)
-                counts = counts[counts > 0]
+            acc = counts if acc is None else acc.add(counts, fill_value=0)
+            if len(acc) > _MG_M:
+                acc = acc.sort_values(ascending=False)
+                t = int(acc.iloc[_MG_M])
+                acc = acc.iloc[:_MG_M] - t
+                acc = acc[acc > 0]
+        if acc is not None and len(acc):
             yield pd.DataFrame(
-                {"w": counts.index, "c_adj": counts.to_numpy()}
+                {"w": acc.index, "c_adj": acc.astype("int64").to_numpy()}
             )
 
     summary = (
@@ -990,17 +1034,27 @@ def mg_screening_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.sum("c_adj").alias("c_adj"))
     )
-    n = tc.agg(F.sum("c").alias("n"))
-    thr = n.select(F.expr(f"n DIV ({_MG_M} + 1)").alias("threshold"))
+    thr = tc.agg(F.sum("c").alias("n")).select(
+        F.expr(f"n DIV ({_MG_M} + 1)").alias("threshold")
+    )
     heavy = tc.crossJoin(F.broadcast(thr)).where(
         F.col("c") > F.col("threshold")
     )
-    missed = heavy.join(summary, "w", "left_anti").agg(
-        F.count(F.lit(1)).cast("bigint").alias("missed")
+    # one pass over the heavy set: membership left-join carries both
+    # the population count and the guarantee counter (coalesced so an
+    # empty heavy set reads 0, never NULL)
+    verdict = (
+        heavy.join(
+            summary.select("w", F.lit(True).alias("in_summary")), "w", "left"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_true"),
+            F.coalesce(
+                F.sum(F.when(F.col("in_summary").isNull(), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("missed"),
+        )
     )
-    n_true = heavy.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
-    return (
-        thr.select(F.col("threshold").cast("bigint"))
-        .crossJoin(n_true)
-        .crossJoin(missed)
-    )
+    return thr.select(F.col("threshold").cast("bigint")).crossJoin(verdict)
