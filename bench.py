@@ -167,6 +167,7 @@ FAMILIES: dict[str, list[str]] = {
         "quantile_sketch_verdict",
         "markov_transition_matrix",
         "mg_screening_verdict",
+        "type_value_percentiles_exact",
     ],
 }
 

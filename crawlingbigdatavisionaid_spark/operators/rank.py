@@ -131,3 +131,69 @@ def inverse_cdf(
         for a, p in cuts
     ]
     return ranked.where(hit_cond).agg(*aggs)
+
+
+def grouped_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    alias: str = "rank",
+    total_alias: str | None = None,
+) -> DataFrame:
+    """``ROW_NUMBER() OVER (PARTITION BY group ORDER BY ...)`` for FEW,
+    HUGE groups — the regime where the plain keyed window is itself a
+    scale trap: with a handful of groups and billions of rows each,
+    every group's full sort lands in ONE task (the ``kmv`` lesson, but
+    for arbitrary ranks where WindowGroupLimit's top-k pushdown cannot
+    apply). Same machinery as :func:`global_rank`, group-aware:
+
+    1. ``repartitionByRange`` on (group ++ order) — each group's rows
+       span a contiguous RUN of range partitions, sorted across them;
+    2. per-(group, partition) ``row_number`` — bounded by the
+       partition, and the window key now contains ``_pid``, so no task
+       ever holds a whole group;
+    3. per-(group, partition) counts get an exclusive running offset
+       WITHIN their group (a window over at most |partitions| rows per
+       group — the offsets table is |groups| x |partitions| and is
+       computed distributively, never collected), broadcast back.
+
+    For HIGH-cardinality groups (per-group data fits a task) use the
+    plain keyed window instead — this operator's offsets table scales
+    with |groups| x |partitions|. Ranks are exact and
+    partitioning-invariant under a TOTAL per-group order (include a
+    tie-breaker), same contract as :func:`global_rank`;
+    ``total_alias`` attaches the group's row count for rank-derived
+    statistics (percentile cuts, NTILE)."""
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    parts = df.repartitionByRange(
+        n_parts, *group_cols, *order_cols
+    ).withColumn("_pid", F.spark_partition_id())
+    w_in = Window.partitionBy(*group_cols, "_pid").orderBy(*order_cols)
+    local = parts.withColumn("_rn", F.row_number().over(w_in)).localCheckpoint(
+        eager=False
+    )
+    cnts = local.groupBy(*group_cols, "_pid").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cnts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
+    )
+    if total_alias:
+        totals = cnts.groupBy(*group_cols).agg(
+            F.sum("_cnt").cast("bigint").alias(total_alias)
+        )
+    offs = offs.drop("_cnt")
+    out = (
+        local.join(F.broadcast(offs), [*group_cols, "_pid"])
+        .withColumn(alias, (F.col("_rn") + F.col("_off")).cast("bigint"))
+        .drop("_pid", "_rn", "_off")
+    )
+    if total_alias:
+        out = out.join(F.broadcast(totals), group_cols)
+    return out

@@ -893,3 +893,65 @@ def markov_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_trans",
         F.round(F.lit(1.0) * F.col("n_trans") / F.col("n_from"), 6).alias("p"),
     )
+
+
+@register(
+    "type_value_percentiles_exact",
+    ops=("OP-AGG-01", "OP-AGG-05"),
+    # value-at-rank is tie-safe (equal ranks carry equal values), so a
+    # per-type ROW_NUMBER over the value alone is a sound oracle
+    oracle="""
+        WITH r AS (
+            SELECT event_type, value AS v,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY value) AS rk,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_rows,
+               MAX(CASE WHEN rk = CAST(ceil(0.50 * n) AS BIGINT)
+                   THEN v END) AS p50,
+               MAX(CASE WHEN rk = CAST(ceil(0.90 * n) AS BIGINT)
+                   THEN v END) AS p90,
+               MAX(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT)
+                   THEN v END) AS p99
+        FROM r GROUP BY event_type
+    """,
+)
+def type_value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group inverse-CDF percentiles for the few-huge-groups
+    regime: with a handful of event types and billions of rows each, a
+    plain ``PARTITION BY event_type ORDER BY value`` window sorts every
+    type inside ONE task — the same degradation the KMV fix killed, but
+    for arbitrary ranks where no WindowGroupLimit pushdown can apply.
+    ``operators/rank.grouped_rank`` spreads each type's sort across
+    range partitions and reassembles exact per-type ranks from
+    per-(type, partition) offsets, so the value at rank ceil(p·n_type)
+    is read off a distributed plan. The interpolating
+    ``value_percentiles_by_type`` twin keeps the aggregate form; this
+    one is the order-statistics (percentile_disc) semantics at scale."""
+    from ..operators.rank import grouped_rank
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ranked = grouped_rank(
+        ev.select("event_type", F.col("value").alias("v")),
+        ["event_type"],
+        ["v"],
+        alias="rk",
+        total_alias="n",
+    )
+    cut = lambda p: F.ceil(F.lit(p) * F.col("n"))  # noqa: E731
+    hit = ranked.where(
+        (F.col("rk") == cut(0.50))
+        | (F.col("rk") == cut(0.90))
+        | (F.col("rk") == cut(0.99))
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(F.col("rk") == cut(p), F.col("v"))
+    )
+    return hit.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        pick(0.50).alias("p50"),
+        pick(0.90).alias("p90"),
+        pick(0.99).alias("p99"),
+    )

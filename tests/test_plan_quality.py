@@ -399,3 +399,29 @@ def test_theta_intersection_min_k_is_two_phase(spark, sf_dir):
     plan = _plan(spark, sf_dir, "theta_intersection_users")
     assert "row_number(), 256, Partial" in plan, plan
     assert "row_number(), 256, Final" in plan, plan
+
+
+def test_doc_keywords_topk_is_two_phase_window_group_limit(spark, sf_dir):
+    """The per-doc top-3 must plan as the two-phase WindowGroupLimit
+    (rank-only window — the kmv plan shape), not a full per-doc sort."""
+    plan = _plan(spark, sf_dir, "doc_keywords_tfidf")
+    assert "row_number(), 3, Partial" in plan, plan
+    assert "row_number(), 3, Final" in plan, plan
+
+
+def test_type_percentiles_have_no_per_group_full_sort_window(spark, sf_dir):
+    """grouped_rank's contract in the plan: every window is keyed by
+    (group, _pid) — never PARTITION BY event_type alone, which funnels
+    each type's billions of rows into one task (the arbitrary-rank case
+    WindowGroupLimit cannot save)."""
+    plan = _plan(spark, sf_dir, "type_value_percentiles_exact")
+    assert "SinglePartition" not in plan
+    # the rank lives in the checkpoint segment; the final plan reads it
+    assert "Scan ExistingRDD" in plan
+    # the ONLY window the final plan may carry is grouped_rank's offset
+    # cumsum — ordered by _pid over |partitions|-sized groups; a
+    # corpus-sized per-type sort would order by the value column
+    win_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win_lines, "offset window missing"
+    for l in win_lines:
+        assert "_pid" in l and "v#" not in l, l

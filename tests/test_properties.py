@@ -298,3 +298,40 @@ def test_global_rank_total_alias_matches_count(spark):
     assert sorted(r.r for r in rows) == list(range(1, 38))
     empty = spark.createDataFrame([], "id long, v long")
     assert global_rank(empty, ["v", "id"], "r", total_alias="n").count() == 0
+
+
+def test_grouped_rank_equals_plain_keyed_window(spark):
+    """operators/rank.grouped_rank must be BIT-IDENTICAL to
+    ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, id) under a total
+    per-group order, across group counts/sizes that hit empty groups,
+    single-row groups, groups larger than the partition count, and a
+    group run spanning partition boundaries; total_alias must equal
+    each group's row count."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from crawlingbigdatavisionaid_spark.operators.rank import grouped_rank
+
+    rng = random.Random(23)
+    for n_rows, n_groups in ((0, 1), (1, 1), (40, 2), (97, 3), (200, 5)):
+        rows = [
+            (i, rng.randrange(0, n_groups), rng.randrange(0, 9))
+            for i in range(n_rows)
+        ]
+        df = spark.createDataFrame(rows, "id long, g long, v long")
+        w = Window.partitionBy("g").orderBy("v", "id")
+        plain = {
+            r.id: r.rank
+            for r in df.select(
+                "id", F.row_number().over(w).alias("rank")
+            ).collect()
+        }
+        out = grouped_rank(df, ["g"], ["v", "id"], alias="rank",
+                           total_alias="n")
+        got = {r.id: r.rank for r in out.collect()}
+        assert got == plain, (n_rows, n_groups)
+        sizes = {r.g: r.cnt for r in df.groupBy("g").agg(
+            F.count(F.lit(1)).alias("cnt")).collect()}
+        assert all(r.n == sizes[r.g] for r in out.collect())

@@ -87,6 +87,7 @@ QUERIES = [
     # r8 (continued): the user-keyed window heavies at 10x events
     "scd2_user_segments",
     "markov_transition_matrix",
+    "type_value_percentiles_exact",
 ]
 
 
