@@ -39,87 +39,111 @@ QUERIES: dict[str, QuerySpec] = {}
 # module-import order after the pinned block.  ``tests/test_registry.py``
 # asserts every SURVEY.md §2 OP-ID has a representative in the first 50.
 #
-# Round-8 rotation (judge r7 next-round #1): seats assigned by STALENESS
+# Round-9 rotation (judge r8 next-round #1): seats assigned by STALENESS
 # — last driver-checked round per query computed from the union of
-# CORRECTNESS_r01-r07 keys.  Seated: ALL 42 never-driver-checked r7
-# additions (each oracle-PASS in the judge's own r7 verify run — the
-# TPC-H back-half, the sketch tier, the LM tier, chunk_dedup_rebuild,
-# gopher/BPE-encode, PQ + the three streaming verdicts, the r7 analytics
-# block, 42 = exactly the judge's list), then a greedy 8-seat coverage
-# repair so every OP-ID keeps a window representative
-# (tests/test_registry.py asserts this): html_extraction (EXT-01..07,
-# SRC-01/02, STR-02), project_with_default (PRJ-01/02, SRC-03),
-# word_topk (FLT-01, TXT-03), ingest_observed_metrics (SRC-04, STR-03),
-# timeline_gapfill (FLT-02, GAP-01), latest_ingested (TOPK-02),
-# json_k_stats_by_type (X-JSON-01, r5-stale), multimodal_decode_audio
-# (X-MM-01, r5-stale).  42 + 8 = 50 exactly; every seat is
-# oracle-backed (no rows-only exception this round — bpe_merge_rounds
-# got its rows-only driver row in r7).  Remaining stale for r9: the 5
-# deferred r4 plain-OLAP entries (customer_order_counts,
-# order_priority_monthly, part_type_stats, supplier_nation_balance,
-# parts_above_type_average), the r5 block, the rows-only sketch twins
-# (dedup_minhash_lsh r3, dedup_simhash/ann_lsh_topk/ann_ivf_topk/
-# stream_neardup_minhash r3-r4 — each has an oracle-pinned exact twin
-# already driver-green), plus any queries registered after this
-# rotation.
+# CORRECTNESS_r01-r08 keys.  Seated, in order:
+#   (a) ALL 20 never-driver-checked r8 additions (each oracle-PASS in the
+#       judge's own r8 verify run) — PageRank, theta intersection, SCD2
+#       batch+streaming, delta-join MV, the exact-percentile tier,
+#       PSI/OLS/MG, BM25, cohort/markov/keywords, repetition filter, and
+#       the two streaming sketch folds;
+#   (b) the 5 deferred-since-r4 plain-OLAP entries the r8 comment named
+#       (customer_order_counts, order_priority_monthly, part_type_stats,
+#       supplier_nation_balance, parts_above_type_average);
+#   (c) a greedy 6-seat OP-ID coverage repair so every SURVEY §2 OP-ID
+#       keeps a window representative (tests/test_registry.py asserts
+#       this): html_extraction (EXT-01..07, SRC-01/02, STR-02),
+#       project_with_default (PRJ-01/02, SRC-03), word_topk (FLT-01,
+#       TXT-03), ingest_observed_metrics (SRC-04, STR-03),
+#       timeline_gapfill (FLT-02, GAP-01), latest_ingested (TOPK-02),
+#       plus dedup_ensemble_audit / domain_mix_weights /
+#       incremental_ingest_dedup / json_props_typed_struct /
+#       multimodal_decode_video / ann_brute_force_topk_np from the r5
+#       block for OP-X-DEDUP-02 / OP-AGG-02 / OP-DEDUP-01 / OP-X-JSON-01
+#       / OP-X-MM-01 / OP-X-SIM-01;
+#   (d) the 13 alphabetically-first remaining r5-stale queries.
+# 20 + 5 + 12 + 13 = 50 exactly; every seat is oracle-backed.
+#
+# Rows-only disposition (judge r8 next-round #7): the six rows-only
+# registrations (dedup_minhash_lsh, dedup_simhash, ann_lsh_topk,
+# ann_ivf_topk, stream_neardup_minhash, bpe_merge_rounds) are hereby
+# marked PERMANENTLY TWIN-CARRIED: each has an oracle-pinned exact twin
+# (dedup_minhash_recall, dedup_simhash_recall, ann_lsh_recall,
+# ann_ivf_recall, stream_neardup_recall, bpe_top_merges) that the
+# rotation DOES seat on the normal staleness schedule, and the pytest
+# suite pins the probabilistic variant against its exact twin.  They are
+# excluded from future staleness bookkeeping; this comment is the
+# recorded disposition.
+#
+# Remaining stale for r10: the 21 r5-block queries not seated this round
+# (embedding_centroids_by_label, embedding_norms, embedding_quantize_int8,
+# incremental_minhash_recall, lang_temperature_weights, pseudonymize_users,
+# repetition_signals, semdedup_greedy_audit, span_dedup_stats,
+# stratified_sample_by_lang, stream_incremental_neardup,
+# stream_multimodal_decode, stream_neardup_recall, stream_quality_filter,
+# token_rarity_score, top_customers, total_count,
+# users_without_orders_except, value_dispersion_by_type,
+# value_stats_by_type, window_sliding_1h_30m), then the r6 block, plus
+# any queries registered after this rotation.
 _PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked: r7 analytics / incremental block
-    "daily_anomaly_days",
-    "event_funnel_counts",
-    "weekly_change_report",
-    "customer_rfm_segments",
-    "basket_type_lift",
-    "weighted_sample_aes",
-    "incremental_mv_daily",
-    "hll_partial_merge",
-    # --- never driver-checked: dedup / similarity additions
-    "chunk_dedup_rebuild",
-    "ann_pq_persisted_recall",
-    "ann_hard_negatives",
-    "semdedup_threshold_sweep",
-    # --- never driver-checked: sketch tier
-    "bloom_dedup_probe",
-    "cms_heavy_hitters",
-    "cms_screening_verdict",
-    "winnow_fingerprint_pairs",
-    "kmv_distinct_sketch",
-    # --- never driver-checked: TPC-H back-half
-    "q2_best_supplier",
-    "q4_late_ship_priority",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_item_ranking",
-    "q11_important_parts",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_variety",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_excess_shippers",
-    # --- never driver-checked: streaming verdicts
-    "stream_pq_probe",
-    "stream_bloom_probe",
-    "stream_mv_maintenance",
-    # --- never driver-checked: LM / text-quality tier
-    "lm_bigram_nll",
-    "lm_quality_buckets",
-    "lm_trigram_backoff",
-    "gopher_quality_filter",
-    "bpe_encode_by_lang",
-    "vocab_growth_deciles",
-    "lang_id_confusion",
-    "bigram_pmi_topk",
-    # --- coverage repair (OP-IDs nothing above covers; stalest eligible)
+    # --- never driver-checked: r8 exact-percentile / rank tier
+    "exact_percentiles",
+    "type_value_percentiles_exact",
+    "value_equidepth_histogram",
+    "quantile_sketch_verdict",
+    # --- never driver-checked: r8 sketch / set-algebra tier
+    "theta_intersection_users",
+    "mg_screening_verdict",
+    "value_drift_psi",
+    # --- never driver-checked: r8 graph / incremental tier
+    "supplier_pagerank",
+    "scd2_user_segments",
+    "incremental_join_mv",
+    # --- never driver-checked: r8 streaming folds
+    "stream_cms_merge",
+    "stream_theta_merge",
+    "stream_scd2_merge",
+    # --- never driver-checked: r8 analytics / retrieval tier
+    "cohort_retention",
+    "markov_transition_matrix",
+    "dq_referential_audit",
+    "revenue_trend_ols",
+    "repetition_ngram_filter",
+    "bm25_topk",
+    "doc_keywords_tfidf",
+    # --- deferred-since-r4 plain OLAP
+    "customer_order_counts",
+    "order_priority_monthly",
+    "part_type_stats",
+    "supplier_nation_balance",
+    "parts_above_type_average",
+    # --- OP-ID coverage repair (stalest eligible representative per op)
     "html_extraction",
     "project_with_default",
     "word_topk",
     "ingest_observed_metrics",
     "timeline_gapfill",
     "latest_ingested",
-    "json_k_stats_by_type",
-    "multimodal_decode_audio",
+    "dedup_ensemble_audit",
+    "domain_mix_weights",
+    "incremental_ingest_dedup",
+    "json_props_typed_struct",
+    "multimodal_decode_video",
+    "ann_brute_force_topk_np",
+    # --- r5-stale block (alphabetical)
+    "ann_filtered_topk",
+    "ann_ivf_recall",
+    "ann_lsh_recall",
+    "boilerplate_phrases",
+    "bpe_token_count",
+    "bpe_top_merges",
+    "dedup_cluster_stats",
+    "dedup_containment",
+    "dedup_minhash_recall",
+    "dedup_simhash_recall",
+    "deterministic_doc_split",
+    "doc_chunks",
+    "doc_first_tokens",
 )
 
 
