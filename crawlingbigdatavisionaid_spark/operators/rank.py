@@ -95,6 +95,29 @@ def ntile_expr(rank: Column, n_rows: Column, n: int) -> Column:
     )
 
 
+def exact_cut(p: float, n: Column) -> Column:
+    """``ceil(p * n)`` as an EXACT integer rank (r8 advice closure).
+
+    The old form ``F.ceil(F.lit(p) * n)`` multiplied by a DOUBLE
+    literal while the DuckDB oracles evaluate ``ceil(0.90 * n)`` in
+    exact DECIMAL — the integer rank was decided by a float on one
+    engine only, a latent cross-engine off-by-one under the repo's
+    bit-exact contract. Here ``p`` is taken as the exact rational its
+    decimal literal spells (``0.9`` → 9/10 via ``Fraction(str(p))``)
+    and the rank is computed as ``(num*n + den - 1) div den`` entirely
+    in DECIMAL(38,0) arithmetic — exact for any table Spark can hold,
+    and identical by construction to DECIMAL ``ceil(p * n)``."""
+    from fractions import Fraction
+
+    fr = Fraction(str(p))
+    num, den = fr.numerator, fr.denominator
+    x = (
+        F.lit(num).cast("decimal(38,0)") * n.cast("decimal(38,0)")
+        + F.lit(den - 1)
+    )
+    return F.floor(x / F.lit(den)).cast("bigint")
+
+
 def inverse_cdf(
     df: DataFrame,
     value_col: str,
@@ -118,7 +141,7 @@ def inverse_cdf(
         alias="rk",
         total_alias="n",
     )
-    cut = lambda p: F.ceil(F.lit(p) * F.col("n"))  # noqa: E731
+    cut = lambda p: exact_cut(p, F.col("n"))  # noqa: E731
     hit_cond = None
     for _, p in cuts:
         c = F.col("rk") == cut(p)

@@ -930,7 +930,7 @@ def type_value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     is read off a distributed plan. The interpolating
     ``value_percentiles_by_type`` twin keeps the aggregate form; this
     one is the order-statistics (percentile_disc) semantics at scale."""
-    from ..operators.rank import grouped_rank
+    from ..operators.rank import exact_cut, grouped_rank
 
     ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     ranked = grouped_rank(
@@ -940,7 +940,7 @@ def type_value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         alias="rk",
         total_alias="n",
     )
-    cut = lambda p: F.ceil(F.lit(p) * F.col("n"))  # noqa: E731
+    cut = lambda p: exact_cut(p, F.col("n"))  # noqa: E731
     hit = ranked.where(
         (F.col("rk") == cut(0.50))
         | (F.col("rk") == cut(0.90))

@@ -21,12 +21,14 @@ Design notes for 100 TB:
 from __future__ import annotations
 
 import contextlib
+import fcntl
 import glob
 import math
 import os
 import shutil
 import time
 import uuid
+from urllib.parse import unquote, urlparse
 
 
 def local_store_path(path: str) -> str:
@@ -37,18 +39,31 @@ def local_store_path(path: str) -> str:
     loudly — the marker protocol is the plain-LOCAL-parquet stand-in,
     and a remote store should swap :func:`~.merge.merge_append`'s body
     for the table format's MERGE (see sources/merge.py:1) rather than
-    run markers that os.open can't place."""
-    if "://" in path:
-        scheme, rest = path.split("://", 1)
-        if scheme != "file":
+    run markers that os.open can't place.
+
+    Parsed with ``urllib.parse`` (r8 advice): the old ``split('://')``
+    normalization turned ``file://localhost/tmp/store`` into
+    ``/localhost/tmp/store``, so the mutex/marker files landed in a
+    nonexistent directory while Spark read/wrote the real store —
+    silently disabling the multi-writer protocol for that legal
+    spelling. An empty or ``localhost`` authority is local; any other
+    authority is some REMOTE file service and is refused like a remote
+    scheme rather than guessed at."""
+    if "://" in path or path.startswith("file:"):
+        u = urlparse(path)
+        if u.scheme != "file":
             raise NotImplementedError(
-                f"marker protocol needs a local store, got {scheme}://  — "
+                f"marker protocol needs a local store, got {u.scheme}://  — "
                 "use a transactional table format (MERGE seam, "
                 "sources/merge.py) for remote stores"
             )
-        return "/" + rest.lstrip("/") if not rest.startswith("/") else rest
-    if path.startswith("file:"):
-        return path[len("file:"):]
+        if u.netloc not in ("", "localhost"):
+            raise NotImplementedError(
+                f"file URI with non-local authority {u.netloc!r} — the "
+                "marker protocol can only coordinate writers through the "
+                "local filesystem"
+            )
+        return unquote(u.path) or "/"
     return path
 
 
@@ -97,50 +112,70 @@ def _heartbeat(stop, f: str) -> None:
             os.utime(f)
 
 
-def _break_if_stale(f: str, stale_s: float | None = None) -> bool:
+@contextlib.contextmanager
+def _arbiter(f: str):
+    """flock-exclusive section serializing stale-break and O_EXCL
+    creation of the fixed-name lock ``f`` (r8 advice closure).
+
+    The r8 rename-then-verify break still had a residue: a waiter whose
+    mtime check raced an owner's unlock could rename a JUST-RECREATED
+    live lock, and between that rename and the ``os.link`` restore a
+    third waiter could O_EXCL-create — leaving two writers inside the
+    mutex. Serializing {stale-check + remove} and {O_EXCL create}
+    through a kernel flock on a persistent sidecar makes the break
+    decision and the creation mutually atomic: a breaker can never
+    observe-then-remove a lock that a creator is concurrently minting,
+    so a LIVE lock can never be destroyed. flock is crash-safe (the
+    kernel drops it with the fd) and valid here by construction — the
+    protocol is already local-filesystem-only (:func:`local_store_path`
+    refuses remote stores). The sidecar is named to break the
+    ``._append_*`` marker glob and is a few bytes of permanent residue
+    next to the store (never removed: unlinking it while another
+    process holds the flock would fork the serialization domain)."""
+    d, base = os.path.split(f)
+    side = os.path.join(d, f".breaklock.{base}")
+    fd = os.open(side, os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        os.close(fd)  # releases the flock
+
+
+def _break_if_stale(
+    f: str, stale_s: float | None = None, *, arbitrated: bool = True
+) -> bool:
     """Remove an orphaned lock/marker file; True if it was broken.
 
     ``stale_s`` late-binds to the module's ``STALE_LOCK_S`` so the TTL
     and the heartbeat period stay coupled (tests shrink both together).
 
-    Breaking is ATOMIC via rename-then-verify (r8 self-review finding):
-    the naive getmtime → remove pair let two waiters both observe a
-    stale lock, both "break" it, and both O_EXCL-create — waiter 2's
-    remove deleting waiter 1's FRESH lock, so both entered the critical
-    section the lock guards. Here only ONE waiter's rename of the stale
-    path can succeed (the loser gets FileNotFoundError); the winner
-    re-verifies staleness on ITS private tombstone and, in the sub-ms
-    race where it grabbed a just-recreated LIVE lock instead, restores
-    it with ``os.link`` (which, unlike rename, refuses to clobber a
-    newer lock — the irreducible POSIX residue is a triple-writer race
-    inside that link window, documented here, not silent). The tomb
-    name breaks the ``._append_*`` glob on purpose so a crash-orphaned
-    tomb can never masquerade as a live marker."""
+    Staleness is judged by mtime (both sides heartbeat while live, so
+    only a dead writer's file can exceed the TTL); for the FIXED-NAME
+    locks the check+remove is atomic w.r.t. other breakers AND creators
+    via :func:`_arbiter`. An owner's own ``finally``-unlock may still
+    remove ``f`` between our stat and our remove — harmless: the remove
+    hits FileNotFoundError and no one's live lock is touched (a new
+    lock cannot appear in that window because creators serialize
+    through the same arbiter).
+
+    ``arbitrated=False`` is for uuid-named append MARKERS: each name
+    has exactly one creator ever (no recreation to steal) and only the
+    holder of the exclusive compact lock breaks them, so plain
+    stat+remove is already race-free — and skipping the arbiter avoids
+    minting a permanent sidecar per marker uuid."""
     if stale_s is None:
         stale_s = STALE_LOCK_S
-    try:
-        if time.time() - os.path.getmtime(f) <= stale_s:
+    ctx = _arbiter(f) if arbitrated else contextlib.nullcontext()
+    with ctx:
+        try:
+            if time.time() - os.path.getmtime(f) <= stale_s:
+                return False
+        except FileNotFoundError:
             return False
-    except FileNotFoundError:
-        return False
-    d, base = os.path.split(f)
-    tomb = os.path.join(d, f".tomb.{uuid.uuid4().hex}.{base}")
-    try:
-        os.rename(f, tomb)
-    except FileNotFoundError:
-        return False  # another waiter broke it first — not ours to claim
-    try:
-        still_stale = time.time() - os.path.getmtime(tomb) > stale_s
-    except FileNotFoundError:
-        return False
-    if still_stale:
-        os.remove(tomb)
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(f)
         return True
-    # we stole a LIVE lock recreated mid-race: put it back atomically
-    with contextlib.suppress(FileExistsError):
-        os.link(tomb, f)
-    os.remove(tomb)
-    return False
 
 
 @contextlib.contextmanager
@@ -169,7 +204,8 @@ def append_mutex(path: str, wait_s: float = 600.0, poll_s: float = 0.05):
     while True:
         _break_if_stale(lock)
         try:
-            os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            with _arbiter(lock):  # creation serialized vs breakers
+                os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
             break
         except FileExistsError:
             if time.monotonic() > deadline:
@@ -278,7 +314,8 @@ def compact(
     lock = _compact_lock(path)
     _break_if_stale(lock)
     try:
-        os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        with _arbiter(lock):  # creation serialized vs breakers
+            os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
     except FileExistsError:
         raise WriterConflict(f"compaction already running on {path}") from None
     stop = threading.Event()
@@ -290,7 +327,7 @@ def compact(
             markers = [
                 m
                 for m in glob.glob(_append_marker_glob(path))
-                if not _break_if_stale(m)
+                if not _break_if_stale(m, arbitrated=False)
             ]
             if not markers:
                 break

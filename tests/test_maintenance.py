@@ -382,3 +382,65 @@ def test_stale_lock_break_is_atomic_under_contention(spark, tmp_path, monkeypatc
     assert not errors, errors
     assert not overlaps, overlaps
     assert not os.path.exists(lock)
+
+
+def test_local_store_path_uri_spellings():
+    """r8 ADVICE (low): ``file://localhost/tmp/store`` used to become
+    ``/localhost/tmp/store`` — markers landed in a nonexistent dir
+    while Spark used the real store, silently disabling the
+    multi-writer protocol for that legal spelling."""
+    import pytest
+
+    from crawlingbigdatavisionaid_spark.sources.maintenance import (
+        local_store_path,
+    )
+
+    assert local_store_path("/tmp/store") == "/tmp/store"
+    assert local_store_path("file:/tmp/store") == "/tmp/store"
+    assert local_store_path("file:///tmp/store") == "/tmp/store"
+    assert local_store_path("file://localhost/tmp/store") == "/tmp/store"
+    assert local_store_path("file:///tmp/a%20b") == "/tmp/a b"
+    with pytest.raises(NotImplementedError, match="authority"):
+        local_store_path("file://nfs-head/tmp/store")
+    for remote in ("hdfs://nn/warehouse/t", "s3a://bucket/t"):
+        with pytest.raises(NotImplementedError, match="local store"):
+            local_store_path(remote)
+
+
+def test_break_and_create_serialize_through_arbiter(tmp_path):
+    """r8 ADVICE (low): the rename-then-link-restore break had a
+    three-writer residue where a stolen live lock was silently
+    discarded and two writers entered the mutex. The fix serializes
+    {stale-check + remove} and {O_EXCL create} through a kernel flock
+    sidecar — pin that serialization: while one party holds the
+    arbiter, a breaker can neither observe nor remove the lock, so the
+    old observe-stale-then-remove-recreated-live interleave is
+    impossible by construction."""
+    import os
+    import threading
+    import time as _t
+
+    from crawlingbigdatavisionaid_spark.sources import maintenance
+
+    lock = str(tmp_path / "s._writer_mutex")
+    open(lock, "x").close()
+    old = _t.time() - 5000
+    os.utime(lock, (old, old))
+
+    broke = threading.Event()
+
+    def breaker() -> None:
+        assert maintenance._break_if_stale(lock, 900.0)
+        broke.set()
+
+    with maintenance._arbiter(lock):
+        th = threading.Thread(target=breaker)
+        th.start()
+        _t.sleep(0.4)
+        # breaker is blocked behind the arbiter: the stale lock is
+        # still on disk and the break has not completed
+        assert not broke.is_set()
+        assert os.path.exists(lock)
+    th.join(10)
+    assert broke.is_set()
+    assert not os.path.exists(lock)

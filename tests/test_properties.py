@@ -335,3 +335,35 @@ def test_grouped_rank_equals_plain_keyed_window(spark):
         sizes = {r.g: r.cnt for r in df.groupBy("g").agg(
             F.count(F.lit(1)).alias("cnt")).collect()}
         assert all(r.n == sizes[r.g] for r in out.collect())
+
+
+def test_exact_cut_matches_decimal_ceil_where_float_diverges(spark):
+    """r8 ADVICE (low): ``ceil(p * n)`` with a DOUBLE literal diverges
+    from the oracles' DECIMAL evaluation on adversarial (p, n) — e.g.
+    Python/Java ``0.07 * 100 == 7.000000000000001`` so float-ceil says
+    8 where DECIMAL ceil(0.07 * 100) == 7.  ``exact_cut`` computes the
+    rank as (num*n + den - 1) div den in DECIMAL(38,0); pin it against
+    Fraction arithmetic (== DECIMAL ceil by construction) over a grid
+    that includes the known float-divergent pairs."""
+    import math
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from crawlingbigdatavisionaid_spark.operators.rank import exact_cut
+
+    ps = (0.07, 0.1, 0.29, 0.5, 0.55, 0.9, 0.99, 0.999)
+    ns = (1, 3, 7, 100, 101, 999, 10**6, 10**12, 10**15)
+    # at least one grid point must be float-divergent, else the test
+    # is vacuous
+    assert any(
+        math.ceil(p * n) != math.ceil(Fraction(str(p)) * n)
+        for p in ps
+        for n in ns
+    )
+    df = spark.createDataFrame([(n,) for n in ns], "n long")
+    cols = [exact_cut(p, F.col("n")).alias(f"c{i}") for i, p in enumerate(ps)]
+    for row in df.select("n", *cols).collect():
+        for i, p in enumerate(ps):
+            want = math.ceil(Fraction(str(p)) * row.n)
+            assert row[f"c{i}"] == want, (p, row.n, row[f"c{i}"], want)
