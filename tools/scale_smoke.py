@@ -88,6 +88,10 @@ QUERIES = [
     "scd2_user_segments",
     "markov_transition_matrix",
     "type_value_percentiles_exact",
+    # r9 (judge r8 #5): ranked retrieval and sketch set-algebra were
+    # the two r8 families with no 10x row — standing rows from birth
+    "bm25_topk",
+    "theta_intersection_users",
 ]
 
 
