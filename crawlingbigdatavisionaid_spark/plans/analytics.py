@@ -955,3 +955,70 @@ def type_value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.90).alias("p90"),
         pick(0.99).alias("p99"),
     )
+
+
+@register(
+    "mad_outlier_values",
+    ops=("OP-AGG-05",),
+    oracle="""
+        WITH v AS (SELECT value AS v FROM events WHERE value IS NOT NULL),
+        n AS (SELECT COUNT(*) AS n FROM v),
+        r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rk FROM v),
+        med AS (
+            SELECT MAX(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT)
+                            THEN v END) AS med
+            FROM r, n
+        ),
+        d AS (SELECT ABS(v - med) AS dv FROM v, med),
+        r2 AS (SELECT dv, ROW_NUMBER() OVER (ORDER BY dv) AS rk FROM d),
+        mad AS (
+            SELECT MAX(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT)
+                            THEN dv END) AS mad
+            FROM r2, n
+        )
+        SELECT CAST(n.n AS BIGINT) AS n_rows, med.med AS med, mad.mad AS mad,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM v, med, mad
+                WHERE ABS(v - med) > 3 * mad) AS n_outliers
+        FROM n, med, mad
+    """,
+)
+def mad_outlier_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen on the EXACT median + median absolute
+    deviation (Hampel's rule, |x - med| > 3*MAD) — the outlier gate
+    that, unlike mean/stddev z-scores, is not itself dragged by the
+    outliers it hunts. Both medians are exact order statistics read
+    off ``operators/rank.inverse_cdf`` (range-partitioned global rank,
+    never a single-task sort), the second one over the |x - med|
+    derivation with the 1-row median broadcast onto the scan.
+
+    Determinism: the medians are actual data values (value-at-rank
+    under the shared ceil(p*n) cut), |x - med| and 3*MAD are single
+    IEEE ops — no rounding needed anywhere."""
+    from ..operators.rank import inverse_cdf
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    med = inverse_cdf(
+        ev.select("value"), "value", [("med", 0.5)], total_alias="n_rows"
+    )
+    dev = ev.crossJoin(F.broadcast(med)).select(
+        F.abs(F.col("value") - F.col("med")).alias("dv")
+    )
+    mad = inverse_cdf(dev, "dv", [("mad", 0.5)])
+    return (
+        ev.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .agg(
+            F.max("n_rows").cast("bigint").alias("n_rows"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > F.lit(3) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

@@ -917,3 +917,49 @@ def value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
         [(f"d{i}", i / 10) for i in range(1, 10)],
     )
+
+
+@register(
+    "daily_pivot_unpivot_roundtrip",
+    ops=("OP-AGG-01", "OP-AGG-03"),
+    oracle="""
+        WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+             types AS (SELECT unnest(['click','error','purchase','signup',
+                                      'view']) AS event_type),
+             c AS (SELECT CAST(ts AS DATE) AS day, event_type,
+                          COUNT(*) AS n
+                   FROM events GROUP BY 1, 2)
+        SELECT d.day AS day, t.event_type AS event_type,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        FROM days d CROSS JOIN types t
+        LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+        ORDER BY d.day, t.event_type
+    """,
+)
+def daily_pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide daily matrix of
+    ``daily_event_type_pivot`` back to long form — the missing half of
+    the reshape pair (feature matrices to/from long logs). The
+    roundtrip is NOT the identity: pivot materializes zero cells for
+    (day, type) combos with no events, so the long form is the
+    zero-filled day x type grid — which is exactly what the oracle
+    rebuilds relationally (day spine x type list, left-joined counts).
+
+    Spark's ``unpivot`` is a zero-shuffle Expand (each input row fans
+    out to |value columns| rows map-side) — the same physical shape
+    CUBE uses; at 100 TB the reshape adds no exchange beyond the
+    pivot's own aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .fillna(0, subset=types)
+    )
+    return (
+        wide.unpivot("day", types, "event_type", "n")
+        .select("day", "event_type", F.col("n").cast("bigint").alias("n"))
+        .orderBy("day", "event_type")
+    )

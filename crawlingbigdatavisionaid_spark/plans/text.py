@@ -2080,3 +2080,224 @@ def doc_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 6).alias("score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: source-reliability ranking, character entropy, tokenizer fertility
+# ---------------------------------------------------------------------------
+@register(
+    "wilson_source_quality",
+    ops=("OP-X-TXT-04", "OP-AGG-01"),
+    oracle=f"""
+        WITH g AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN len({_SQL_TOKENS}) >= 5
+                                  AND 2 * len(list_filter({_SQL_TOKENS},
+                                          t -> list_contains([{_SW}], t)))
+                                      <= len({_SQL_TOKENS})
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+            FROM documents GROUP BY source
+        )
+        SELECT source, n_docs, n_pass,
+               ROUND((n_pass / CAST(n_docs AS DOUBLE) + 1.9208 / n_docs
+                      - 1.96 * sqrt(((n_pass / CAST(n_docs AS DOUBLE))
+                                     * (1 - n_pass / CAST(n_docs AS DOUBLE))
+                                     + 0.9604 / n_docs) / n_docs))
+                     / (1 + 3.8416 / n_docs), 9) AS wilson_lb
+        FROM g
+        ORDER BY wilson_lb DESC, source
+    """,
+)
+def wilson_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-reliability ranking by the WILSON LOWER BOUND of the
+    quality pass rate (Wilson 1927; the standard fix for ranking by raw
+    proportion, which lets a 1-of-1 source outrank a 95-of-100 one) —
+    the curation decision a 100 TB pipeline makes when deciding which
+    crawl sources to keep. The pass predicate is curation.py's quality
+    gate verbatim (>= 5 tokens, stopword ratio <= 50%), so this ranks
+    exactly the gate the funnel applies.
+
+    Determinism: the bound is one fixed expression tree over two
+    integer aggregates (z = 1.96 folded to the 1.9208/0.9604/3.8416
+    literals), evaluated identically on both engines — IEEE + - * /
+    and correctly-rounded sqrt — then rounded to 9 dp. Scale: one
+    tokenize scan + one |sources|-row aggregate; nothing else."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    g = (
+        docs.select(
+            "source",
+            F.size(toks).alias("n_tok"),
+            F.size(F.filter(toks, lambda x: x.isin(*T.STOPWORDS))).alias(
+                "n_sw"
+            ),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    (F.col("n_tok") >= 5)
+                    & (2 * F.col("n_sw") <= F.col("n_tok")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_pass"),
+        )
+    )
+    p = F.col("n_pass") / F.col("n_docs").cast("double")
+    n = F.col("n_docs")
+    lb = (
+        p
+        + F.lit(1.9208) / n
+        - F.lit(1.96)
+        * F.sqrt((p * (F.lit(1) - p) + F.lit(0.9604) / n) / n)
+    ) / (F.lit(1) + F.lit(3.8416) / n)
+    return g.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_pass").cast("bigint").alias("n_pass"),
+        F.round(lb, 9).alias("wilson_lb"),
+    ).orderBy(F.col("wilson_lb").desc(), "source")
+
+
+@register(
+    "char_entropy_quality",
+    ops=("OP-X-TXT-04",),
+    oracle="""
+        WITH ch AS (
+            SELECT doc_id, lang, unnest(string_split(lower(text), '')) AS c
+            FROM documents
+        ), hist AS (
+            SELECT doc_id, lang, c, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM ch GROUP BY 1, 2, 3
+        ), tot AS (
+            SELECT doc_id, SUM(cnt) AS n FROM hist GROUP BY 1
+        ), ent AS (
+            SELECT h.doc_id, h.lang,
+                   ROUND(SUM(CAST(ROUND(
+                       (h.cnt / CAST(t.n AS DOUBLE))
+                       * log2(CAST(t.n AS DOUBLE) / h.cnt), 9)
+                     AS DECIMAL(20, 9))), 6) AS h_bits
+            FROM hist h JOIN tot t USING (doc_id)
+            GROUP BY 1, 2
+        )
+        SELECT lang,
+               CASE WHEN h_bits < 3.5 THEN 'low'
+                    WHEN h_bits < 4.1 THEN 'mid' ELSE 'high' END AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(MIN(h_bits), 6) AS min_h,
+               ROUND(MAX(h_bits), 6) AS max_h
+        FROM ent GROUP BY 1, 2
+        ORDER BY lang, bucket
+    """,
+)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document CHARACTER-ENTROPY quality signal (Shannon H over
+    the char distribution, bits/char) bucketed per language — the
+    cheap gibberish/boilerplate detector a 100 TB text pipeline runs
+    before anything tokenizer-shaped: binary junk scores near 8,
+    single-char spam near 0, natural text ~3.5-4.5.
+
+    Determinism across engines AND partitionings: each distinct char's
+    term p*log2(1/p) is rounded to 9 dp and summed as DECIMAL(20,9) —
+    the round-then-DECIMAL-sum rule (bm25_topk, value_drift_psi) that
+    makes a float aggregation order-invariant; log2 differs at most in
+    the last ulp between libm and the JVM, absorbed by the rounding.
+
+    Scale: explode-to-chars is one row per character — linear, shuffle
+    keyed by (doc, char) with map-side combine collapsing each doc's
+    ~40-char alphabet before the exchange, then a |docs|-row and a
+    |langs x buckets|-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower("text"), "")).alias("c"),
+        )
+        .where(F.col("c") != "")
+        .groupBy("doc_id", "lang", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = hist.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
+    ent = (
+        hist.join(tot, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                (F.col("cnt") / F.col("n").cast("double"))
+                * F.log2(F.col("n").cast("double") / F.col("cnt")),
+                9,
+            )
+            .cast("decimal(20,9)")
+            .alias("term"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.sum("term"), 6).alias("h_bits"))
+    )
+    bucket = (
+        F.when(F.col("h_bits") < 3.5, "low")
+        .when(F.col("h_bits") < 4.1, "mid")
+        .otherwise("high")
+    )
+    return (
+        ent.groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.min("h_bits"), 6).cast("double").alias("min_h"),
+            F.round(F.max("h_bits"), 6).cast("double").alias("max_h"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    ops=("OP-X-TXT-04", "OP-TXT-01"),
+    oracle=f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS words,
+               CAST(SUM(len({_SQL_BPE})) AS BIGINT) AS subwords,
+               ROUND(SUM(len({_SQL_BPE}))
+                     / CAST(SUM(len({_SQL_TOKENS})) AS DOUBLE), 6)
+                   AS fertility,
+               ROUND(SUM(n_chars)
+                     / CAST(SUM(len({_SQL_BPE})) AS DOUBLE), 6)
+                   AS chars_per_subword
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY audit by language — subwords per word and
+    chars per subword, the standard multilingual-tokenizer equity
+    metric (languages whose fertility is high pay more sequence budget
+    per sentence; mix designers reweight or retrain the tokenizer on
+    exactly this table). Word tokens and BPE-ish subword tokens are
+    the repo's two shared tokenizers, so the ratio audits the same
+    definitions every other query uses.
+
+    Determinism: integer sums, one final division each (single IEEE op,
+    rounded 6 dp). Scale: one scan, two size() per row, |langs| rows
+    out — pure map-side-combining aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(T.tokens("text"))).cast("bigint").alias("words"),
+        F.sum(F.size(T.bpe_tokens("text"))).cast("bigint").alias("subwords"),
+        F.sum("n_chars").alias("_chars"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "words",
+        "subwords",
+        F.round(F.col("subwords") / F.col("words").cast("double"), 6).alias(
+            "fertility"
+        ),
+        F.round(
+            F.col("_chars") / F.col("subwords").cast("double"), 6
+        ).alias("chars_per_subword"),
+    ).orderBy("lang")

@@ -229,3 +229,59 @@ def variant_props_distinct_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("sum_k"),
         )
     )
+
+
+@register(
+    "rolling_7day_revenue",
+    ops=("OP-X-WIN-01", "OP-AGG-03"),
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   datediff('day', DATE '1992-01-01',
+                            CAST(o_orderdate AS DATE)) AS day_num,
+                   SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS rev
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT day,
+               CAST(rev AS DOUBLE) AS revenue,
+               CAST(SUM(rev) OVER (
+                    ORDER BY day_num
+                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS revenue_7d
+        FROM daily ORDER BY day
+    """,
+)
+def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-DAY revenue via a RANGE window frame — the frame kind
+    nothing else in the registry exercises: RANGE BETWEEN 6 PRECEDING
+    looks back by ORDER-VALUE distance (calendar days), not row count,
+    so gaps in the date spine are handled correctly where a ROWS frame
+    would silently reach across them.
+
+    Scale shape: the window runs over the PRE-AGGREGATED daily table —
+    |days| rows, bounded by calendar time, not data volume (the 100 TB
+    of orders collapses in the map-side-combining groupBy first), so
+    the single-partition window is a non-issue by construction; the
+    same discipline as timeline_gapfill/daily_anomaly_days. Revenue is
+    round-then-DECIMAL-summed (o_totalprice is a 2-dp double) so both
+    the daily and the windowed sums are aggregation-order-invariant."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.round("o_totalprice", 2).cast("decimal(18,2)")
+            ).alias("rev")
+        )
+        .withColumn(
+            "day_num", F.datediff(F.col("day"), F.lit("1992-01-01"))
+        )
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.col("rev").cast("double").alias("revenue"),
+        F.sum("rev").over(w).cast("double").alias("revenue_7d"),
+    ).orderBy("day")
