@@ -1023,3 +1023,130 @@ def pq_refined_topk(
         V.cosine(F.col("qv"), F.col("nv")).alias("cos"),
     )
     return _rank_topk(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse inverted file over PQ codes — the FAISS "IVFx,PQy"
+# composition, the production shape for billion-vector corpora
+# ---------------------------------------------------------------------------
+_IVFPQ_MASKED = -1.0e30  # sentinel for (code row, query) pairs outside
+#                          the query's probed cells; filtered before rank
+
+
+def ivfpq_index(
+    emb: DataFrame,
+    n_cells: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame, DataFrame] | None:
+    """The PERSISTABLE corpus side of IVF-PQ search, as three tables:
+    ``centroids`` (cell, centroid — n_cells rows, the coarse
+    quantizer), ``codebooks`` (sub, code, centroid — m x ksub rows, the
+    fine quantizer) and ``coded`` (cell, neighbor_id, codes — one row
+    per corpus vector, the cell-keyed inverted file of PQ codes).
+
+    This is FAISS's ``IVFn_cells,PQm`` composition — at 100 TB neither
+    half suffices alone: plain PQ still SCANS every code (cheap per
+    row, linear in corpus), plain IVF re-ranks probed cells against
+    FLOAT vectors (reads 32x more bytes than codes). Composed, a probe
+    reads ~nprobe/n_cells of the corpus as codes only. Both quantizers
+    train on bounded samples (build O(1) in corpus size); the one
+    corpus-wide shuffle is the build-time join keying codes by cell —
+    write ``coded`` partitioned by cell and a probe's cell filter
+    becomes partition PRUNING at the scan."""
+    cent = _train_centroids(emb, n_cells, vec_col, seed)
+    if cent is None:
+        return None
+    built = pq_index(emb, m, ksub, id_col, vec_col, seed)
+    if built is None:
+        return None
+    books_df, codes_df = built
+    cells = _assign_cells(emb, cent, id_col, vec_col).select(
+        "cell", "neighbor_id"
+    )
+    coded = codes_df.join(cells, "neighbor_id").select(
+        "cell", "neighbor_id", "codes"
+    )
+    cent_df = emb.sparkSession.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(cent)],
+        "cell int, centroid array<double>",
+    )
+    return cent_df, books_df, coded
+
+
+def ivfpq_probe_index(
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    coded: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a MATERIALIZED IVF-PQ index: each query ranks the bounded
+    centroid table for its ``nprobe`` cells; the code table is filtered
+    to the probed-cell UNION (partition pruning when ``coded`` is
+    written partitioned by cell), and one ``mapInPandas`` ADC pass
+    scores each surviving code row against exactly the queries probing
+    its cell (others masked to a sentinel and dropped before ranking).
+    Scores of surviving pairs are the same fixed-order m-term LUT sums
+    as :func:`pq_probe_index`, so the result is partition- and
+    persistence-invariant."""
+    crows = sorted((r.cell, r.centroid) for r in centroids.collect())
+    brows = sorted((r.sub, r.code, r.centroid) for r in codebooks.collect())
+    if not crows or not brows:
+        return _empty_topk(queries)
+    cent = np.array([c for _, c in crows], dtype=np.float64)
+    n_cells = len(crows)
+    m = brows[-1][0] + 1
+    ksub = brows[-1][1] + 1
+    books = np.array([c for _, _, c in brows], dtype=np.float64).reshape(
+        m, ksub, -1
+    )
+    dsub = books.shape[2]
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return _empty_topk(queries)
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = _normalize_rows(
+        np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    )
+    lut = np.stack(
+        [qm[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)]
+    )
+    # per-query probed cells (|Q| x n_cells affinities — tiny), with the
+    # same deterministic tie rule as ivf_probe_index
+    aff = qm @ cent.T
+    qmask = np.zeros((len(qids), n_cells), dtype=bool)
+    for qi, row in enumerate(aff):
+        order = sorted(range(n_cells), key=lambda i: (-row[i], i))
+        qmask[qi, order[:nprobe]] = True
+    probed_cells = sorted({int(c) for qi in range(len(qids))
+                           for c in np.nonzero(qmask[qi])[0]})
+    keep = k + 1
+
+    def part(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            nids = pdf["neighbor_id"].to_numpy()
+            cells_b = pdf["cell"].to_numpy().astype(np.int64)
+            cm = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            sims = np.zeros((len(cm), len(qids)), dtype=np.float64)
+            for j in range(m):
+                sims += lut[j][:, cm[:, j]].T
+            allowed = qmask[:, cells_b].T  # (B, |Q|)
+            sims = np.where(allowed, sims, _IVFPQ_MASKED)
+            yield _partial_topk_rows(sims, qids, nids, keep)
+
+    partial = (
+        coded.where(F.col("cell").isin(probed_cells))
+        .select("cell", "neighbor_id", "codes")
+        .mapInPandas(part, _PARTIAL_SCHEMA)
+        .where(F.col("cos") > _IVFPQ_MASKED / 2)
+    )
+    return _rank_topk(partial, k)

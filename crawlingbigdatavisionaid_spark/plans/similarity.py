@@ -678,3 +678,139 @@ def semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_pruned"),
     )
+
+
+@register(
+    "ann_ivfpq_recall",
+    ops=("OP-X-SIM-01",),
+    # the IVF-PQ composition (FAISS IVFx,PQy — the production shape for
+    # billion-vector corpora): persisted probe must equal the in-memory
+    # probe EXACTLY (fixed-order LUT sums + deterministic cell probing),
+    # the refined search must recall >= 1/2 of the exact top-k, and the
+    # probe must demonstrably NOT scan the whole code table (per-query
+    # scanned fraction bounded by 3x the nprobe/n_cells ratio).
+    oracle="""
+        SELECT TRUE AS persisted_matches, TRUE AS recall_ok,
+               TRUE AS scan_bounded
+    """,
+)
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable verdict for the persisted IVF-PQ index
+    (operators/similarity.ivfpq_index / ivfpq_probe_index): write
+    centroids + codebooks + the cell-partitioned code table to parquet,
+    read back, probe, compare against the in-memory probe (exact set
+    equality), refine the ADC shortlist by exact cosine and check
+    recall >= 1/2 vs brute force, and bound the scanned-code fraction —
+    the property that distinguishes IVF-PQ from plain PQ at 100 TB."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    n_cells, nprobe, k = 16, 4, 10
+    root = tempfile.mkdtemp(prefix="ivfpq_index_")
+    try:
+        built = S.ivfpq_index(emb, n_cells=n_cells, m=16, ksub=16)
+        if built is None:
+            return spark.createDataFrame(
+                [(True, True, True)],
+                "persisted_matches boolean, recall_ok boolean, "
+                "scan_bounded boolean",
+            )
+        cent_df, books_df, coded = built
+        cent_df.write.parquet(f"{root}/centroids")
+        books_df.write.parquet(f"{root}/codebooks")
+        coded.write.partitionBy("cell").parquet(f"{root}/coded")
+        args = dict(k=k, nprobe=nprobe)
+        persisted = S.ivfpq_probe_index(
+            queries,
+            spark.read.parquet(f"{root}/centroids"),
+            spark.read.parquet(f"{root}/codebooks"),
+            spark.read.parquet(f"{root}/coded"),
+            **args,
+        ).select("query_id", "rank", "neighbor_id")
+        inflight = S.ivfpq_probe_index(
+            queries, cent_df, books_df, coded, **args
+        ).select("query_id", "rank", "neighbor_id")
+        n_p, n_i = persisted.count(), inflight.count()
+        n_common = persisted.join(
+            inflight, ["query_id", "rank", "neighbor_id"]
+        ).count()
+
+        # refined: cell-restricted ADC shortlist -> exact cosine re-rank
+        shortlist = S.ivfpq_probe_index(
+            queries, cent_df, books_df, coded, k=k * 8, nprobe=nprobe
+        ).select("query_id", "neighbor_id")
+        cand = shortlist.join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                V.as_double(F.col("embedding")).alias("nv"),
+            ),
+            "neighbor_id",
+        ).join(
+            F.broadcast(
+                queries.select(
+                    F.col("vec_id").alias("query_id"),
+                    V.as_double(F.col("embedding")).alias("qv"),
+                )
+            ),
+            "query_id",
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), F.asc("neighbor_id")
+        )
+        refined = (
+            cand.select(
+                "query_id",
+                "neighbor_id",
+                V.cosine(F.col("qv"), F.col("nv")).alias("cos"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
+        exact = S.brute_force_topk_np(emb, queries, k=k)
+        hit = (
+            refined.select("query_id", "neighbor_id")
+            .join(
+                exact.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+            )
+            .count()
+        )
+        n_exact = exact.count()
+
+        # scanned-code fraction: recompute each query's probed cells
+        # with the operator's own tie rule, weight by actual cell sizes
+        crows = sorted((r.cell, r.centroid) for r in cent_df.collect())
+        cent = np.array([c for _, c in crows], dtype=np.float64)
+        qm = S._normalize_rows(
+            np.array(
+                [list(r[1]) for r in queries.select("vec_id", "embedding").collect()],
+                dtype=np.float64,
+            )
+        )
+        sizes = dict(
+            (r.cell, r.cnt)
+            for r in coded.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        total = sum(sizes.values())
+        scanned = 0
+        for row in qm @ cent.T:
+            order = sorted(range(len(crows)), key=lambda i: (-row[i], i))
+            scanned += sum(sizes.get(c, 0) for c in order[:nprobe])
+        frac = scanned / (len(qm) * total)
+        row = (
+            n_p == n_i == n_common,
+            2 * hit >= n_exact,
+            frac <= 3.0 * nprobe / n_cells,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        "persisted_matches boolean, recall_ok boolean, scan_bounded boolean",
+    )

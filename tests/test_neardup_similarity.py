@@ -524,3 +524,28 @@ def test_chunk_dedup_rebuild_drops_repeated_chunk_keeps_first(spark, tmp_path):
     assert (out[1].n_chunks, out[1].kept_chunks) == (2, 1)  # kept c, lost a
     assert (out[2].n_chunks, out[2].kept_chunks) == (1, 0)
     assert out[2].rebuilt_fp == -1
+
+
+def test_ivfpq_full_probe_equals_plain_pq(spark, sf_dir):
+    """IVF-PQ with nprobe == n_cells degenerates to plain PQ: every
+    query probes every cell, so the cell mask admits the whole code
+    table and the ADC ranking must equal pq_probe_index's EXACTLY
+    (same codebooks, same fixed-order LUT sums). Pins that the cell
+    restriction is the ONLY thing ivfpq adds — no scoring drift."""
+    from crawlingbigdatavisionaid_spark.operators import similarity as S
+    from crawlingbigdatavisionaid_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(emb.vec_id < 5)
+    built = S.ivfpq_index(emb, n_cells=8, m=16, ksub=16)
+    assert built is not None
+    cent_df, books_df, coded = built
+    full = S.ivfpq_probe_index(
+        queries, cent_df, books_df, coded, k=10, nprobe=8
+    )
+    plain = S.pq_probe_index(
+        queries, books_df, coded.select("neighbor_id", "codes"), k=10
+    )
+    a = {(r.query_id, r.rank, r.neighbor_id) for r in full.collect()}
+    b = {(r.query_id, r.rank, r.neighbor_id) for r in plain.collect()}
+    assert a == b and len(a) == 5 * 10
