@@ -69,6 +69,10 @@ FAMILIES: dict[str, list[str]] = {
         "dq_referential_audit",
         "revenue_trend_ols",
         "value_equidepth_histogram",
+        # round 9 additions
+        "rolling_7day_revenue",
+        "daily_pivot_unpivot_roundtrip",
+        "mad_outlier_values",
     ],
     # event-time windows, as-of/range joins, JSON extraction
     "windows": [
@@ -123,6 +127,8 @@ FAMILIES: dict[str, list[str]] = {
         "multimodal_decode_image",
         "multimodal_decode_audio",
         "multimodal_decode_video",
+        # round 9 addition
+        "ann_ivfpq_recall",
     ],
     # text quality / language statistics / selection / BPE
     "text": [
@@ -147,6 +153,10 @@ FAMILIES: dict[str, list[str]] = {
         "repetition_ngram_filter",
         "bm25_topk",
         "doc_keywords_tfidf",
+        # round 9 additions
+        "wilson_source_quality",
+        "char_entropy_quality",
+        "tokenizer_fertility_by_lang",
     ],
     # sketches, incremental maintenance, event analytics
     "sketch": [
@@ -207,6 +217,8 @@ _JIT_WARMUP_QUERIES = (
     "order_priority_monthly",  # date funcs + multi-key agg + sort
     "value_stats_by_type",  # events JSON extraction + numeric aggs
     "users_without_orders_except",  # anti-join / set-op path
+    "user_event_gaps",  # keyed window / lag path (r9 trial-1: the
+    #                     windows family's rows stayed ~1.5x without it)
 )
 
 
