@@ -579,6 +579,153 @@ def _graph_mode(spark, base: str, k: int, out: str) -> None:
     )
 
 
+def _ivfpq_mode(spark, base: str, k: int, out: str) -> None:
+    """IVF-PQ scale rows (r9 — same-round scale evidence for the new
+    family, the precedent PQ set in r8): embeddings replicate Kx with
+    remapped vec_ids; the index builds once per corpus (both quantizers
+    train on bounded samples — build must stay corpus-cheap), the
+    cell-partitioned code table persists, and the probe is measured
+    against the SAME-corpus plain-PQ ADC scan — the whole point of the
+    composition is that the probe reads ~nprobe/n_cells of the codes,
+    so its wall must track the SCANNED fraction while plain PQ tracks
+    the corpus. Refined recall vs brute force and the per-query
+    scanned-code fraction are asserted, not just reported."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from crawlingbigdatavisionaid_spark.functions import vectors as V
+    from crawlingbigdatavisionaid_spark.operators import similarity as S
+    from crawlingbigdatavisionaid_spark.sources import load_table
+
+    n_cells, nprobe, kk = 64, 8, 10
+    emb = load_table(spark, base, "embeddings")
+    vec_span = emb.agg(F.max("vec_id")).first()[0] + 1
+    t0 = time.time()
+    parts = [
+        emb.select(
+            (F.col("vec_id") + F.lit(i * vec_span)).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        for i in range(k)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    semb = spark.read.parquet(f"{out}/embeddings.parquet")
+    build_corpus_s = round(time.time() - t0, 1)
+    queries = semb.where(F.col("vec_id") < 10)
+
+    t0 = time.time()
+    cent_df, books_df, coded = S.ivfpq_index(
+        semb, n_cells=n_cells, m=16, ksub=16
+    )
+    cent_df.write.mode("overwrite").parquet(f"{out}/centroids")
+    books_df.write.mode("overwrite").parquet(f"{out}/codebooks")
+    coded.write.mode("overwrite").partitionBy("cell").parquet(f"{out}/coded")
+    n_codes = spark.read.parquet(f"{out}/coded").count()
+    build_s = round(time.time() - t0, 1)
+
+    cent_p = spark.read.parquet(f"{out}/centroids")
+    books_p = spark.read.parquet(f"{out}/codebooks")
+    coded_p = spark.read.parquet(f"{out}/coded")
+
+    def timed(fn):
+        t0 = time.time()
+        n = fn()
+        return round(time.time() - t0, 2), n
+
+    ivfpq = S.ivfpq_probe_index(
+        queries, cent_p, books_p, coded_p, k=kk, nprobe=nprobe
+    )
+    ivfpq_s, _ = timed(ivfpq.count)
+    pq_s, _ = timed(
+        S.pq_probe_index(
+            queries, books_p, coded_p.select("neighbor_id", "codes"), k=kk
+        ).count
+    )
+
+    # refined: ADC shortlist -> exact re-rank (same shape as the verdict)
+    shortlist = S.ivfpq_probe_index(
+        queries, cent_p, books_p, coded_p, k=kk * 8, nprobe=nprobe
+    ).select("query_id", "neighbor_id")
+    cand = shortlist.join(
+        semb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            V.as_double(F.col("embedding")).alias("nv"),
+        ),
+        "neighbor_id",
+    ).join(
+        F.broadcast(
+            queries.select(
+                F.col("vec_id").alias("query_id"),
+                V.as_double(F.col("embedding")).alias("qv"),
+            )
+        ),
+        "query_id",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    refined = (
+        cand.select(
+            "query_id", "neighbor_id", V.cosine(F.col("qv"), F.col("nv")).alias("cos")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= kk)
+    )
+    refined_s, _ = timed(refined.count)
+    bf = S.brute_force_topk_np(semb, queries, k=kk).localCheckpoint()
+    bf_s, n_exact = timed(bf.count)
+    hit = refined.select("query_id", "neighbor_id").join(
+        bf.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    recall = round(hit / max(n_exact, 1), 4)
+
+    # per-query scanned-code fraction (the operator's own tie rule)
+    crows = sorted((r.cell, r.centroid) for r in cent_p.collect())
+    cent = np.array([c for _, c in crows], dtype=np.float64)
+    qm = S._normalize_rows(
+        np.array(
+            [list(r[1]) for r in queries.select("vec_id", "embedding").collect()],
+            dtype=np.float64,
+        )
+    )
+    sizes = dict(
+        (r.cell, r.cnt)
+        for r in coded_p.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    scanned = 0
+    for row in qm @ cent.T:
+        order = sorted(range(len(crows)), key=lambda i: (-row[i], i))
+        scanned += sum(sizes.get(c, 0) for c in order[:nprobe])
+    frac = round(scanned / (len(qm) * n_codes), 4)
+    assert frac <= 3.0 * nprobe / n_cells, frac
+    assert 2 * hit >= n_exact, (hit, n_exact)
+    print(
+        json.dumps(
+            {
+                "mode": "ivfpq",
+                "k": k,
+                "base": base,
+                "n_vectors": n_codes,
+                "n_cells": n_cells,
+                "nprobe": nprobe,
+                "build_corpus_s": build_corpus_s,
+                "index_build_s": build_s,
+                "ivfpq_probe_s": ivfpq_s,
+                "plain_pq_probe_s": pq_s,
+                "refined_s": refined_s,
+                "brute_force_s": bf_s,
+                "refined_recall": recall,
+                "scan_fraction": frac,
+                "codes_bytes": _tree_bytes(f"{out}/coded"),
+                "embeddings_bytes": _tree_bytes(f"{out}/embeddings.parquet"),
+            }
+        )
+    )
+
+
 def _streamstate_mode(spark, base: str, k: int, out: str) -> None:
     """Streaming-drain state-size smoke (judge r8 #8 stretch): the SAME
     history sliced into B vs k*B micro-batch files must produce a
@@ -714,6 +861,9 @@ def main() -> None:
             return
         if mode == "streamstate":
             _streamstate_mode(spark, base, k, out)
+            return
+        if mode == "ivfpq":
+            _ivfpq_mode(spark, base, k, out)
             return
         emb = load_table(spark, base, "embeddings")
         doc_span = docs.agg(F.max("doc_id")).first()[0] + 1
