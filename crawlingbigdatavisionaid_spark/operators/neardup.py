@@ -840,3 +840,81 @@ def minhash_pairs_incremental(
     return minhash_probe_index(
         batch, bk_old, sh_old, k, bands, threshold_tenths, n, inv=inv_new
     )
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    threshold_tenths: int = 6,
+    n: int = 3,
+    inv: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard >= t/10 pairs via PREFIX FILTERING (AllPairs /
+    PPJoin family: Bayardo et al. WWW'07, Xiao et al. WWW'08) — the
+    second exact strategy beside :func:`jaccard_pairs`, with a
+    provably-complete candidate set instead of a df-cap redefinition.
+
+    Each doc's shingles are ordered by the GLOBAL total order
+    (document-frequency asc, shingle asc) and only the first
+    ``sz - ceil(t*sz) + 1`` participate in the inverted-index self-join:
+    if J(x, y) >= t the two sets share at least ceil(t*max(|x|,|y|))
+    elements, so by pigeonhole their prefixes under any COMMON total
+    order must intersect — no true pair is ever dropped, and the exact
+    verify (full-set intersection on the candidates) removes false ones.
+
+    Why this is the 100 TB shape: (a) the index join shrinks by the
+    prefix factor (~(1-t) of each doc's tokens — 5x fewer rows at
+    t=0.8); (b) the prefix keeps the RAREST tokens by construction, so
+    the self-join's hot buckets — the exact skew :func:`jaccard_pairs`
+    needs its df cap for — are structurally absent: corpus boilerplate
+    (high-df shingles) lands at the END of the order and never enters
+    the index; (c) unlike the df cap, the Jaccard definition is over the
+    FULL shingle sets, so results are cap-free exact.
+
+    Returns (doc_a, doc_b, inter, union_size) — all integers, identical
+    contract to :func:`jaccard_pairs`."""
+    if inv is None:
+        inv = shingle_rows(docs, n).localCheckpoint(eager=False)
+    t = threshold_tenths
+    # global token order: (df asc, shingle asc); sz from the same pass
+    df_tbl = inv.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+    ordered = inv.join(df_tbl, "s")
+    w_doc = Window.partitionBy("doc_id").orderBy(F.asc("_df"), F.asc("s"))
+    ranked = (
+        ordered.withColumn("_r", F.row_number().over(w_doc))
+        .withColumn("_sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    # prefix length p = sz - ceil(t*sz/10) + 1, exact integer arithmetic
+    prefix = ranked.where(
+        F.col("_r") <= F.col("_sz") - F.expr(f"({t} * _sz + 9) DIV 10") + 1
+    ).select("doc_id", "s")
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "s")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # exact verify on candidates: full-set arrays, JVM array_intersect
+    sets = inv.groupBy("doc_id").agg(
+        F.collect_set("s").alias("_toks"), F.count(F.lit(1)).alias("_sz")
+    )
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("_toks").alias("_ta"),
+        F.col("_sz").alias("_sa"),
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("_toks").alias("_tb"),
+        F.col("_sz").alias("_sb"),
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("_ta", "_tb")).cast("bigint"))
+        .withColumn(
+            "union_size", (F.col("_sa") + F.col("_sb") - F.col("inter")).cast("bigint")
+        )
+        .where(F.lit(10) * F.col("inter") >= F.lit(t) * F.col("union_size"))
+        .select("doc_a", "doc_b", "inter", "union_size")
+    )

@@ -1022,3 +1022,160 @@ def mad_outlier_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@register(
+    "max_concurrent_events",
+    ops=("OP-X-WIN-01", "OP-AGG-01"),
+    oracle="""
+        WITH pts AS (
+            SELECT event_type, epoch_us(ts) * 2 + 1 AS k, 1 AS delta
+            FROM events
+            UNION ALL
+            SELECT event_type, epoch_us(ts + INTERVAL 30 MINUTE) * 2, -1
+            FROM events
+        ), c AS (
+            SELECT event_type, k,
+                   SUM(delta) OVER (PARTITION BY event_type ORDER BY k
+                                    ROWS UNBOUNDED PRECEDING) AS conc
+            FROM pts
+        ), peaks AS (
+            SELECT event_type, MAX(conc) AS peak FROM c GROUP BY event_type
+        )
+        SELECT p.event_type, CAST(p.peak AS BIGINT) AS peak,
+               CAST(MIN(c.k) // 2 AS BIGINT) AS peak_at_us
+        FROM peaks p JOIN c ON c.event_type = p.event_type
+                          AND c.conc = p.peak
+        GROUP BY p.event_type, p.peak
+        ORDER BY p.event_type
+    """,
+)
+def max_concurrent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type — the classic interval sweep-line:
+    each event opens a half-open 30-minute presence interval [ts,
+    ts+30min); +1/-1 deltas sorted by time give a running occupancy
+    whose maximum is the answer (capacity planning / rate-limit sizing
+    over the ingest stream).
+
+    Scale + determinism: the running sum rides
+    ``operators/prefix.chunked_cumsum`` (bounded per-task state; a plain
+    per-type window single-tasks each event type at corpus scale) with a
+    coarser chunk (2^31 µs ≈ 36 min of wall time per inner task) since
+    the order key is sparse epoch-microseconds, not dense ids. The sort
+    key packs the delta into the low bit — ends (even) sort before
+    starts (odd) at the same instant, encoding half-open semantics — so
+    ties within a key are all same-signed and every tie permutation
+    yields the same block-end running value: the peak AND its earliest
+    k are permutation-invariant, hence partitioning-invariant. peak_at
+    decodes k DIV 2 back to the epoch-microsecond of the peak's onset.
+    """
+    from ..operators.prefix import chunked_cumsum
+
+    # events.ts loads as TIMESTAMP_NTZ; the system contract is TZ=UTC,
+    # so the cast to (tz-aware) TIMESTAMP is value-preserving and
+    # unix_micros reads the same instant DuckDB's epoch_us does
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    starts = ev.select(
+        "event_type",
+        (F.unix_micros("ts") * 2 + 1).alias("k"),
+        F.lit(1).alias("delta"),
+    )
+    ends = ev.select(
+        "event_type",
+        (F.unix_micros(F.col("ts") + F.expr("INTERVAL 30 MINUTES")) * 2).alias("k"),
+        F.lit(-1).alias("delta"),
+    )
+    pts = starts.unionByName(ends)
+    c = chunked_cumsum(
+        pts, ["event_type"], "k", F.col("delta"), "conc", chunk=1 << 31
+    ).localCheckpoint(eager=False)
+    peaks = c.groupBy("event_type").agg(F.max("conc").alias("peak"))
+    return (
+        c.join(peaks, "event_type")
+        .where(F.col("conc") == F.col("peak"))
+        .groupBy("event_type", "peak")
+        .agg(F.expr("MIN(k) DIV 2").cast("bigint").alias("peak_at_us"))
+        .select("event_type", F.col("peak").cast("bigint").alias("peak"), "peak_at_us")
+        .orderBy("event_type")
+    )
+
+
+# Benford's-law expected first-digit frequencies in exact integer
+# permille: round(1000 * log10(1 + 1/d)). Pinned as literals on BOTH
+# engines — computing log10 cross-engine would reintroduce the float
+# channel the integer contract exists to avoid.
+_BENFORD_PERMILLE = ((1, 301), (2, 176), (3, 125), (4, 97), (5, 79),
+                     (6, 67), (7, 58), (8, 51), (9, 46))
+
+
+@register(
+    "benford_value_audit",
+    ops=("OP-AGG-01", "OP-X-TXT-04"),
+    oracle=f"""
+        WITH exp AS (
+            SELECT * FROM (VALUES {", ".join(f"({d}, {p})" for d, p in _BENFORD_PERMILLE)})
+                   AS t(digit, expected_permille)
+        ), d AS (
+            SELECT event_type,
+                   CAST(substr(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS INT) AS digit
+            FROM events
+            WHERE CAST(floor(value * 100 + 0.5) AS BIGINT) >= 1
+        ), cnts AS (
+            SELECT event_type, digit, COUNT(*) AS cnt FROM d GROUP BY 1, 2
+        ), tot AS (
+            SELECT event_type, SUM(cnt) AS n FROM cnts GROUP BY 1
+        )
+        SELECT c.event_type, CAST(c.digit AS INT) AS digit, c.cnt,
+               CAST((1000 * c.cnt) // t.n AS BIGINT) AS permille,
+               CAST(e.expected_permille AS INT) AS expected_permille,
+               CAST(abs((1000 * c.cnt) // t.n - e.expected_permille)
+                    AS BIGINT) AS abs_dev
+        FROM cnts c JOIN tot t ON c.event_type = t.event_type
+                    JOIN exp e ON c.digit = e.digit
+        ORDER BY c.event_type, c.digit
+    """,
+)
+def benford_value_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of event values vs Benford's
+    law (Newcomb 1881 / Benford 1938) — the standard forensic
+    data-quality screen: a synthetic or truncated value column deviates
+    from the log-curve digit frequencies long before summary stats move.
+
+    Determinism: the significant digit comes from INTEGER cents
+    (floor(value*100 + 0.5) — one IEEE multiply+add then floor, uniquely
+    defined on both engines) rendered via integer-to-string (stable,
+    unlike double-to-string), and the observed shares are integer
+    permille (1000*cnt DIV n). Expected frequencies are pinned literal
+    permilles, not cross-engine log10. One hash aggregate per level +
+    one 9-row broadcast join; nothing driver-side."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    d = ev.select(
+        "event_type",
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"),
+    ).where(cents >= 1)
+    cnts = d.groupBy("event_type", "digit").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cnts.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    exp = F.broadcast(
+        d.sparkSession.createDataFrame(
+            list(_BENFORD_PERMILLE), "digit int, expected_permille int"
+        )
+    )
+    return (
+        cnts.join(tot, "event_type")
+        .join(exp, "digit")
+        .select(
+            "event_type",
+            "digit",
+            "cnt",
+            F.expr("(1000 * cnt) DIV n").cast("bigint").alias("permille"),
+            "expected_permille",
+            F.abs(F.expr("(1000 * cnt) DIV n") - F.col("expected_permille"))
+            .cast("bigint")
+            .alias("abs_dev"),
+        )
+        .orderBy("event_type", "digit")
+    )

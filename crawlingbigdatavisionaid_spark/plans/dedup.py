@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators import neardup as ND
+from ..operators import rank as RK
 from ..sources import load_table
 from ._sql import SQL_COS as _SQL_COS
 from .registry import register
@@ -725,3 +726,164 @@ def chunk_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(T.char_fingerprint("rebuilt"))
         .alias("rebuilt_fp"),
     )
+
+
+@register(
+    "setsim_prefix_join",
+    ops=("OP-X-DEDUP-02",),
+    # the oracle needs no prefix mechanics: the plain shared-shingle
+    # self-join + exact Jaccard filter IS the definition the prefix
+    # filter provably reproduces (its candidate set is a superset of
+    # the true pairs, and the verify step applies this same predicate)
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_SQL_SHINGLES} AS sh
+            FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+                  FROM documents)
+        ), e AS (
+            SELECT doc_id, unnest(sh) AS s FROM t
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY doc_id
+        ), inter AS (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+            FROM e x JOIN e y ON x.s = y.s AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, i AS inter,
+               sa.sz + sb.sz - i AS union_size
+        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                   JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE 10 * i >= 6 * (sa.sz + sb.sz - i)
+        ORDER BY doc_a, doc_b
+    """,
+)
+def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join (3-gram-shingle Jaccard >= 0.6)
+    via prefix filtering — see
+    :func:`operators.neardup.prefix_filter_jaccard_pairs` for the
+    AllPairs/PPJoin design and why the prefix index is structurally
+    skew-free where the plain inverted-index join needs a df cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ND.prefix_filter_jaccard_pairs(docs, threshold_tenths=6).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@register(
+    "sorted_neighborhood_pairs",
+    ops=("OP-X-DEDUP-02",),
+    oracle=f"""
+        WITH ranked AS (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY n_chars, doc_id) AS rk
+            FROM documents
+        ), cand AS (
+            SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   b.rk - a.rk AS gap
+            FROM ranked a JOIN ranked b
+              ON a.lang = b.lang AND b.rk - a.rk BETWEEN 1 AND 3
+        ), t AS (
+            SELECT doc_id, {_SQL_SHINGLES} AS sh
+            FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+                  FROM documents)
+        )
+        SELECT c.lang, c.doc_a, c.doc_b, c.gap,
+               (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh)) > 0
+                AND 10 * len(list_intersect(ta.sh, tb.sh))
+                    >= 5 * (len(ta.sh) + len(tb.sh)
+                            - len(list_intersect(ta.sh, tb.sh))))
+               AS is_dup
+        FROM cand c JOIN t ta ON c.doc_a = ta.doc_id
+                    JOIN t tb ON c.doc_b = tb.doc_id
+        ORDER BY c.lang, c.doc_a, c.doc_b
+    """,
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity resolution (Hernández & Stolfo,
+    SIGMOD'95): within each lang block, docs are sorted by the blocking
+    key (n_chars, doc_id) and every pair within window w=4 of the sort
+    order becomes a candidate, exact-verified at Jaccard >= 0.5. The
+    classic alternative to hash blocking when near-duplicates cluster
+    under an ORDER (similar lengths) rather than an exact key.
+
+    Scale shape: ranks come from ``operators/rank.grouped_rank`` (per-
+    lang range-repartitioned row_number — the few-huge-groups regime;
+    a plain per-lang window single-tasks each language at corpus
+    scale), and the rank-band self-join is an EQUI-join on (lang,
+    bucket) with each row probing its own ``rk DIV w`` bucket and the
+    next — every pair with gap < w lands in exactly one of the two,
+    so the non-equi band predicate never degenerates to a nested-loop
+    join and each bucket holds exactly w rows. Verification joins the
+    w-bounded candidate list back to the shingle arrays (one shuffle
+    join per side, JVM array_intersect, no UDF). Zero-shingle docs
+    (union 0) are emitted with is_dup=false, mirrored in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = 4
+    ranked = RK.grouped_rank(
+        docs.select("doc_id", "lang", "n_chars"),
+        ["lang"],
+        ["n_chars", "doc_id"],
+        alias="rk",
+    )
+    left = ranked.select(
+        "lang",
+        F.col("doc_id").alias("doc_a"),
+        F.col("rk").alias("rk_a"),
+        F.explode(
+            F.array(
+                F.expr(f"rk DIV {w}").cast("bigint"),
+                (F.expr(f"rk DIV {w}") + 1).cast("bigint"),
+            )
+        ).alias("bkt"),
+    )
+    right = ranked.select(
+        "lang",
+        F.col("doc_id").alias("doc_b"),
+        F.col("rk").alias("rk_b"),
+        F.expr(f"rk DIV {w}").cast("bigint").alias("bkt"),
+    )
+    cand = (
+        left.join(right, ["lang", "bkt"])
+        .where(
+            (F.col("rk_b") - F.col("rk_a") >= 1)
+            & (F.col("rk_b") - F.col("rk_a") <= w - 1)
+        )
+        .select("lang", "doc_a", "doc_b", (F.col("rk_b") - F.col("rk_a")).alias("gap"))
+    )
+    inv = ND.shingle_rows(docs, 3).localCheckpoint(eager=False)
+    sets = inv.groupBy("doc_id").agg(
+        F.collect_set("s").alias("toks"), F.count(F.lit(1)).alias("sz")
+    )
+    # docs with zero shingles never enter ``sets``: left joins keep them
+    # as NULL arrays -> inter 0, union 0 -> is_dup false, like the oracle
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"), F.col("sz").alias("sa")
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"), F.col("sz").alias("sb")
+    )
+    out = (
+        cand.join(a, "doc_a", "left")
+        .join(b, "doc_b", "left")
+        .withColumn(
+            "inter",
+            F.coalesce(F.size(F.array_intersect("ta", "tb")), F.lit(0)).cast("bigint"),
+        )
+        .withColumn(
+            "uni",
+            (F.coalesce("sa", F.lit(0)) + F.coalesce("sb", F.lit(0)) - F.col("inter")).cast(
+                "bigint"
+            ),
+        )
+        .select(
+            "lang",
+            "doc_a",
+            "doc_b",
+            F.col("gap").cast("bigint").alias("gap"),
+            ((F.col("uni") > 0) & (F.lit(10) * F.col("inter") >= F.lit(5) * F.col("uni"))).alias(
+                "is_dup"
+            ),
+        )
+    )
+    return out.orderBy("lang", "doc_a", "doc_b")

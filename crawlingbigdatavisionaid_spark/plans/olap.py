@@ -963,3 +963,142 @@ def daily_pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("day", "event_type", F.col("n").cast("bigint").alias("n"))
         .orderBy("day", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline / fuzzy-match tier
+# ---------------------------------------------------------------------------
+@register(
+    "pareto_frontier_orders",
+    ops=("OP-AGG-01",),
+    oracle="""
+        SELECT a.o_orderkey, a.o_totalprice, a.o_orderdate
+        FROM orders a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders b
+            WHERE b.o_totalprice >= a.o_totalprice
+              AND b.o_orderdate >= a.o_orderdate
+              AND (b.o_totalprice > a.o_totalprice
+                   OR b.o_orderdate > a.o_orderdate))
+        ORDER BY a.o_totalprice DESC, a.o_orderdate DESC, a.o_orderkey
+    """,
+)
+def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Börzsönyi et al., ICDE'01): orders not dominated on
+    (o_totalprice, o_orderdate) — the 'latest AND most valuable' Pareto
+    frontier no single ORDER BY can express.
+
+    Distributed shape — local-skyline-then-merge, exploiting that the
+    skyline operator is DISTRIBUTIVE over any partitioning: skyline(S) ⊆
+    ∪ᵢ skyline(partitionᵢ), so (1) an Arrow ``mapInPandas`` pass
+    computes a per-partition candidate set with a vectorized
+    sort + cummax SUPERSET rule (keep a row iff its date >= the max date
+    of any strictly-earlier row in (price desc, date desc) order — every
+    true skyline member survives, dominated stragglers may), then (2)
+    the union — for orders-like distributions O(log² n) per partition —
+    is resolved EXACTLY by one dominance anti-join (broadcast nested
+    loop over the tiny candidate set; the predicate is the textbook
+    dominance test, so step-1 false positives die here). Output size is
+    data-dependent: an adversarially anti-correlated table has an O(n)
+    skyline, in which case the result itself — not this plan — is the
+    scale problem. No floats are computed, only compared: values pass
+    through both engines untouched."""
+    pts = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+
+    def local_skyline(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(
+                ["o_totalprice", "o_orderdate", "o_orderkey"],
+                ascending=[False, False, True],
+            )
+            best_before = pdf["o_orderdate"].cummax().shift(1)
+            yield pdf[best_before.isna() | (pdf["o_orderdate"] >= best_before)]
+
+    cand = pts.mapInPandas(local_skyline, pts.schema).localCheckpoint(
+        eager=False
+    )
+    other = cand.select(
+        F.col("o_totalprice").alias("_p"), F.col("o_orderdate").alias("_d")
+    )
+    dominated = (
+        (F.col("_p") >= F.col("o_totalprice"))
+        & (F.col("_d") >= F.col("o_orderdate"))
+        & ((F.col("_p") > F.col("o_totalprice")) | (F.col("_d") > F.col("o_orderdate")))
+    )
+    return (
+        cand.join(F.broadcast(other), dominated, "left_anti")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderdate").desc(), "o_orderkey")
+    )
+
+
+@register(
+    "fuzzy_match_parts",
+    ops=("OP-X-DEDUP-02",),
+    oracle="""
+        SELECT a.p_size, a.p_partkey AS part_a, b.p_partkey AS part_b,
+               a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        FROM part a JOIN part b
+          ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+        ORDER BY a.p_size, part_a, part_b
+    """,
+)
+def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-string entity resolution: part-name pairs within
+    Levenshtein distance 2 inside the same p_size block — the classic
+    typo/variant-detection join, exact edit distance on both engines
+    (Spark's ``levenshtein`` and DuckDB's agree on the unweighted DP).
+
+    Blocking strategy for scale: the equi-join key is (p_size,
+    length-band bucket) — edit distance <= 2 bounds the length gap by 2,
+    so each left row probes its own ``len DIV 4`` bucket plus the two
+    adjacent ones (explode to <= 3 distinct keys) and is guaranteed to
+    meet every within-2 partner while the quadratic Levenshtein DP runs
+    only inside (size, band) blocks. A bare p_size block grows linearly
+    with the catalog; the band sub-split keeps blocks tied to the
+    (size, length) histogram — the standard q-gram/partition refinement
+    for edit-distance joins (Gravano et al., VLDB'01 family). Each
+    (a, b) pair meets on exactly one bucket (b's own), so no distinct
+    is needed."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_size")
+    left = p.select(
+        F.col("p_size"),
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_name").alias("name_a"),
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr("(length(p_name) - 2) DIV 4"),
+                    F.expr("length(p_name) DIV 4"),
+                    F.expr("(length(p_name) + 2) DIV 4"),
+                )
+            )
+        ).alias("bkt"),
+    )
+    right = p.select(
+        F.col("p_size"),
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_name").alias("name_b"),
+        F.expr("length(p_name) DIV 4").alias("bkt"),
+    )
+    return (
+        left.join(right, ["p_size", "bkt"])
+        .where(
+            (F.col("part_a") < F.col("part_b"))
+            & (F.levenshtein("name_a", "name_b") <= 2)
+        )
+        .select(
+            "p_size",
+            "part_a",
+            "part_b",
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
+        )
+        .orderBy("p_size", "part_a", "part_b")
+    )

@@ -190,6 +190,7 @@ def _load_all() -> None:
         curation,
         dedup,
         extraction,
+        graph,
         incremental,
         multimodal,
         observability,

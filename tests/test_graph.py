@@ -1,0 +1,144 @@
+"""Graph-analytics tier (plans/graph.py): triangle counting via
+degree-ordered orientation, frontier BFS, integer fixed-point HITS —
+each pinned against an independent pure-Python replica at sf0.001, so
+the distributed join shapes can never drift from the textbook
+definitions the oracles also encode."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+
+from crawlingbigdatavisionaid_spark.plans import graph as G
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def sim_edges(spark):
+    return [
+        (r["u"], r["v"]) for r in G._sim_edges(spark, SF).collect()
+    ]
+
+
+def _trade_pairs(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    rows = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .collect()
+    )
+    return {(f"c:{r[0]}", f"s:{r[1]}") for r in rows}
+
+
+def test_triangle_stats_match_brute_force(spark, sim_edges):
+    adj = defaultdict(set)
+    for u, v in sim_edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    tri = defaultdict(int)
+    total = 0
+    nodes = sorted(adj)
+    for a in nodes:
+        for b in adj[a]:
+            if b <= a:
+                continue
+            for c in adj[a] & adj[b]:
+                if c > b:
+                    total += 1
+                    tri[a] += 1
+                    tri[b] += 1
+                    tri[c] += 1
+    expected = sorted(
+        (
+            (
+                n,
+                len(adj[n]),
+                tri[n],
+                (2000 * tri[n]) // (len(adj[n]) * (len(adj[n]) - 1))
+                if len(adj[n]) >= 2
+                else 0,
+            )
+            for n in nodes
+        ),
+        key=lambda t: (-t[2], -t[1], t[0]),
+    )[:20]
+    got = [
+        (r["node"], r["degree"], r["triangles"], r["clustering_permille"])
+        for r in G.simgraph_triangle_stats(spark, SF).collect()
+    ]
+    assert got == expected
+    assert total > 0  # non-vacuous: the sf0.001 graph has triangles
+
+
+def test_triangle_total_is_third_of_incidence_sum(spark):
+    rows = G.simgraph_triangle_stats(spark, SF).collect()
+    # every triangle contributes 3 to the per-node incidence column
+    assert sum(r["triangles"] for r in rows) % 3 == 0 or len(rows) == 20
+    # clustering coefficient is a permille in [0, 1000]
+    assert all(0 <= r["clustering_permille"] <= 1000 for r in rows)
+
+
+def test_bfs_hops_match_python_bfs(spark):
+    pairs = _trade_pairs(spark)
+    adj = defaultdict(set)
+    for c, s in pairs:
+        adj[c].add(s)
+        adj[s].add(c)
+    hop = {G._BFS_SEED: 0}
+    frontier = [G._BFS_SEED]
+    for d in range(1, G._BFS_HOPS + 1):
+        nxt = []
+        for n in frontier:
+            for m in adj[n]:
+                if m not in hop:
+                    hop[m] = d
+                    nxt.append(m)
+        frontier = nxt
+    exp = defaultdict(lambda: [0, None, None])
+    for n, d in hop.items():
+        e = exp[d]
+        e[0] += 1
+        e[1] = n if e[1] is None else min(e[1], n)
+        e[2] = n if e[2] is None else max(e[2], n)
+    got = {
+        r["hop"]: (r["n_nodes"], r["first_node"], r["last_node"])
+        for r in G.trade_bfs_hops(spark, SF).collect()
+    }
+    assert got == {d: tuple(e) for d, e in exp.items()}
+    assert len(got) >= 3  # seed + at least two hop levels reached
+
+
+def test_hits_matches_integer_replica(spark):
+    pairs = sorted(_trade_pairs(spark))
+    s = G._HITS_SCALE
+    h = {c: s for c, _ in pairs}
+    a = {}
+    for _ in range(G._HITS_ITERS):
+        raw_a = defaultdict(int)
+        for c, sup in pairs:
+            raw_a[sup] += h[c]
+        mx = max(raw_a.values())
+        a = {n: (r * s) // mx for n, r in raw_a.items()}
+        raw_h = defaultdict(int)
+        for c, sup in pairs:
+            raw_h[c] += a[sup]
+        mx = max(raw_h.values())
+        h = {n: (r * s) // mx for n, r in raw_h.items()}
+    exp = [
+        ("authority", n, v)
+        for v, n in sorted(((v, n) for n, v in a.items()), key=lambda t: (-t[0], t[1]))[:10]
+    ] + [
+        ("hub", n, v)
+        for v, n in sorted(((v, n) for n, v in h.items()), key=lambda t: (-t[0], t[1]))[:10]
+    ]
+    got = [
+        (r["kind"], r["node"], r["score"])
+        for r in G.hits_hubs_authorities(spark, SF).collect()
+    ]
+    assert got == sorted(exp, key=lambda t: (t[0], -t[2], t[1]))
+    # max-normalization: every round's best node sits at exactly SCALE
+    assert got[0][2] == s and [g for g in got if g[0] == "hub"][0][2] == s
