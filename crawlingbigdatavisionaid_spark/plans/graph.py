@@ -119,65 +119,12 @@ def simgraph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     m rows total. Clustering coefficient is emitted as an exact integer
     permille ((2000*tri) DIV (deg*(deg-1))) so no float crosses engines.
 
-    Plan shape: edge build once + checkpoint, one |V|-row degree
-    aggregate, two broadcast-joined relabels, one self-join keyed on the
-    shared middle vertex, one semi-join closure check, one explode +
-    hash aggregate. All shuffles keyed; no windows, no driver loops."""
-    e = _sim_edges(spark, sf_dir).localCheckpoint(eager=False)
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionByName(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    # orient each edge by the total order (degree, node): src = smaller
-    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
-    ranked = e.join(du, "u").join(dv, "v")
-    fwd = F.when(
-        (F.col("du") < F.col("dv"))
-        | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
-        True,
-    ).otherwise(False)
-    oriented = ranked.select(
-        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    ).localCheckpoint(eager=False)
-    # oriented paths src→mid→far closed by src→far
-    paths = (
-        oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .join(
-            oriented.select(F.col("src").alias("b"), F.col("dst").alias("c")),
-            "b",
-        )
-    )
-    tri = paths.join(
-        oriented.select(F.col("src").alias("a"), F.col("dst").alias("c")),
-        ["a", "c"],
-        "semi",
-    )
-    pernode = (
-        tri.select(F.col("a").alias("node"))
-        .unionByName(tri.select(F.col("b").alias("node")))
-        .unionByName(tri.select(F.col("c").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("triangles"))
-    )
-    out = deg.join(pernode, "node", "left").select(
-        "node",
-        "degree",
-        F.coalesce("triangles", F.lit(0)).alias("triangles"),
-        F.when(
-            F.col("degree") >= 2,
-            F.expr(
-                "(2000 * coalesce(triangles, 0))"
-                " DIV (degree * (degree - 1))"
-            ),
-        )
-        .otherwise(F.lit(0))
-        .cast("bigint")
-        .alias("clustering_permille"),
-    )
+    Plan shape: see :func:`operators.graph.triangle_stats` (the
+    edge-source-agnostic core this query feeds with the ε-graph; the
+    scale smoke drives the same operator with K-replicated graphs)."""
+    from ..operators.graph import triangle_stats
+
+    out = triangle_stats(_sim_edges(spark, sf_dir))
     return out.orderBy(
         F.col("triangles").desc(), F.col("degree").desc(), F.col("node")
     ).limit(20)

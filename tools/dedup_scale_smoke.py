@@ -458,6 +458,288 @@ def _sketch_mode(spark, base: str, k: int, out: str) -> None:
     ), "width-scaled cms overcount not flat"
 
 
+def _replicate_trade(spark, base: str, k: int, out: str) -> tuple[str, float]:
+    """K disjoint copies of the trade tables (orderkey/custkey/suppkey
+    offset per replica) under ``out/gk`` — nodes and edges scale exactly
+    Kx and replica 0 keeps the base ids. Returns (dir, build_seconds)."""
+    from pyspark.sql import functions as F
+
+    from crawlingbigdatavisionaid_spark.sources import load_table
+
+    li = load_table(spark, base, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, base, "orders").select("o_orderkey", "o_custkey")
+    ospan = o.agg(F.max("o_orderkey")).first()[0] + 1
+    cspan = o.agg(F.max("o_custkey")).first()[0] + 1
+    sspan = li.agg(F.max("l_suppkey")).first()[0] + 1
+
+    t0 = time.time()
+    li_parts = [
+        li.select(
+            (F.col("l_orderkey") + F.lit(i * ospan)).alias("l_orderkey"),
+            (F.col("l_suppkey") + F.lit(i * sspan)).alias("l_suppkey"),
+        )
+        for i in range(k)
+    ]
+    o_parts = [
+        o.select(
+            (F.col("o_orderkey") + F.lit(i * ospan)).alias("o_orderkey"),
+            (F.col("o_custkey") + F.lit(i * cspan)).alias("o_custkey"),
+        )
+        for i in range(k)
+    ]
+    lu, ou = li_parts[0], o_parts[0]
+    for p in li_parts[1:]:
+        lu = lu.unionByName(p)
+    for p in o_parts[1:]:
+        ou = ou.unionByName(p)
+    lu.write.mode("overwrite").parquet(f"{out}/gk/lineitem.parquet")
+    ou.write.mode("overwrite").parquet(f"{out}/gk/orders.parquet")
+    return f"{out}/gk", round(time.time() - t0, 1)
+
+
+def _graph2_mode(spark, base: str, k: int, out: str) -> None:
+    """Scale rows for the r9 graph tier: triangle counting (orientation
+    bound), frontier BFS, integer HITS.
+
+    - triangles: the base ε-similarity edge set is replicated K times
+      with offset node ids (disjoint components), so |E| and the
+      triangle count scale EXACTLY Kx while the max ORIENTED out-degree
+      stays at its base value — the orientation invariant measured, not
+      argued. A second probe then welds a CELEBRITY hub onto replica 0
+      (one node adjacent to every replica-0 node): the naive edge-edge
+      join would fan this node out quadratically (deg^2 path rows); the
+      assert shows the oriented out-degree of the WHOLE graph stays
+      <= ceil(sqrt(2|E|)) + a small constant, because orientation
+      redirects the hub's edges to point AT it, never through it.
+    - bfs: on the K-replicated trade graph the reachable set from the
+      replica-0 seed is exactly the base component, so the entire
+      output (counts AND witnesses) must be bit-identical to base while
+      each round's edge scan grows Kx — frontier-bound compute, edge-
+      bound IO, made visible in the wall ratio.
+    - hits: per-replica symmetry means every base score class appears
+      exactly Kx and the global max normalization equals each replica's
+      own; the Kx top-10 score multiset must equal the base top-10
+      multiset K-expanded then truncated to 10.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    from crawlingbigdatavisionaid_spark.operators.graph import (
+        max_oriented_outdegree,
+        triangle_stats,
+    )
+    from crawlingbigdatavisionaid_spark.plans.graph import (
+        _sim_edges,
+        hits_hubs_authorities,
+        trade_bfs_hops,
+    )
+
+    res: dict = {"mode": "graph2", "k": k, "base": base}
+
+    # ---- triangles ------------------------------------------------------
+    e_base = _sim_edges(spark, base).localCheckpoint()
+    m = e_base.count()
+    span = (
+        e_base.select(F.greatest("u", "v").alias("x")).agg(F.max("x")).first()[0]
+        + 1
+    )
+    reps = [
+        e_base.select(
+            (F.col("u") + F.lit(i * span)).alias("u"),
+            (F.col("v") + F.lit(i * span)).alias("v"),
+        )
+        for i in range(k)
+    ]
+    e_k = reps[0]
+    for p in reps[1:]:
+        e_k = e_k.unionByName(p)
+    e_k = e_k.localCheckpoint()
+
+    def tri_row(edges, label):
+        t0 = time.time()
+        stats = triangle_stats(edges).localCheckpoint()
+        agg = stats.agg(
+            F.sum("triangles").alias("incidence"), F.count(F.lit(1)).alias("nodes")
+        ).first()
+        return {
+            "edges": edges.count(),
+            "nodes": agg["nodes"],
+            "triangles": int(agg["incidence"]) // 3,
+            "max_oriented_outdeg": max_oriented_outdegree(edges),
+            "wall_s": round(time.time() - t0, 1),
+        }
+
+    tb = tri_row(e_base, "base")
+    tk = tri_row(e_k, "kx")
+    assert tk["edges"] == k * tb["edges"]
+    assert tk["nodes"] == k * tb["nodes"]
+    assert tk["triangles"] == k * tb["triangles"], (tk["triangles"], tb["triangles"])
+    assert tk["max_oriented_outdeg"] == tb["max_oriented_outdeg"]
+
+    # celebrity probe: hub adjacent to every replica-0 node
+    hub = F.lit(-1)
+    nodes0 = (
+        e_base.select(F.col("u").alias("n"))
+        .unionByName(e_base.select(F.col("v").alias("n")))
+        .distinct()
+    )
+    star = nodes0.select(hub.alias("u"), F.col("n").alias("v"))
+    e_skew = e_k.unionByName(star).localCheckpoint()
+    m_skew = e_skew.count()
+    bound = math.isqrt(2 * m_skew) + 2
+    skew_outdeg = max_oriented_outdegree(e_skew)
+    hub_deg = nodes0.count()
+    t0 = time.time()
+    tri_skew = (
+        triangle_stats(e_skew)
+        .agg(F.sum("triangles").alias("i"))
+        .first()["i"]
+        // 3
+    )
+    skew_wall = round(time.time() - t0, 1)
+    # hub closes a triangle over every replica-0 edge: +m triangles
+    assert tri_skew == tk["triangles"] + m, (tri_skew, tk["triangles"], m)
+    assert skew_outdeg <= bound, (skew_outdeg, bound, hub_deg)
+    res["triangle"] = {
+        "base": tb,
+        "kx": tk,
+        "celebrity": {
+            "hub_undirected_degree": hub_deg,
+            "max_oriented_outdeg": skew_outdeg,
+            "sqrt_bound": bound,
+            "triangles": int(tri_skew),
+            "wall_s": skew_wall,
+        },
+    }
+
+    # ---- bfs + hits on the Kx trade graph -------------------------------
+    gk, build_s = _replicate_trade(spark, base, k, out)
+    res["trade_build_s"] = build_s
+
+    def rows(df):
+        return [tuple(r) for r in df.collect()]
+
+    t0 = time.time()
+    bfs_base = rows(trade_bfs_hops(spark, base))
+    bfs_base_s = round(time.time() - t0, 1)
+    t0 = time.time()
+    bfs_kx = rows(trade_bfs_hops(spark, gk))
+    bfs_kx_s = round(time.time() - t0, 1)
+    assert bfs_kx == bfs_base, "BFS from the replica-0 seed must be base-identical"
+    res["bfs"] = {
+        "levels": len(bfs_base),
+        "reached": sum(r[1] for r in bfs_base),
+        "base_wall_s": bfs_base_s,
+        "kx_wall_s": bfs_kx_s,
+    }
+
+    t0 = time.time()
+    hits_base = rows(hits_hubs_authorities(spark, base))
+    hits_base_s = round(time.time() - t0, 1)
+    t0 = time.time()
+    hits_kx = rows(hits_hubs_authorities(spark, gk))
+    hits_kx_s = round(time.time() - t0, 1)
+    for kind in ("authority", "hub"):
+        b_scores = sorted(
+            (r[2] for r in hits_base if r[0] == kind), reverse=True
+        )
+        kx_scores = sorted((r[2] for r in hits_kx if r[0] == kind), reverse=True)
+        expanded = [s for s in b_scores for _ in range(k)][: len(kx_scores)]
+        assert kx_scores == expanded, (kind, kx_scores, expanded)
+    res["hits"] = {"base_wall_s": hits_base_s, "kx_wall_s": hits_kx_s}
+    print(json.dumps(res))
+
+
+def _prefixjoin_mode(spark, base: str, k: int, out: str) -> None:
+    """AllPairs prefix filter vs df-capped inverted index at Kx.
+
+    Token-suffix-tagged replication (the generic-mode rule): replica
+    vocabularies are disjoint, so the true Jaccard>=0.6 pair set scales
+    EXACTLY Kx. Reported per strategy: wall seconds and candidate-stage
+    index size — the prefix index must hold ~(1-t) of the full index's
+    rows (the filter's whole point), and both strategies must emit the
+    IDENTICAL Kx pair set (they are two candidate generators for one
+    exact definition)."""
+    from pyspark.sql import functions as F
+
+    from crawlingbigdatavisionaid_spark.operators import neardup as ND
+    from crawlingbigdatavisionaid_spark.sources import load_table
+
+    docs = load_table(spark, base, "documents").select("doc_id", "text")
+    doc_span = docs.agg(F.max("doc_id")).first()[0] + 1
+
+    def tag(i: int) -> str:
+        return "q" + chr(97 + i % 26) + chr(97 + (i // 26) % 26)
+
+    t0 = time.time()
+    reps = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * doc_span)).alias("doc_id"),
+            F.regexp_replace("text", r"([A-Za-z]+)", "$1" + tag(i)).alias("text"),
+        )
+        for i in range(k)
+    ]
+    dk = reps[0]
+    for p in reps[1:]:
+        dk = dk.unionByName(p)
+    dk.write.mode("overwrite").parquet(f"{out}/pj/documents.parquet")
+    build_s = round(time.time() - t0, 1)
+    dk = spark.read.parquet(f"{out}/pj/documents.parquet")
+
+    def strategy_row(corpus, fn, label):
+        t0 = time.time()
+        pairs = fn(corpus).localCheckpoint()
+        n = pairs.count()
+        return n, round(time.time() - t0, 1), pairs
+
+    res = {"mode": "prefixjoin", "k": k, "base_dir": base, "build_s": build_s}
+    for label, corpus in (("base", docs), ("kx", dk)):
+        inv = ND.shingle_rows(corpus, 3).localCheckpoint()
+        full_rows = inv.count()
+        # prefix index size at t=0.6 (the candidate-stage row count)
+        w = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+        df_tbl = inv.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+        ranked = inv.join(df_tbl, "s").withColumn(
+            "_r",
+            F.row_number().over(
+                w.partitionBy("doc_id").orderBy(F.asc("_df"), F.asc("s"))
+            ),
+        ).withColumn(
+            "_sz", F.count(F.lit(1)).over(w.partitionBy("doc_id"))
+        )
+        prefix_rows = ranked.where(
+            F.col("_r") <= F.col("_sz") - F.expr("(6 * _sz + 9) DIV 10") + 1
+        ).count()
+        n_p, s_p, pairs_p = strategy_row(
+            corpus,
+            lambda c: ND.prefix_filter_jaccard_pairs(c, threshold_tenths=6, inv=inv),
+            "prefix",
+        )
+        n_i, s_i, pairs_i = strategy_row(
+            corpus,
+            lambda c: ND.jaccard_pairs(c, threshold_tenths=6, inv=inv),
+            "invindex",
+        )
+        both = pairs_p.join(
+            pairs_i, ["doc_a", "doc_b", "inter", "union_size"]
+        ).count()
+        assert n_p == n_i == both, (n_p, n_i, both)
+        res[label] = {
+            "pairs": n_p,
+            "index_rows_full": full_rows,
+            "index_rows_prefix": prefix_rows,
+            "prefix_fraction": round(prefix_rows / max(full_rows, 1), 3),
+            "prefix_wall_s": s_p,
+            "invindex_wall_s": s_i,
+        }
+    assert res["kx"]["pairs"] == k * res["base"]["pairs"], (
+        res["kx"]["pairs"],
+        res["base"]["pairs"],
+    )
+    print(json.dumps(res))
+
+
 def _graph_mode(spark, base: str, k: int, out: str) -> None:
     """PageRank scale rows (judge r8 #3) — the one iterative operator
     without 10x/100x evidence (CC got its row in r4).
@@ -491,35 +773,7 @@ def _graph_mode(spark, base: str, k: int, out: str) -> None:
     )
     from crawlingbigdatavisionaid_spark.sources import load_table
 
-    li = load_table(spark, base, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load_table(spark, base, "orders").select("o_orderkey", "o_custkey")
-    ospan = o.agg(F.max("o_orderkey")).first()[0] + 1
-    cspan = o.agg(F.max("o_custkey")).first()[0] + 1
-    sspan = li.agg(F.max("l_suppkey")).first()[0] + 1
-
-    t0 = time.time()
-    li_parts = [
-        li.select(
-            (F.col("l_orderkey") + F.lit(i * ospan)).alias("l_orderkey"),
-            (F.col("l_suppkey") + F.lit(i * sspan)).alias("l_suppkey"),
-        )
-        for i in range(k)
-    ]
-    o_parts = [
-        o.select(
-            (F.col("o_orderkey") + F.lit(i * ospan)).alias("o_orderkey"),
-            (F.col("o_custkey") + F.lit(i * cspan)).alias("o_custkey"),
-        )
-        for i in range(k)
-    ]
-    lu, ou = li_parts[0], o_parts[0]
-    for p in li_parts[1:]:
-        lu = lu.unionByName(p)
-    for p in o_parts[1:]:
-        ou = ou.unionByName(p)
-    lu.write.mode("overwrite").parquet(f"{out}/gk/lineitem.parquet")
-    ou.write.mode("overwrite").parquet(f"{out}/gk/orders.parquet")
-    build_s = round(time.time() - t0, 1)
+    _gk_dir, build_s = _replicate_trade(spark, base, k, out)
 
     def row(sf: str, expect_mult: int) -> dict:
         t0 = time.time()
@@ -858,6 +1112,12 @@ def main() -> None:
             return
         if mode == "graph":
             _graph_mode(spark, base, k, out)
+            return
+        if mode == "graph2":
+            _graph2_mode(spark, base, k, out)
+            return
+        if mode == "prefixjoin":
+            _prefixjoin_mode(spark, base, k, out)
             return
         if mode == "streamstate":
             _streamstate_mode(spark, base, k, out)

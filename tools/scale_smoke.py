@@ -92,6 +92,19 @@ QUERIES = [
     # the two r8 families with no 10x row — standing rows from birth
     "bm25_topk",
     "theta_intersection_users",
+    # r9 (second session): the new corpus-self-join heavy (prefix-
+    # filtered exact set-similarity join) and the trade-graph iterator
+    # earn 10x rows from birth; the sweep-line rides the 10x events
+    # table. simgraph_triangle_stats is deliberately NOT here: this
+    # tool replicates embeddings with IDENTICAL vectors, which makes
+    # the cos>=0.3 ε-graph K²-dense (every copy is cosine-1 to every
+    # copy of its neighbors) — a 10x row would measure a quadratically
+    # denser graph, not 10x data. Its scale evidence lives in
+    # dedup_scale_smoke --mode graph2 (disjoint node-offset edge
+    # replication, exact Kx triangles, orientation-bound assert).
+    "setsim_prefix_join",
+    "hits_hubs_authorities",
+    "max_concurrent_events",
 ]
 
 
