@@ -77,6 +77,7 @@ FAMILIES: dict[str, list[str]] = {
         "fuzzy_match_parts",
         "trade_bfs_hops",
         "hits_hubs_authorities",
+        "cheapest_trade_path",
     ],
     # event-time windows, as-of/range joins, JSON extraction
     "windows": [
@@ -165,6 +166,7 @@ FAMILIES: dict[str, list[str]] = {
         "wilson_source_quality",
         "char_entropy_quality",
         "tokenizer_fertility_by_lang",
+        "phrase_search_positions",
     ],
     # sketches, incremental maintenance, event analytics
     "sketch": [
@@ -191,6 +193,8 @@ FAMILIES: dict[str, list[str]] = {
         # round 9 additions
         "max_concurrent_events",
         "benford_value_audit",
+        "journey_trigrams_topk",
+        "rolling_7day_distinct_users",
     ],
 }
 

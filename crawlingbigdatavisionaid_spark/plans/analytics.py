@@ -1179,3 +1179,104 @@ def benford_value_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "digit")
     )
+
+
+@register(
+    "journey_trigrams_topk",
+    ops=("OP-X-WIN-01", "OP-TOPK-01", "OP-AGG-01"),
+    oracle="""
+        WITH s AS (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ), tri AS (
+            SELECT a.event_type || '>' || b.event_type || '>' || c.event_type
+                   AS journey
+            FROM s a JOIN s b ON a.user_id = b.user_id AND b.rn = a.rn + 1
+                     JOIN s c ON a.user_id = c.user_id AND c.rn = a.rn + 2
+        )
+        SELECT journey, COUNT(*) AS n FROM tri
+        GROUP BY journey ORDER BY n DESC, journey LIMIT 25
+    """,
+)
+def journey_trigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey patterns: the 25 most frequent 3-step event-type
+    sequences over each user's time-ordered history — the order-3 sibling
+    of ``markov_transition_matrix`` (order-2), the bread-and-butter path
+    query of product analytics.
+
+    One keyed window per user (bounded: a user's history fits a task;
+    this is the HIGH-cardinality-group regime where the plain window is
+    right and ``grouped_rank`` machinery would be waste), two ``lead``
+    steps instead of two self-joins — the oracle's rn+1/rn+2 joins and
+    Spark's lead() are the same sequence semantics, but lead() reuses
+    the one sorted pass where the SQL twin would shuffle three times.
+    Total order (ts, event_id) makes the sequence — and therefore the
+    counts — partitioning-invariant."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.withColumn("_e2", F.lead("event_type", 1).over(w))
+        .withColumn("_e3", F.lead("event_type", 2).over(w))
+        .where(F.col("_e2").isNotNull() & F.col("_e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "_e2", "_e3").alias("journey")
+        )
+    )
+    return (
+        tri.groupBy("journey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "journey")
+        .limit(25)
+    )
+
+
+@register(
+    "rolling_7day_distinct_users",
+    ops=("OP-AGG-03", "OP-X-WIN-01"),
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+        ), days AS (
+            SELECT DISTINCT d FROM du
+        ), contrib AS (
+            SELECT du.user_id, days.d AS target
+            FROM du JOIN days ON days.d BETWEEN du.d AND du.d + INTERVAL 6 DAY
+        )
+        SELECT target AS day, COUNT(DISTINCT user_id) AS active_users_7d
+        FROM contrib GROUP BY target ORDER BY target
+    """,
+)
+def rolling_7day_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the metric every
+    growth dashboard calls WAU. COUNT(DISTINCT) cannot ride a sliding
+    window frame (distinct is not subtractable), so the classic
+    distributed form is used: dedup to (day, user) grain FIRST (one
+    hash aggregate — the row count collapses to at most |days|x|users|),
+    then EXPLODE each surviving pair to the <=7 target days it can
+    serve (sequence + explode, a bounded x7 fan-out of the already-tiny
+    deduped table), then one exact distinct-count per target day.
+    Compare the naive range join events x days: it fans out the FULL
+    event table 7x before deduping. Target days are restricted to days
+    that actually occur (join with the observed-day set), mirroring the
+    oracle; both engines do exact integer date arithmetic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    du = ev.distinct()
+    days = du.select("d").distinct().select(F.col("d").alias("target"))
+    contrib = du.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("target"),
+    ).join(days, "target")
+    return (
+        contrib.groupBy("target")
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+        .select(F.col("target").alias("day"), "active_users_7d")
+        .orderBy("day")
+    )

@@ -364,3 +364,103 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_a.unionByName(top_h).orderBy(
         "kind", F.col("score").desc(), "node"
     )
+
+
+_BF_HOPS = 4
+_INF = 10**15  # unreachable sentinel, far above any 4-hop cents total
+
+
+def _cheapest_oracle() -> str:
+    """Unrolled min-plus Bellman-Ford twin of :func:`cheapest_trade_path`.
+
+    MATERIALIZED per round for the same double-reference reason as the
+    HITS oracle (each d{i} feeds both the relax join and the carry-over
+    MIN)."""
+    pre = _trade_pairs_sql() + f""", w AS MATERIALIZED (
+            SELECT p.c, p.s,
+                   MIN(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS w
+            FROM pairs p
+            JOIN orders o ON 'c:' || o.o_custkey = p.c
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                           AND 's:' || l.l_suppkey = p.s
+            GROUP BY p.c, p.s
+        ), edges AS MATERIALIZED (
+            SELECT c AS src, s AS dst, w FROM w
+            UNION ALL SELECT s, c, w FROM w
+        ), d0 AS (
+            SELECT '{_BFS_SEED}' AS node, CAST(0 AS BIGINT) AS cost
+        )"""
+    its = []
+    for i in range(1, _BF_HOPS + 1):
+        its.append(f""", d{i} AS MATERIALIZED (
+            SELECT node, MIN(cost) AS cost FROM (
+                SELECT node, cost FROM d{i - 1}
+                UNION ALL
+                SELECT e.dst AS node, d.cost + e.w AS cost
+                FROM edges e JOIN d{i - 1} d ON e.src = d.node
+            ) GROUP BY node
+        )""")
+    return (
+        pre
+        + "".join(its)
+        + f"""
+        SELECT node, cost FROM d{_BF_HOPS}
+        ORDER BY cost, node LIMIT 20
+    """
+    )
+
+
+@register(
+    "cheapest_trade_path",
+    ops=("OP-AGG-01", "OP-TOPK-01"),
+    oracle=_cheapest_oracle(),
+)
+def cheapest_trade_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source cheapest path (Bellman-Ford over the min-plus
+    semiring, 4 relaxation rounds) on the trade graph, edge weight =
+    the cheapest order (integer cents) linking a customer and a
+    supplier: the 'lowest-friction procurement route' query, and the
+    third iterative-graph recurrence beside PageRank (sum-times) and
+    BFS (reachability) — same Pregel-as-join shape, different semiring.
+
+    Determinism: weights are exact integer cents (floor(p*100 + 0.5) —
+    single IEEE multiply+add, then floor), relaxation is MIN of integer
+    sums, and ties need no break because MIN is idempotent. Fixed 4
+    rounds = 4 keyed join+aggregate shuffles over a once-checkpointed
+    weighted edge table; per-round state is the |reached|-row distance
+    table (checkpointed per round — each d_i feeds both the relax join
+    and the carry-over MIN, the same double-reference the HITS rounds
+    checkpoint away). Unreachable nodes are simply absent (no INF
+    sentinel rows shipped)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    w = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("w"),
+        )
+        .groupBy("c", "s")
+        .agg(F.min("w").alias("w"))
+    )
+    edges = w.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+    ).unionByName(
+        w.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w")
+    ).localCheckpoint(eager=False)
+    d = spark.createDataFrame([(_BFS_SEED, 0)], "node string, cost bigint")
+    for _ in range(_BF_HOPS):
+        relaxed = (
+            edges.join(d, edges.src == d.node)
+            .select(F.col("dst").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
+            .unionByName(d)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=False)
+        )
+        d = relaxed
+    return d.orderBy("cost", "node").limit(20)

@@ -2301,3 +2301,59 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_chars") / F.col("subwords").cast("double"), 6
         ).alias("chars_per_subword"),
     ).orderBy("lang")
+
+
+_PHRASE = ("data", "query")  # fixed 2-token phrase for the search demo
+
+
+@register(
+    "phrase_search_positions",
+    ops=("OP-TXT-01", "OP-TOPK-01"),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+            FROM documents
+        ), hits AS (
+            SELECT doc_id,
+                   len(list_filter(generate_series(1, len(toks) - 1),
+                       i -> toks[i] = '{_PHRASE[0]}'
+                            AND toks[i + 1] = '{_PHRASE[1]}')) AS n_hits
+            FROM t
+        )
+        SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits
+        FROM hits WHERE n_hits > 0
+        ORDER BY n_hits DESC, doc_id LIMIT 25
+    """,
+)
+def phrase_search_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ('data query') via a POSITIONAL inverted
+    index — the retrieval primitive BM25 (bag-of-words) cannot express:
+    posting lists carry token positions, and a phrase match is a join
+    of consecutive positions.
+
+    Spark shape: posexplode the token array into (doc, pos, token)
+    postings, filter to the phrase's two terms (at web scale the
+    posting store is partitioned BY TOKEN, so this filter is a
+    partition-pruned read of two posting lists, not a corpus scan),
+    then self-join on (doc, pos+1) — the classic positional-index
+    phrase join, cost proportional to the two terms' posting sizes,
+    independent of corpus token count. Top-25 docs by occurrence count
+    with doc_id tie-break. The oracle recomputes hits per doc with a
+    list scan over the same tokenization."""
+    docs = load_table(spark, sf_dir, "documents")
+    postings = docs.select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("pos", "tok")
+    )
+    first = postings.where(F.col("tok") == _PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("p0")
+    )
+    second = postings.where(F.col("tok") == _PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("p0")
+    )
+    return (
+        first.join(second, ["doc_id", "p0"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .orderBy(F.col("n_hits").desc(), "doc_id")
+        .limit(25)
+    )

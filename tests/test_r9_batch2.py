@@ -1,0 +1,98 @@
+"""r9 batch-2 queries: min-plus Bellman-Ford cheapest path, journey
+trigrams, rolling 7-day distinct users, positional phrase search — each
+pinned against a pure-Python replica at sf0.001."""
+
+from __future__ import annotations
+
+import re
+from collections import defaultdict
+
+from crawlingbigdatavisionaid_spark.plans import registry
+from crawlingbigdatavisionaid_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(name):
+    registry._load_all()
+    return registry.QUERIES[name].fn
+
+
+def test_cheapest_path_matches_bellman_ford(spark):
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey").collect()
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).collect()
+    by_order = {}
+    for r in orders:
+        cents = int((r["o_totalprice"] * 100 + 0.5) // 1)
+        by_order[r["o_orderkey"]] = (f"c:{r['o_custkey']}", cents)
+    w = {}
+    for r in li:
+        if r["l_orderkey"] not in by_order:
+            continue
+        c, cents = by_order[r["l_orderkey"]]
+        key = (c, f"s:{r['l_suppkey']}")
+        w[key] = min(w.get(key, cents), cents)
+    adj = defaultdict(list)
+    for (c, s), cost in w.items():
+        adj[c].append((s, cost))
+        adj[s].append((c, cost))
+    dist = {"s:1": 0}
+    for _ in range(4):
+        nxt = dict(dist)
+        for n, d0 in dist.items():
+            for m, cost in adj[n]:
+                cand = d0 + cost
+                if cand < nxt.get(m, 1 << 62):
+                    nxt[m] = cand
+        dist = nxt
+    exp = sorted(dist.items(), key=lambda t: (t[1], t[0]))[:20]
+    got = [(r["node"], r["cost"]) for r in _q("cheapest_trade_path")(spark, SF).collect()]
+    assert got == exp
+
+
+def test_journey_trigrams_match_python(spark):
+    ev = load_table(spark, SF, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    ).collect()
+    hist = defaultdict(list)
+    for r in ev:
+        hist[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    counts = defaultdict(int)
+    for seq in hist.values():
+        seq.sort()
+        types = [t for _, _, t in seq]
+        for i in range(len(types) - 2):
+            counts[">".join(types[i : i + 3])] += 1
+    exp = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[:25]
+    got = [(r["journey"], r["n"]) for r in _q("journey_trigrams_topk")(spark, SF).collect()]
+    assert got == exp and len(got) == 25
+
+
+def test_rolling_distinct_users_matches_python(spark):
+    ev = load_table(spark, SF, "events").select("ts", "user_id").collect()
+    du = {(r["ts"].date(), r["user_id"]) for r in ev}
+    days = sorted({d for d, _ in du})
+    exp = {}
+    for t in days:
+        exp[t] = len({u for d, u in du if 0 <= (t - d).days <= 6})
+    got = {r["day"]: r["active_users_7d"] for r in _q("rolling_7day_distinct_users")(spark, SF).collect()}
+    assert got == exp and len(got) == len(days)
+
+
+def test_phrase_search_matches_regex_scan(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    counts = {}
+    for r in docs:
+        toks = re.findall(r"[a-z]+", (r["text"] or "").lower())
+        n = sum(
+            1
+            for i in range(len(toks) - 1)
+            if toks[i] == "data" and toks[i + 1] == "query"
+        )
+        if n:
+            counts[r["doc_id"]] = n
+    exp = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[:25]
+    got = [(r["doc_id"], r["n_hits"]) for r in _q("phrase_search_positions")(spark, SF).collect()]
+    assert got == exp and len(got) > 0
