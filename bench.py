@@ -90,6 +90,8 @@ FAMILIES: dict[str, list[str]] = {
         "crawl_frontier_schedule",
         # round 8 additions
         "scd2_user_segments",
+        # round 9 addition
+        "pit_segment_features",
     ],
     # text dedup: exact, n-gram, minhash, simhash, containment, spans,
     # chunks, components, and the corpora they feed
@@ -195,6 +197,7 @@ FAMILIES: dict[str, list[str]] = {
         "benford_value_audit",
         "journey_trigrams_topk",
         "rolling_7day_distinct_users",
+        "rolling_7day_hll_users",
     ],
 }
 

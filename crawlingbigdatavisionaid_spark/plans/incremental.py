@@ -316,3 +316,168 @@ def incremental_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(disjoint)
         .select("n_old", "n_delta", "n_new", "delta_exact", "disjoint")
     )
+
+
+@register(
+    "pit_segment_features",
+    ops=("OP-X-WIN-01", "OP-AGG-01"),
+    oracle="""
+        WITH e AS (
+            SELECT user_id, ts,
+                   CASE WHEN value < 50 THEN 'low'
+                        WHEN value < 200 THEN 'mid'
+                        ELSE 'high' END AS segment
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        ), isl AS (
+            SELECT user_id, ts, segment,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts)
+                   - ROW_NUMBER() OVER (PARTITION BY user_id, segment
+                                        ORDER BY ts) AS island
+            FROM e
+        ), runs AS (
+            SELECT user_id, segment, island,
+                   MIN(ts) AS valid_from
+            FROM isl GROUP BY user_id, segment, island
+        ), p AS (
+            SELECT user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+              AND ts IS NOT NULL AND value IS NOT NULL
+        ), matched AS (
+            SELECT p.user_id, p.ts, p.value,
+                   (SELECT r.segment FROM runs r
+                    WHERE r.user_id = p.user_id
+                      AND r.valid_from <= p.ts
+                    ORDER BY r.valid_from DESC LIMIT 1) AS segment
+            FROM p
+        )
+        SELECT segment,
+               COUNT(*) AS n_purchases,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM matched GROUP BY segment ORDER BY segment
+    """,
+)
+def pit_segment_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) feature join — THE feature-store primitive:
+    each purchase event is attributed to the user's segment AS OF the
+    purchase timestamp, against the SCD2 validity history built from
+    the same stream. Training-data pipelines need exactly this shape to
+    avoid feature leakage (joining tomorrow's segment onto today's
+    label); serving joins the identical history table.
+
+    The interval-containment join [valid_from, valid_to) ∋ ts is
+    executed as a BACKWARD AS-OF join on valid_from (latest segment
+    start <= ts per user) — equivalent because SCD2 intervals are
+    contiguous per user — via ``operators/asof.asof_join``: one
+    union + one keyed window with last(ignorenulls) carry-forward, no
+    non-equi join anywhere, bounded per-user state. A purchase always
+    matches (its own event opened or extended a segment at ts), which
+    the oracle's correlated LIMIT 1 subquery mirrors. Revenue sums in
+    exact integer cents."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    segs = scd2_runs(ev.select("user_id", "ts", scd2_segment_expr())).select(
+        "user_id", F.col("valid_from").alias("ts"), "segment"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    matched = asof_join(
+        purchases,
+        segs,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=("segment",),
+    )
+    return (
+        matched.groupBy(F.col("asof_segment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "rolling_7day_hll_users",
+    ops=("OP-X-APPROX-01", "OP-AGG-03"),
+    # sketch bytes are engine-internal (DataSketches); the oracle pins
+    # the exact rolling counts and the tolerance verdicts, the same
+    # contract as hll_partial_merge
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+        ), days AS (
+            SELECT DISTINCT d FROM du
+        ), contrib AS (
+            SELECT du.user_id, days.d AS target
+            FROM du JOIN days ON days.d BETWEEN du.d AND du.d + INTERVAL 6 DAY
+        )
+        SELECT target AS day,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS within_2pct
+        FROM contrib GROUP BY target ORDER BY target
+    """,
+)
+def rolling_7day_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``rolling_7day_distinct_users``: one HLL
+    sketch per day (a few KB), each trailing-7-day count = the union of
+    7 daily sketches — turning the window's COUNT DISTINCT (which has
+    no subtractable sliding form and whose exact dedup-then-explode
+    twin shuffles the full (day, user) grain) into a |days|x7 merge of
+    constant-size summaries. The exact twin grades the estimate: every
+    day's HLL union must land within 2% (lgK 12 ≈ 1.6% RSE).
+
+    Daily sketches build in ONE pass over events; the x7 explode
+    operates on |days| sketch rows, not data rows. This is the same
+    sketch-is-the-mergeable-partial argument as ``hll_partial_merge``,
+    extended to overlapping windows — sketch UNION is idempotent, so
+    overlapping windows can share daily sketches where additive
+    partials would double-count."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    daily = ev.groupBy("d").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    days = daily.select(F.col("d").alias("target"))
+    est = (
+        daily.select(
+            "sk",
+            F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias(
+                "target"
+            ),
+        )
+        .join(days, "target")
+        .groupBy("target")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    exact = (
+        ev.distinct()
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias(
+                "target"
+            ),
+        )
+        .join(days, "target")
+        .groupBy("target")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return (
+        est.join(exact, "target")
+        .select(
+            F.col("target").alias("day"),
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= 0.02 * F.col("exact_users")
+            ).alias("within_2pct"),
+        )
+        .orderBy("day")
+    )

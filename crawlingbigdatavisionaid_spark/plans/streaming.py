@@ -1041,3 +1041,122 @@ def stream_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "multi_batch boolean, matches_batch boolean, "
         "n_intervals bigint, n_users bigint",
     )
+
+
+@register(
+    "stream_journey_merge",
+    ops=("OP-STR-01", "OP-X-WIN-01", "OP-AGG-06"),
+    # the drained journey distribution must BE the batch build's; the
+    # oracle independently recomputes the distribution's summary stats
+    # so the verdict row carries cross-checked numbers, not just TRUE
+    oracle="""
+        WITH s AS (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ), tri AS (
+            SELECT a.event_type || '>' || b.event_type || '>' || c.event_type
+                   AS journey
+            FROM s a JOIN s b ON a.user_id = b.user_id AND b.rn = a.rn + 1
+                     JOIN s c ON a.user_id = c.user_id AND c.rn = a.rn + 2
+        ), d AS (
+            SELECT journey, COUNT(*) AS n FROM tri GROUP BY journey
+        )
+        SELECT TRUE AS multi_batch, TRUE AS matches_batch,
+               CAST(COUNT(*) AS BIGINT) AS n_journeys,
+               CAST(SUM(n) AS BIGINT) AS total_trigrams
+        FROM d
+    """,
+)
+def stream_journey_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming journey-trigram maintenance, end-to-end: the event
+    stream arrives as three TIME-SLICED delta files and folds through
+    ``streaming/ingest.journey_merge_ingest`` — per-batch internal
+    counts plus a bounded per-user boundary summary (first/last two
+    event types), with the <=2 junction-spanning trigrams emitted at
+    each fold. The verdict anti-joins the drained distribution against
+    the batch ``journey_trigrams_topk`` recurrence over the FULL
+    distribution (not just top-25): a sequence split across any batch
+    boundary must count exactly once, which only works if the boundary
+    monoid (prefix/suffix concatenation) is implemented right. State is
+    |journeys| + |users| rows — never the event history."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..sources import load_table
+    from ..streaming.ingest import journey_merge_ingest
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    [(lo, hi)] = ev.agg(F.min("ts"), F.max("ts")).collect()
+    if lo is None or lo == hi:
+        raise ValueError(
+            "stream_journey_merge needs a time-spanning events table"
+        )
+    c1 = lo + (hi - lo) / 3
+    c2 = lo + 2 * (hi - lo) / 3
+    slices = [
+        ev.where(F.col("ts") < F.lit(c1)),
+        ev.where((F.col("ts") >= F.lit(c1)) & (F.col("ts") < F.lit(c2))),
+        ev.where(F.col("ts") >= F.lit(c2)),
+    ]
+    if any(sl.limit(1).count() == 0 for sl in slices):
+        raise ValueError(
+            "stream_journey_merge produced an empty time slice — the "
+            "multi-batch verdict would be vacuous"
+        )
+    root = tempfile.mkdtemp(prefix="journey_merge_")
+    try:
+        delta_dir = f"{root}/delta"
+        t0 = 1_700_000_000
+        seen: set[str] = set()
+        for i, sl in enumerate(slices):
+            sl.coalesce(1).write.mode("append").parquet(delta_dir)
+            for f in set(os.listdir(delta_dir)) - seen:
+                os.utime(f"{delta_dir}/{f}", (t0 + i, t0 + i))
+                seen.add(f)
+        n_batches, final_dir = journey_merge_ingest(
+            spark,
+            delta_dir,
+            f"{root}/state",
+            f"{root}/ckpt",
+            "user_id long, ts timestamp, event_id long, event_type string",
+        )
+        streamed = (
+            spark.read.parquet(final_dir)
+            .where(F.col("kind") == "c")
+            .select("journey", "n")
+        )
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        batch = (
+            ev.withColumn("_e2", F.lead("event_type", 1).over(w))
+            .withColumn("_e3", F.lead("event_type", 2).over(w))
+            .where(F.col("_e2").isNotNull() & F.col("_e3").isNotNull())
+            .select(F.concat_ws(">", "event_type", "_e2", "_e3").alias("journey"))
+            .groupBy("journey")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        only_s = streamed.join(batch, ["journey", "n"], "anti").count()
+        only_b = batch.join(streamed, ["journey", "n"], "anti").count()
+        [(n_j, tot)] = batch.agg(
+            F.count(F.lit(1)), F.sum("n").cast("bigint")
+        ).collect()
+        row = (
+            n_batches > 1,
+            only_s == 0 and only_b == 0,
+            int(n_j),
+            int(tot),
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        "multi_batch boolean, matches_batch boolean, "
+        "n_journeys bigint, total_trigrams bigint",
+    )

@@ -641,3 +641,169 @@ def scd2_merge_ingest(
         spark, delta_path, state_root, checkpoint, schema,
         partial, fold, max_files_per_trigger,
     )
+
+
+_JOURNEY_STATE_COLS = (
+    "kind string, journey string, n long, "
+    "user_id long, pfx array<string>, sfx array<string>, ulen long"
+)
+
+
+def journey_merge_ingest(
+    spark: SparkSession,
+    delta_path: str,
+    state_root: str,
+    checkpoint: str,
+    schema,
+    max_files_per_trigger: int | None = 1,
+) -> tuple[int, str | None]:
+    """Streaming maintenance of per-user 3-step journey counts — the
+    n-gram-over-concatenation monoid as a versioned fold: each batch
+    contributes (a) its batch-internal trigram counts and (b) a per-user
+    BOUNDARY summary (first/last <=2 event types + length); the fold
+    adds the counts, emits the <=2 trigrams that SPAN the batch
+    junction from (prev.suffix ++ cur.prefix), and merges the
+    summaries. State is |journeys| count rows + exactly ONE bounded row
+    per user (4 strings + a counter) — never the event history.
+
+    Ordering contract (same as ``scd2_merge_ingest``): the delta files
+    must arrive per-user time-ordered (a keyed CDC log / time-sliced
+    drops); ``stream_journey_merge`` asserts the drained counts equal
+    the batch build, which any out-of-order slice would break loudly.
+
+    Returns (n_batches, final_state_dir)."""
+    from pyspark.sql import functions as F
+
+    def partial(batch_df: DataFrame) -> DataFrame:
+        per_user = batch_df.groupBy("user_id").agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(ts, event_id, "
+                "event_type))), x -> x.event_type)"
+            ).alias("arr")
+        )
+        # the size guard matters: sequence(0, -1) is Spark's DESCENDING
+        # [0, -1], so an unguarded transform on a 1/2-event user would
+        # emit malformed out-of-range trigrams, not an empty list
+        counts = (
+            per_user.select(
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(arr) >= 3 THEN "
+                        "transform(sequence(0, size(arr) - 3), i -> "
+                        "concat_ws('>', arr[i], arr[i+1], arr[i+2])) "
+                        "ELSE array() END"
+                    )
+                ).alias("journey")
+            )
+            .groupBy("journey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.lit("c").alias("kind"),
+                "journey",
+                "n",
+                F.lit(None).cast("long").alias("user_id"),
+                F.lit(None).cast("array<string>").alias("pfx"),
+                F.lit(None).cast("array<string>").alias("sfx"),
+                F.lit(None).cast("long").alias("ulen"),
+            )
+        )
+        tails = per_user.select(
+            F.lit("u").alias("kind"),
+            F.lit(None).cast("string").alias("journey"),
+            F.lit(None).cast("long").alias("n"),
+            "user_id",
+            F.expr(
+                "CASE WHEN size(arr) <= 2 THEN arr ELSE slice(arr, 1, 2) END"
+            ).alias("pfx"),
+            F.expr(
+                "CASE WHEN size(arr) <= 2 THEN arr ELSE slice(arr, -2, 2) END"
+            ).alias("sfx"),
+            F.expr("CAST(size(arr) AS LONG)").alias("ulen"),
+        )
+        return counts.unionByName(tails)
+
+    def fold(prev: DataFrame, part: DataFrame) -> DataFrame:
+        counts = prev.where(F.col("kind") == "c").unionByName(
+            part.where(F.col("kind") == "c")
+        )
+        pt = prev.where(F.col("kind") == "u").select(
+            "user_id",
+            F.col("pfx").alias("p1"),
+            F.col("sfx").alias("s1"),
+            F.col("ulen").alias("l1"),
+        )
+        ct = part.where(F.col("kind") == "u").select(
+            "user_id",
+            F.col("pfx").alias("p2"),
+            F.col("sfx").alias("s2"),
+            F.col("ulen").alias("l2"),
+        )
+        j = pt.join(ct, "user_id", "full_outer")
+        both = j.where(F.col("l1").isNotNull() & F.col("l2").isNotNull())
+        boundary = (
+            both.select(
+                F.explode(
+                    F.expr(
+                        "filter(transform(sequence(0, greatest(size(s1) + "
+                        "size(p2) - 3, 0)), i -> CASE WHEN i + 2 <= size(s1)"
+                        " + size(p2) - 1 AND i < size(s1) AND i + 2 >= "
+                        "size(s1) THEN concat_ws('>', concat(s1, p2)[i], "
+                        "concat(s1, p2)[i+1], concat(s1, p2)[i+2]) END), "
+                        "x -> x IS NOT NULL)"
+                    )
+                ).alias("journey")
+            )
+            .groupBy("journey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.lit("c").alias("kind"),
+                "journey",
+                "n",
+                F.lit(None).cast("long").alias("user_id"),
+                F.lit(None).cast("array<string>").alias("pfx"),
+                F.lit(None).cast("array<string>").alias("sfx"),
+                F.lit(None).cast("long").alias("ulen"),
+            )
+        )
+        merged_counts = (
+            counts.unionByName(boundary)
+            .groupBy("kind", "journey")
+            .agg(F.sum("n").alias("n"))
+            .select(
+                "kind",
+                "journey",
+                "n",
+                F.lit(None).cast("long").alias("user_id"),
+                F.lit(None).cast("array<string>").alias("pfx"),
+                F.lit(None).cast("array<string>").alias("sfx"),
+                F.lit(None).cast("long").alias("ulen"),
+            )
+        )
+        merged_tails = j.select(
+            F.lit("u").alias("kind"),
+            F.lit(None).cast("string").alias("journey"),
+            F.lit(None).cast("long").alias("n"),
+            "user_id",
+            F.expr(
+                "CASE WHEN size(concat(coalesce(p1, array()), "
+                "coalesce(p2, array()))) <= 2 THEN concat(coalesce(p1, "
+                "array()), coalesce(p2, array())) ELSE slice(concat("
+                "coalesce(p1, array()), coalesce(p2, array())), 1, 2) END"
+            ).alias("pfx"),
+            F.expr(
+                "CASE WHEN size(concat(coalesce(s1, array()), "
+                "coalesce(s2, array()))) <= 2 THEN concat(coalesce(s1, "
+                "array()), coalesce(s2, array())) ELSE slice(concat("
+                "coalesce(s1, array()), coalesce(s2, array())), -2, 2) END"
+            ).alias("sfx"),
+            (
+                F.coalesce(F.col("l1"), F.lit(0))
+                + F.coalesce(F.col("l2"), F.lit(0))
+            ).alias("ulen"),
+        )
+        return merged_counts.unionByName(merged_tails)
+
+    return versioned_fold_ingest(
+        spark, delta_path, state_root, checkpoint, schema,
+        partial, fold, max_files_per_trigger,
+    )

@@ -520,6 +520,10 @@ def _graph2_mode(spark, base: str, k: int, out: str) -> None:
       exactly Kx and the global max normalization equals each replica's
       own; the Kx top-10 score multiset must equal the base top-10
       multiset K-expanded then truncated to 10.
+
+    ``SMOKE_G2_SECTIONS`` (csv of tri,bfs,hits; default all) lets a
+    K=100 run split the sections across processes — together they
+    exceed a 10-minute wall at 117M edges.
     """
     import math
 
@@ -536,118 +540,137 @@ def _graph2_mode(spark, base: str, k: int, out: str) -> None:
     )
 
     res: dict = {"mode": "graph2", "k": k, "base": base}
-
-    # ---- triangles ------------------------------------------------------
-    e_base = _sim_edges(spark, base).localCheckpoint()
-    m = e_base.count()
-    span = (
-        e_base.select(F.greatest("u", "v").alias("x")).agg(F.max("x")).first()[0]
-        + 1
+    # sections are independently heavy at K=100 (the trade graph grows
+    # to ~117M edges); SMOKE_G2_SECTIONS lets the caller run each in
+    # its own process inside a bounded wall budget
+    sections = set(
+        os.environ.get("SMOKE_G2_SECTIONS", "tri,bfs,hits").split(",")
     )
-    reps = [
-        e_base.select(
-            (F.col("u") + F.lit(i * span)).alias("u"),
-            (F.col("v") + F.lit(i * span)).alias("v"),
-        )
-        for i in range(k)
-    ]
-    e_k = reps[0]
-    for p in reps[1:]:
-        e_k = e_k.unionByName(p)
-    e_k = e_k.localCheckpoint()
-
-    def tri_row(edges, label):
-        t0 = time.time()
-        stats = triangle_stats(edges).localCheckpoint()
-        agg = stats.agg(
-            F.sum("triangles").alias("incidence"), F.count(F.lit(1)).alias("nodes")
-        ).first()
-        return {
-            "edges": edges.count(),
-            "nodes": agg["nodes"],
-            "triangles": int(agg["incidence"]) // 3,
-            "max_oriented_outdeg": max_oriented_outdegree(edges),
-            "wall_s": round(time.time() - t0, 1),
-        }
-
-    tb = tri_row(e_base, "base")
-    tk = tri_row(e_k, "kx")
-    assert tk["edges"] == k * tb["edges"]
-    assert tk["nodes"] == k * tb["nodes"]
-    assert tk["triangles"] == k * tb["triangles"], (tk["triangles"], tb["triangles"])
-    assert tk["max_oriented_outdeg"] == tb["max_oriented_outdeg"]
-
-    # celebrity probe: hub adjacent to every replica-0 node
-    hub = F.lit(-1)
-    nodes0 = (
-        e_base.select(F.col("u").alias("n"))
-        .unionByName(e_base.select(F.col("v").alias("n")))
-        .distinct()
-    )
-    star = nodes0.select(hub.alias("u"), F.col("n").alias("v"))
-    e_skew = e_k.unionByName(star).localCheckpoint()
-    m_skew = e_skew.count()
-    bound = math.isqrt(2 * m_skew) + 2
-    skew_outdeg = max_oriented_outdegree(e_skew)
-    hub_deg = nodes0.count()
-    t0 = time.time()
-    tri_skew = (
-        triangle_stats(e_skew)
-        .agg(F.sum("triangles").alias("i"))
-        .first()["i"]
-        // 3
-    )
-    skew_wall = round(time.time() - t0, 1)
-    # hub closes a triangle over every replica-0 edge: +m triangles
-    assert tri_skew == tk["triangles"] + m, (tri_skew, tk["triangles"], m)
-    assert skew_outdeg <= bound, (skew_outdeg, bound, hub_deg)
-    res["triangle"] = {
-        "base": tb,
-        "kx": tk,
-        "celebrity": {
-            "hub_undirected_degree": hub_deg,
-            "max_oriented_outdeg": skew_outdeg,
-            "sqrt_bound": bound,
-            "triangles": int(tri_skew),
-            "wall_s": skew_wall,
-        },
-    }
-
-    # ---- bfs + hits on the Kx trade graph -------------------------------
-    gk, build_s = _replicate_trade(spark, base, k, out)
-    res["trade_build_s"] = build_s
 
     def rows(df):
         return [tuple(r) for r in df.collect()]
 
-    t0 = time.time()
-    bfs_base = rows(trade_bfs_hops(spark, base))
-    bfs_base_s = round(time.time() - t0, 1)
-    t0 = time.time()
-    bfs_kx = rows(trade_bfs_hops(spark, gk))
-    bfs_kx_s = round(time.time() - t0, 1)
-    assert bfs_kx == bfs_base, "BFS from the replica-0 seed must be base-identical"
-    res["bfs"] = {
-        "levels": len(bfs_base),
-        "reached": sum(r[1] for r in bfs_base),
-        "base_wall_s": bfs_base_s,
-        "kx_wall_s": bfs_kx_s,
-    }
-
-    t0 = time.time()
-    hits_base = rows(hits_hubs_authorities(spark, base))
-    hits_base_s = round(time.time() - t0, 1)
-    t0 = time.time()
-    hits_kx = rows(hits_hubs_authorities(spark, gk))
-    hits_kx_s = round(time.time() - t0, 1)
-    for kind in ("authority", "hub"):
-        b_scores = sorted(
-            (r[2] for r in hits_base if r[0] == kind), reverse=True
+    # ---- triangles ------------------------------------------------------
+    if "tri" in sections:
+        e_base = _sim_edges(spark, base).localCheckpoint()
+        m = e_base.count()
+        span = (
+            e_base.select(F.greatest("u", "v").alias("x"))
+            .agg(F.max("x"))
+            .first()[0]
+            + 1
         )
-        kx_scores = sorted((r[2] for r in hits_kx if r[0] == kind), reverse=True)
-        expanded = [s for s in b_scores for _ in range(k)][: len(kx_scores)]
-        assert kx_scores == expanded, (kind, kx_scores, expanded)
-    res["hits"] = {"base_wall_s": hits_base_s, "kx_wall_s": hits_kx_s}
+        reps = [
+            e_base.select(
+                (F.col("u") + F.lit(i * span)).alias("u"),
+                (F.col("v") + F.lit(i * span)).alias("v"),
+            )
+            for i in range(k)
+        ]
+        e_k = reps[0]
+        for p in reps[1:]:
+            e_k = e_k.unionByName(p)
+        e_k = e_k.localCheckpoint()
+
+        def tri_row(edges):
+            t0 = time.time()
+            stats = triangle_stats(edges).localCheckpoint()
+            agg = stats.agg(
+                F.sum("triangles").alias("incidence"),
+                F.count(F.lit(1)).alias("nodes"),
+            ).first()
+            return {
+                "edges": edges.count(),
+                "nodes": agg["nodes"],
+                "triangles": int(agg["incidence"]) // 3,
+                "max_oriented_outdeg": max_oriented_outdegree(edges),
+                "wall_s": round(time.time() - t0, 1),
+            }
+
+        tb = tri_row(e_base)
+        tk = tri_row(e_k)
+        assert tk["edges"] == k * tb["edges"]
+        assert tk["nodes"] == k * tb["nodes"]
+        assert tk["triangles"] == k * tb["triangles"], (
+            tk["triangles"],
+            tb["triangles"],
+        )
+        assert tk["max_oriented_outdeg"] == tb["max_oriented_outdeg"]
+
+        # celebrity probe: hub adjacent to every replica-0 node
+        nodes0 = (
+            e_base.select(F.col("u").alias("n"))
+            .unionByName(e_base.select(F.col("v").alias("n")))
+            .distinct()
+        )
+        star = nodes0.select(F.lit(-1).alias("u"), F.col("n").alias("v"))
+        e_skew = e_k.unionByName(star).localCheckpoint()
+        m_skew = e_skew.count()
+        bound = math.isqrt(2 * m_skew) + 2
+        skew_outdeg = max_oriented_outdegree(e_skew)
+        hub_deg = nodes0.count()
+        t0 = time.time()
+        tri_skew = (
+            triangle_stats(e_skew)
+            .agg(F.sum("triangles").alias("i"))
+            .first()["i"]
+            // 3
+        )
+        skew_wall = round(time.time() - t0, 1)
+        # hub closes a triangle over every replica-0 edge: +m triangles
+        assert tri_skew == tk["triangles"] + m, (tri_skew, tk["triangles"], m)
+        assert skew_outdeg <= bound, (skew_outdeg, bound, hub_deg)
+        res["triangle"] = {
+            "base": tb,
+            "kx": tk,
+            "celebrity": {
+                "hub_undirected_degree": hub_deg,
+                "max_oriented_outdeg": skew_outdeg,
+                "sqrt_bound": bound,
+                "triangles": int(tri_skew),
+                "wall_s": skew_wall,
+            },
+        }
+
+    # ---- bfs + hits on the Kx trade graph -------------------------------
+    if sections & {"bfs", "hits"}:
+        gk, build_s = _replicate_trade(spark, base, k, out)
+        res["trade_build_s"] = build_s
+
+    if "bfs" in sections:
+        t0 = time.time()
+        bfs_base = rows(trade_bfs_hops(spark, base))
+        bfs_base_s = round(time.time() - t0, 1)
+        t0 = time.time()
+        bfs_kx = rows(trade_bfs_hops(spark, gk))
+        bfs_kx_s = round(time.time() - t0, 1)
+        assert bfs_kx == bfs_base, (
+            "BFS from the replica-0 seed must be base-identical"
+        )
+        res["bfs"] = {
+            "levels": len(bfs_base),
+            "reached": sum(r[1] for r in bfs_base),
+            "base_wall_s": bfs_base_s,
+            "kx_wall_s": bfs_kx_s,
+        }
+
+    if "hits" in sections:
+        t0 = time.time()
+        hits_base = rows(hits_hubs_authorities(spark, base))
+        hits_base_s = round(time.time() - t0, 1)
+        t0 = time.time()
+        hits_kx = rows(hits_hubs_authorities(spark, gk))
+        hits_kx_s = round(time.time() - t0, 1)
+        for kind in ("authority", "hub"):
+            b_scores = sorted(
+                (r[2] for r in hits_base if r[0] == kind), reverse=True
+            )
+            kx_scores = sorted(
+                (r[2] for r in hits_kx if r[0] == kind), reverse=True
+            )
+            expanded = [s for s in b_scores for _ in range(k)][: len(kx_scores)]
+            assert kx_scores == expanded, (kind, kx_scores, expanded)
+        res["hits"] = {"base_wall_s": hits_base_s, "kx_wall_s": hits_kx_s}
     print(json.dumps(res))
 
 
@@ -660,8 +683,12 @@ def _prefixjoin_mode(spark, base: str, k: int, out: str) -> None:
     index size — the prefix index must hold ~(1-t) of the full index's
     rows (the filter's whole point), and both strategies must emit the
     IDENTICAL Kx pair set (they are two candidate generators for one
-    exact definition)."""
+    exact definition). The base row is measured BEFORE the Kx corpus is
+    built: the replica write churns page cache and heap, and a base row
+    taken afterwards read 13x slower in the K=100 run — the same
+    shared-JVM contamination bench.py's per-family subprocesses fix."""
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
     from crawlingbigdatavisionaid_spark.operators import neardup as ND
     from crawlingbigdatavisionaid_spark.sources import load_table
@@ -671,6 +698,56 @@ def _prefixjoin_mode(spark, base: str, k: int, out: str) -> None:
 
     def tag(i: int) -> str:
         return "q" + chr(97 + i % 26) + chr(97 + (i // 26) % 26)
+
+    def measure(corpus) -> dict:
+        inv = ND.shingle_rows(corpus, 3).localCheckpoint()
+        full_rows = inv.count()
+        # prefix index size at t=0.6 (the candidate-stage row count)
+        df_tbl = inv.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+        ranked = (
+            inv.join(df_tbl, "s")
+            .withColumn(
+                "_r",
+                F.row_number().over(
+                    Window.partitionBy("doc_id").orderBy(
+                        F.asc("_df"), F.asc("s")
+                    )
+                ),
+            )
+            .withColumn(
+                "_sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+            )
+        )
+        prefix_rows = ranked.where(
+            F.col("_r") <= F.col("_sz") - F.expr("(6 * _sz + 9) DIV 10") + 1
+        ).count()
+        t0 = time.time()
+        pairs_p = ND.prefix_filter_jaccard_pairs(
+            corpus, threshold_tenths=6, inv=inv
+        ).localCheckpoint()
+        n_p = pairs_p.count()
+        s_p = round(time.time() - t0, 1)
+        t0 = time.time()
+        pairs_i = ND.jaccard_pairs(
+            corpus, threshold_tenths=6, inv=inv
+        ).localCheckpoint()
+        n_i = pairs_i.count()
+        s_i = round(time.time() - t0, 1)
+        both = pairs_p.join(
+            pairs_i, ["doc_a", "doc_b", "inter", "union_size"]
+        ).count()
+        assert n_p == n_i == both, (n_p, n_i, both)
+        return {
+            "pairs": n_p,
+            "index_rows_full": full_rows,
+            "index_rows_prefix": prefix_rows,
+            "prefix_fraction": round(prefix_rows / max(full_rows, 1), 3),
+            "prefix_wall_s": s_p,
+            "invindex_wall_s": s_i,
+        }
+
+    res = {"mode": "prefixjoin", "k": k, "base_dir": base}
+    res["base"] = measure(docs)
 
     t0 = time.time()
     reps = [
@@ -684,55 +761,10 @@ def _prefixjoin_mode(spark, base: str, k: int, out: str) -> None:
     for p in reps[1:]:
         dk = dk.unionByName(p)
     dk.write.mode("overwrite").parquet(f"{out}/pj/documents.parquet")
-    build_s = round(time.time() - t0, 1)
+    res["build_s"] = round(time.time() - t0, 1)
     dk = spark.read.parquet(f"{out}/pj/documents.parquet")
 
-    def strategy_row(corpus, fn, label):
-        t0 = time.time()
-        pairs = fn(corpus).localCheckpoint()
-        n = pairs.count()
-        return n, round(time.time() - t0, 1), pairs
-
-    res = {"mode": "prefixjoin", "k": k, "base_dir": base, "build_s": build_s}
-    for label, corpus in (("base", docs), ("kx", dk)):
-        inv = ND.shingle_rows(corpus, 3).localCheckpoint()
-        full_rows = inv.count()
-        # prefix index size at t=0.6 (the candidate-stage row count)
-        w = __import__("pyspark.sql.window", fromlist=["Window"]).Window
-        df_tbl = inv.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
-        ranked = inv.join(df_tbl, "s").withColumn(
-            "_r",
-            F.row_number().over(
-                w.partitionBy("doc_id").orderBy(F.asc("_df"), F.asc("s"))
-            ),
-        ).withColumn(
-            "_sz", F.count(F.lit(1)).over(w.partitionBy("doc_id"))
-        )
-        prefix_rows = ranked.where(
-            F.col("_r") <= F.col("_sz") - F.expr("(6 * _sz + 9) DIV 10") + 1
-        ).count()
-        n_p, s_p, pairs_p = strategy_row(
-            corpus,
-            lambda c: ND.prefix_filter_jaccard_pairs(c, threshold_tenths=6, inv=inv),
-            "prefix",
-        )
-        n_i, s_i, pairs_i = strategy_row(
-            corpus,
-            lambda c: ND.jaccard_pairs(c, threshold_tenths=6, inv=inv),
-            "invindex",
-        )
-        both = pairs_p.join(
-            pairs_i, ["doc_a", "doc_b", "inter", "union_size"]
-        ).count()
-        assert n_p == n_i == both, (n_p, n_i, both)
-        res[label] = {
-            "pairs": n_p,
-            "index_rows_full": full_rows,
-            "index_rows_prefix": prefix_rows,
-            "prefix_fraction": round(prefix_rows / max(full_rows, 1), 3),
-            "prefix_wall_s": s_p,
-            "invindex_wall_s": s_i,
-        }
+    res["kx"] = measure(dk)
     assert res["kx"]["pairs"] == k * res["base"]["pairs"], (
         res["kx"]["pairs"],
         res["base"]["pairs"],
