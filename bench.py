@@ -90,8 +90,10 @@ FAMILIES: dict[str, list[str]] = {
         "crawl_frontier_schedule",
         # round 8 additions
         "scd2_user_segments",
-        # round 9 addition
+        # round 9 additions
         "pit_segment_features",
+        "value_ohlc_hourly",
+        "conversion_latency_percentiles",
     ],
     # text dedup: exact, n-gram, minhash, simhash, containment, spans,
     # chunks, components, and the corpora they feed

@@ -285,3 +285,136 @@ def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").cast("double").alias("revenue"),
         F.sum("rev").over(w).cast("double").alias("revenue_7d"),
     ).orderBy("day")
+
+
+@register(
+    "value_ohlc_hourly",
+    ops=("OP-X-WIN-01", "OP-AGG-01", "OP-AGG-04"),
+    oracle="""
+        WITH b AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_type,
+                                      date_trunc('hour', ts)
+                                      ORDER BY ts, event_id) AS rn_a,
+                   ROW_NUMBER() OVER (PARTITION BY event_type,
+                                      date_trunc('hour', ts)
+                                      ORDER BY ts DESC, event_id DESC)
+                   AS rn_d
+            FROM events
+        )
+        SELECT event_type, hour,
+               MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+               MAX(value) AS high, MIN(value) AS low,
+               MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+               COUNT(*) AS n
+        FROM b GROUP BY event_type, hour
+        ORDER BY event_type, hour
+    """,
+)
+def value_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars — the canonical time-series downsample (open/high/low/
+    close of ``value`` per event type per hour), what every monitoring
+    or market-data rollup emits. open/close are FIRST/LAST in event
+    time, which plain aggregation cannot express; they ride one keyed
+    window per direction over the (type, hour) buckets — bounded state
+    (a bucket's rows), no single-task window, and the total order
+    (ts, event_id) makes first/last deterministic under timestamp ties
+    on both engines. high/low/n are plain aggregates; values are only
+    COMPARED, never computed, so doubles cross engines untouched."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_a = Window.partitionBy("event_type", "hour").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("event_type", "hour").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    b = ev.withColumn("rn_a", F.row_number().over(w_a)).withColumn(
+        "rn_d", F.row_number().over(w_d)
+    )
+    return (
+        b.groupBy("event_type", "hour")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+@register(
+    "conversion_latency_percentiles",
+    ops=("OP-X-WIN-01", "OP-AGG-05"),
+    # value-at-rank is well-defined under ties (the exact_percentiles
+    # argument); latencies are exact integer microseconds
+    oracle="""
+        WITH p AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+        ), m AS (
+            SELECT p.ts, (
+                SELECT MAX(c.ts) FROM events c
+                WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                  AND c.ts <= p.ts
+            ) AS click_ts
+            FROM p
+        ), lat AS (
+            SELECT date_diff('microsecond', click_ts, ts) AS latency_us
+            FROM m WHERE click_ts IS NOT NULL
+        ), r AS (
+            SELECT latency_us AS v,
+                   ROW_NUMBER() OVER (ORDER BY latency_us) AS rk,
+                   COUNT(*) OVER () AS n
+            FROM lat
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+               CAST(MAX(CASE WHEN rk = CAST(ceil(0.50 * n) AS BIGINT)
+                   THEN v END) AS BIGINT) AS p50_us,
+               CAST(MAX(CASE WHEN rk = CAST(ceil(0.90 * n) AS BIGINT)
+                   THEN v END) AS BIGINT) AS p90_us,
+               CAST(MAX(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT)
+                   THEN v END) AS BIGINT) AS p99_us
+        FROM r
+    """,
+)
+def conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion latency, exact p50/p90/p99 — the
+    product-funnel SLA metric: for each purchase, the time since the
+    user's most recent click (backward as-of match), then exact order
+    statistics over the latency distribution. Composes two of the
+    engine's scale primitives: ``operators/asof.asof_join`` (one keyed
+    carry-forward window, no non-equi join) feeding
+    ``operators/rank.inverse_cdf`` (range-repartitioned exact ranks, no
+    single-task sort). Latency is an exact integer microsecond
+    difference — no float ever crosses engines."""
+    from ..operators.asof import asof_join
+    from ..operators.rank import inverse_cdf
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    matched = asof_join(
+        purchases, clicks, on="user_id", right_payload=("click_ts",)
+    )
+    lat = matched.where(F.col("asof_click_ts").isNotNull()).select(
+        (
+            F.unix_micros("ts") - F.unix_micros(F.col("asof_click_ts").cast("timestamp"))
+        ).alias("latency_us")
+    )
+    return inverse_cdf(
+        lat,
+        "latency_us",
+        [("p50_us", 0.50), ("p90_us", 0.90), ("p99_us", 0.99)],
+        total_alias="n_rows",
+    )

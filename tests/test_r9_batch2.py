@@ -96,3 +96,60 @@ def test_phrase_search_matches_regex_scan(spark):
     exp = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[:25]
     got = [(r["doc_id"], r["n_hits"]) for r in _q("phrase_search_positions")(spark, SF).collect()]
     assert got == exp and len(got) > 0
+
+
+def test_ohlc_matches_python(spark):
+    ev = load_table(spark, SF, "events").select(
+        "event_type", "ts", "event_id", "value"
+    ).collect()
+    buckets = defaultdict(list)
+    for r in ev:
+        hour = r["ts"].replace(minute=0, second=0, microsecond=0)
+        buckets[(r["event_type"], hour)].append(
+            (r["ts"], r["event_id"], r["value"])
+        )
+    exp = {}
+    for k, rows in buckets.items():
+        rows.sort()
+        vals = [v for _, _, v in rows]
+        exp[k] = (rows[0][2], max(vals), min(vals), rows[-1][2], len(rows))
+    got = {
+        (r["event_type"], r["hour"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n"]
+        )
+        for r in _q("value_ohlc_hourly")(spark, SF).collect()
+    }
+    assert got == exp
+
+
+def test_conversion_latency_matches_python(spark):
+    ev = load_table(spark, SF, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["ts"], r["event_type"]))
+    lats = []
+    for rows in by_user.values():
+        rows.sort()
+        last_click = None
+        for ts, et in rows:
+            if et == "click":
+                last_click = ts
+            elif et == "purchase" and last_click is not None:
+                d = ts - last_click
+                lats.append(
+                    (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+                )
+    lats.sort()
+    n = len(lats)
+
+    def cut(p):
+        import math
+
+        return lats[math.ceil(p * n) - 1]
+
+    [r] = _q("conversion_latency_percentiles")(spark, SF).collect()
+    assert (r["n_rows"], r["p50_us"], r["p90_us"], r["p99_us"]) == (
+        n, cut(0.50), cut(0.90), cut(0.99),
+    )
