@@ -84,7 +84,18 @@ QUERIES: dict[str, QuerySpec] = {}
 # token_rarity_score, top_customers, total_count,
 # users_without_orders_except, value_dispersion_by_type,
 # value_stats_by_type, window_sliding_1h_30m), then the r6 block, plus
-# any queries registered after this rotation.
+# any queries registered after this rotation — which now includes the
+# 18 r9-session-2 additions (the graph tier simgraph_triangle_stats /
+# trade_bfs_hops / hits_hubs_authorities / cheapest_trade_path, the ER
+# tier setsim_prefix_join / sorted_neighborhood_pairs /
+# fuzzy_match_parts, pareto_frontier_orders, max_concurrent_events,
+# benford_value_audit, journey_trigrams_topk,
+# rolling_7day_distinct_users + rolling_7day_hll_users,
+# phrase_search_positions, value_ohlc_hourly,
+# conversion_latency_percentiles, pit_segment_features,
+# stream_journey_merge — plus the 7 first-session r9 queries, 25 in
+# all): every one is never-driver-checked and leads the r10 seating by
+# the staleness rule.
 _PRIORITY: tuple[str, ...] = (
     # --- never driver-checked: r8 exact-percentile / rank tier
     "exact_percentiles",
