@@ -202,8 +202,7 @@ def trade_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("src"), F.col("s").alias("dst")
     ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
     edges = edges.localCheckpoint(eager=False)
-    spark_ = spark
-    visited = spark_.createDataFrame([(_BFS_SEED, 0)], "node string, hop int")
+    visited = spark.createDataFrame([(_BFS_SEED, 0)], "node string, hop int")
     frontier = visited
     for i in range(1, _BFS_HOPS + 1):
         discovered = (

@@ -425,3 +425,81 @@ def test_type_percentiles_have_no_per_group_full_sort_window(spark, sf_dir):
     assert win_lines, "offset window missing"
     for l in win_lines:
         assert "_pid" in l and "v#" not in l, l
+
+
+def test_triangle_join_has_no_cartesian_and_prunes_embeddings(spark, sf_dir):
+    """The oriented path join and the closure semi-join are both keyed
+    joins; nothing in the triangle plan may fall back to a cartesian
+    or nested-loop product. (The ε-graph BUILD is the one all-pairs
+    stage — `dedup_embedding_pairs`' documented test-scale shape with
+    the LSH/IVF pair generators as the 100 TB path — and it hides
+    behind the edge checkpoint, so its scan is audited on the builder's
+    own plan: only vec_id + embedding may reach the reader.)"""
+    plan = _plan(spark, sf_dir, "simgraph_triangle_stats")
+    assert "CartesianProduct" not in plan, plan
+    from crawlingbigdatavisionaid_spark.plans.graph import _sim_edges
+
+    edges = _sim_edges(spark, sf_dir)
+    txt = spark._jvm.PythonSQLUtils.explainString(
+        edges._jdf.queryExecution(), "formatted"
+    )
+    for block in txt.split("\n\n"):
+        if "embeddings.parquet" in block and "ReadSchema" in block:
+            line = block[block.index("ReadSchema") :].splitlines()[0]
+            assert "label" not in line, line
+            break
+    else:
+        raise AssertionError("no embeddings scan in the edge-builder plan")
+
+
+def test_pareto_frontier_only_intended_bnlj(spark, sf_dir):
+    """The skyline's dominance anti-join over the tiny candidate union
+    is the ONE place a nested-loop join is the right plan (non-equi
+    predicate over a broadcast-small set); the corpus side must never
+    appear under one. The candidate pass reads from the checkpointed
+    local-skyline output, so every BNLJ input is an ExistingRDD scan,
+    not a parquet scan."""
+    plan = _plan(spark, sf_dir, "pareto_frontier_orders")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    import re
+
+    bnlj_inputs = plan.split("BroadcastNestedLoopJoin", 1)[1]
+    assert "Scan parquet" not in bnlj_inputs, plan
+
+
+def test_max_concurrent_has_no_unpartitioned_window(spark, sf_dir):
+    """The sweep-line's running sum rides chunked_cumsum: every Window
+    in the plan must be keyed (the inner window by (event_type, _sub),
+    the offsets window over the tiny totals table by event_type) —
+    an unpartitioned ORDER BY k window would serialize the corpus."""
+    plan = _plan(spark, sf_dir, "max_concurrent_events")
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "event_type" in line, line
+
+
+def test_setsim_prefix_join_no_cartesian(spark, sf_dir):
+    """Prefix candidates join on the shingle key; verification joins on
+    doc ids — all equi-joins, whatever sizes the optimizer estimates."""
+    plan = _plan(spark, sf_dir, "setsim_prefix_join")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_sorted_neighborhood_band_join_is_equi(spark, sf_dir):
+    """The w-bucket trick must keep the rank-band self-join an
+    equi-join on (lang, bkt): a plain non-equi band predicate plans as
+    a nested loop over each language."""
+    plan = _plan(spark, sf_dir, "sorted_neighborhood_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_phrase_search_reads_two_posting_lists(spark, sf_dir):
+    """The phrase join is an equi-join on (doc_id, position) between
+    two term-filtered posting streams — never a cartesian of postings,
+    and the documents scan carries only doc_id + text."""
+    plan = _plan(spark, sf_dir, "phrase_search_positions")
+    assert "CartesianProduct" not in plan, plan
+    scan = _read_schema(spark, sf_dir, "phrase_search_positions", "documents")
+    assert "lang" not in scan and "source" not in scan

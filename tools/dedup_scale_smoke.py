@@ -467,7 +467,9 @@ def _replicate_trade(spark, base: str, k: int, out: str) -> tuple[str, float]:
     from crawlingbigdatavisionaid_spark.sources import load_table
 
     li = load_table(spark, base, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load_table(spark, base, "orders").select("o_orderkey", "o_custkey")
+    o = load_table(spark, base, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
     ospan = o.agg(F.max("o_orderkey")).first()[0] + 1
     cspan = o.agg(F.max("o_custkey")).first()[0] + 1
     sspan = li.agg(F.max("l_suppkey")).first()[0] + 1
@@ -484,6 +486,7 @@ def _replicate_trade(spark, base: str, k: int, out: str) -> tuple[str, float]:
         o.select(
             (F.col("o_orderkey") + F.lit(i * ospan)).alias("o_orderkey"),
             (F.col("o_custkey") + F.lit(i * cspan)).alias("o_custkey"),
+            "o_totalprice",  # replicated unchanged: min-plus weights stay per-replica identical
         )
         for i in range(k)
     ]
@@ -535,6 +538,7 @@ def _graph2_mode(spark, base: str, k: int, out: str) -> None:
     )
     from crawlingbigdatavisionaid_spark.plans.graph import (
         _sim_edges,
+        cheapest_trade_path,
         hits_hubs_authorities,
         trade_bfs_hops,
     )
@@ -544,7 +548,7 @@ def _graph2_mode(spark, base: str, k: int, out: str) -> None:
     # to ~117M edges); SMOKE_G2_SECTIONS lets the caller run each in
     # its own process inside a bounded wall budget
     sections = set(
-        os.environ.get("SMOKE_G2_SECTIONS", "tri,bfs,hits").split(",")
+        os.environ.get("SMOKE_G2_SECTIONS", "tri,bfs,hits,bf").split(",")
     )
 
     def rows(df):
@@ -633,7 +637,7 @@ def _graph2_mode(spark, base: str, k: int, out: str) -> None:
         }
 
     # ---- bfs + hits on the Kx trade graph -------------------------------
-    if sections & {"bfs", "hits"}:
+    if sections & {"bfs", "hits", "bf"}:
         gk, build_s = _replicate_trade(spark, base, k, out)
         res["trade_build_s"] = build_s
 
@@ -671,6 +675,23 @@ def _graph2_mode(spark, base: str, k: int, out: str) -> None:
             expanded = [s for s in b_scores for _ in range(k)][: len(kx_scores)]
             assert kx_scores == expanded, (kind, kx_scores, expanded)
         res["hits"] = {"base_wall_s": hits_base_s, "kx_wall_s": hits_kx_s}
+
+    if "bf" in sections:
+        # min-plus Bellman-Ford: the replica-0 seed's distance table is
+        # confined to the base component, so the top-20 must be
+        # bit-identical to base while each relaxation scans Kx edges
+        t0 = time.time()
+        bf_base = rows(cheapest_trade_path(spark, base))
+        bf_base_s = round(time.time() - t0, 1)
+        t0 = time.time()
+        bf_kx = rows(cheapest_trade_path(spark, gk))
+        bf_kx_s = round(time.time() - t0, 1)
+        assert bf_kx == bf_base, "cheapest paths from the replica-0 seed must be base-identical"
+        res["bellman_ford"] = {
+            "rows": len(bf_base),
+            "base_wall_s": bf_base_s,
+            "kx_wall_s": bf_kx_s,
+        }
     print(json.dumps(res))
 
 
