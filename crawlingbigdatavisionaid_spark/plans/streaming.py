@@ -1160,3 +1160,89 @@ def stream_journey_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "multi_batch boolean, matches_batch boolean, "
         "n_journeys bigint, total_trigrams bigint",
     )
+
+
+@register(
+    "stream_ohlc_merge",
+    ops=("OP-STR-01", "OP-X-WIN-01", "OP-AGG-06"),
+    # the drained bars must BE the batch bars; the oracle recomputes the
+    # bar count and event total from the same bucket definition
+    oracle="""
+        SELECT TRUE AS multi_batch, TRUE AS matches_batch,
+               CAST(COUNT(*) AS BIGINT) AS n_bars,
+               CAST(SUM(n) AS BIGINT) AS total_events
+        FROM (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+    """,
+)
+def stream_ohlc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC maintenance — the MERGEABLE-first/last fold: bars
+    carry their open/close WITH the (ts, event_id) ordering keys, so
+    argmin/argmax merge exactly across micro-batches. The stream is
+    deliberately sliced by ``event_id % 3`` — NOT by time — so every
+    (type, hour) bucket is split across all three batches in arbitrary
+    event-time order: unlike the journey/SCD2 folds there is NO
+    ordering contract to honor, every combinator is commutative and
+    associative, and the verdict proves it by anti-joining the drained
+    state against the batch ``value_ohlc_hourly`` bars (all five
+    measures per bucket, both directions)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources import load_table
+    from ..streaming.ingest import ohlc_merge_ingest
+    from .registry import QUERIES
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    slices = [ev.where(F.col("event_id") % 3 == i) for i in range(3)]
+    if any(sl.limit(1).count() == 0 for sl in slices):
+        raise ValueError("stream_ohlc_merge needs three non-empty slices")
+    root = tempfile.mkdtemp(prefix="ohlc_merge_")
+    try:
+        delta_dir = f"{root}/delta"
+        t0 = 1_700_000_000
+        seen: set[str] = set()
+        for i, sl in enumerate(slices):
+            sl.coalesce(1).write.mode("append").parquet(delta_dir)
+            for f in set(os.listdir(delta_dir)) - seen:
+                os.utime(f"{delta_dir}/{f}", (t0 + i, t0 + i))
+                seen.add(f)
+        n_batches, final_dir = ohlc_merge_ingest(
+            spark,
+            delta_dir,
+            f"{root}/state",
+            f"{root}/ckpt",
+            "event_type string, ts timestamp, event_id long, value double",
+        )
+        streamed = spark.read.parquet(final_dir).select(
+            "event_type",
+            "hour",
+            F.col("o.value").alias("open"),
+            "high",
+            "low",
+            F.col("c.value").alias("close"),
+            "n",
+        )
+        batch = QUERIES["value_ohlc_hourly"].fn(spark, sf_dir)
+        cols = ["event_type", "hour", "open", "high", "low", "close", "n"]
+        only_s = streamed.join(batch, cols, "anti").count()
+        only_b = batch.join(streamed, cols, "anti").count()
+        [(n_bars, total)] = batch.agg(
+            F.count(F.lit(1)), F.sum("n").cast("bigint")
+        ).collect()
+        row = (n_batches > 1, only_s == 0 and only_b == 0, int(n_bars), int(total))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        "multi_batch boolean, matches_batch boolean, "
+        "n_bars bigint, total_events bigint",
+    )

@@ -807,3 +807,72 @@ def journey_merge_ingest(
         spark, delta_path, state_root, checkpoint, schema,
         partial, fold, max_files_per_trigger,
     )
+
+
+def ohlc_merge_ingest(
+    spark: SparkSession,
+    delta_path: str,
+    state_root: str,
+    checkpoint: str,
+    schema,
+    max_files_per_trigger: int | None = 1,
+) -> tuple[int, str | None]:
+    """Streaming OHLC-bar maintenance: per (event_type, hour) the state
+    row carries (open@its ts/id, high, low, close@its ts/id, n) — the
+    canonical MERGEABLE form of first/last aggregates: open/close
+    travel WITH their ordering keys, so the fold can take the
+    argmin/argmax across batches exactly (min/max/n merge trivially).
+    Unlike the journey fold, NO ordering contract is needed — a bucket
+    split across batches in any order merges to the same bar, because
+    every combinator here is commutative and associative.
+
+    Returns (n_batches, final_state_dir)."""
+    from pyspark.sql import functions as F
+
+    def bars(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        w_a = Window.partitionBy("event_type", "hour").orderBy(
+            "ts", "event_id"
+        )
+        w_d = Window.partitionBy("event_type", "hour").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        b = df.withColumn("rn_a", F.row_number().over(w_a)).withColumn(
+            "rn_d", F.row_number().over(w_d)
+        )
+        return b.groupBy("event_type", "hour").agg(
+            F.max(F.when(F.col("rn_a") == 1, F.struct("ts", "event_id", "value"))).alias("o"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.struct("ts", "event_id", "value"))).alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    def partial(batch_df: DataFrame) -> DataFrame:
+        return bars(
+            batch_df.select(
+                "event_type",
+                F.date_trunc("hour", "ts").alias("hour"),
+                "ts",
+                "event_id",
+                "value",
+            )
+        )
+
+    def fold(prev: DataFrame, part: DataFrame) -> DataFrame:
+        # struct comparison orders by (ts, event_id, ...) lexicographic —
+        # exactly the event-time total order the batch windows use
+        u = prev.unionByName(part)
+        return u.groupBy("event_type", "hour").agg(
+            F.min("o").alias("o"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max("c").alias("c"),
+            F.sum("n").alias("n"),
+        )
+
+    return versioned_fold_ingest(
+        spark, delta_path, state_root, checkpoint, schema,
+        partial, fold, max_files_per_trigger,
+    )

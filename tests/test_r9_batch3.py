@@ -151,3 +151,51 @@ def test_rolling_hll_graded_by_exact_twin(spark):
     }
     assert {r["day"]: r["exact_users"] for r in rows} == exact
     assert all(r["within_2pct"] for r in rows)
+
+
+def test_ohlc_fold_order_free(spark):
+    """The OHLC fold needs NO ordering contract: a reversed-mtime drain
+    (batches delivered newest-time-slice first) still merges to the
+    batch bars — every combinator is commutative/associative."""
+    from crawlingbigdatavisionaid_spark.streaming.ingest import ohlc_merge_ingest
+
+    ev = load_table(spark, SF, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    [(lo, hi)] = ev.agg(F.min("ts"), F.max("ts")).collect()
+    c1 = lo + (hi - lo) / 3
+    c2 = lo + 2 * (hi - lo) / 3
+    slices = [
+        ev.where(F.col("ts") >= F.lit(c2)),          # newest first
+        ev.where((F.col("ts") >= F.lit(c1)) & (F.col("ts") < F.lit(c2))),
+        ev.where(F.col("ts") < F.lit(c1)),
+    ]
+    root = tempfile.mkdtemp(prefix="ohlc_rev_")
+    try:
+        delta = f"{root}/delta"
+        t0 = 1_700_000_000
+        seen: set[str] = set()
+        for i, sl in enumerate(slices):
+            sl.coalesce(1).write.mode("append").parquet(delta)
+            for f in set(os.listdir(delta)) - seen:
+                os.utime(f"{delta}/{f}", (t0 + i, t0 + i))
+                seen.add(f)
+        n, final = ohlc_merge_ingest(
+            spark,
+            delta,
+            f"{root}/state",
+            f"{root}/ckpt",
+            "event_type string, ts timestamp, event_id long, value double",
+        )
+        streamed = spark.read.parquet(final).select(
+            "event_type", "hour",
+            F.col("o.value").alias("open"), "high", "low",
+            F.col("c.value").alias("close"), "n",
+        )
+        batch = _q("value_ohlc_hourly")(spark, SF)
+        cols = ["event_type", "hour", "open", "high", "low", "close", "n"]
+        assert n == 3
+        assert streamed.join(batch, cols, "anti").count() == 0
+        assert batch.join(streamed, cols, "anti").count() == 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
