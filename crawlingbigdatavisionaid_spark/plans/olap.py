@@ -1003,35 +1003,15 @@ def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     skyline, in which case the result itself — not this plan — is the
     scale problem. No floats are computed, only compared: values pass
     through both engines untouched."""
+    from ..operators.skyline import exact_skyline
+
     pts = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderdate"
     )
-
-    def local_skyline(it):
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(
-                ["o_totalprice", "o_orderdate", "o_orderkey"],
-                ascending=[False, False, True],
-            )
-            best_before = pdf["o_orderdate"].cummax().shift(1)
-            yield pdf[best_before.isna() | (pdf["o_orderdate"] >= best_before)]
-
-    cand = pts.mapInPandas(local_skyline, pts.schema).localCheckpoint(
-        eager=False
-    )
-    other = cand.select(
-        F.col("o_totalprice").alias("_p"), F.col("o_orderdate").alias("_d")
-    )
-    dominated = (
-        (F.col("_p") >= F.col("o_totalprice"))
-        & (F.col("_d") >= F.col("o_orderdate"))
-        & ((F.col("_p") > F.col("o_totalprice")) | (F.col("_d") > F.col("o_orderdate")))
-    )
-    return (
-        cand.join(F.broadcast(other), dominated, "left_anti")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderdate").desc(), "o_orderkey")
+    return exact_skyline(
+        pts, "o_totalprice", "o_orderdate", "o_orderkey"
+    ).orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderdate").desc(), "o_orderkey"
     )
 
 

@@ -1141,6 +1141,7 @@ def stream_journey_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.concat_ws(">", "event_type", "_e2", "_e3").alias("journey"))
             .groupBy("journey")
             .agg(F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
         )
         only_s = streamed.join(batch, ["journey", "n"], "anti").count()
         only_b = batch.join(streamed, ["journey", "n"], "anti").count()
@@ -1231,7 +1232,7 @@ def stream_ohlc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.value").alias("close"),
             "n",
         )
-        batch = QUERIES["value_ohlc_hourly"].fn(spark, sf_dir)
+        batch = QUERIES["value_ohlc_hourly"].fn(spark, sf_dir).localCheckpoint()
         cols = ["event_type", "hour", "open", "high", "low", "close", "n"]
         only_s = streamed.join(batch, cols, "anti").count()
         only_b = batch.join(streamed, cols, "anti").count()
@@ -1245,4 +1246,84 @@ def stream_ohlc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         [row],
         "multi_batch boolean, matches_batch boolean, "
         "n_bars bigint, total_events bigint",
+    )
+
+
+@register(
+    "stream_skyline_merge",
+    ops=("OP-STR-01", "OP-AGG-06"),
+    oracle="""
+        SELECT TRUE AS multi_batch, TRUE AS matches_batch,
+               CAST(COUNT(*) AS BIGINT) AS frontier_size
+        FROM orders a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders b
+            WHERE b.o_totalprice >= a.o_totalprice
+              AND b.o_orderdate >= a.o_orderdate
+              AND (b.o_totalprice > a.o_totalprice
+                   OR b.o_orderdate > a.o_orderdate))
+    """,
+)
+def stream_skyline_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Pareto-frontier maintenance over arriving orders: the
+    state is the frontier itself and the fold is the idempotent
+    dominance merge (``streaming/ingest.skyline_merge_ingest``). Slices
+    arrive keyed by ``o_orderkey % 3`` — arbitrary value order, no
+    ordering contract — and the drained frontier must equal the batch
+    ``pareto_frontier_orders`` row-for-row. The practical shape: a
+    continuously-ingested catalog keeps its best-tradeoff set current
+    without ever rescanning history (per-batch cost = batch + |frontier|)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources import load_table
+    from ..streaming.ingest import skyline_merge_ingest
+    from .registry import QUERIES
+
+    ev = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    slices = [ev.where(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    if any(sl.limit(1).count() == 0 for sl in slices):
+        raise ValueError("stream_skyline_merge needs three non-empty slices")
+    root = tempfile.mkdtemp(prefix="skyline_merge_")
+    try:
+        delta_dir = f"{root}/delta"
+        t0 = 1_700_000_000
+        seen: set[str] = set()
+        for i, sl in enumerate(slices):
+            sl.coalesce(1).write.mode("append").parquet(delta_dir)
+            for f in set(os.listdir(delta_dir)) - seen:
+                os.utime(f"{delta_dir}/{f}", (t0 + i, t0 + i))
+                seen.add(f)
+        n_batches, final_dir = skyline_merge_ingest(
+            spark,
+            delta_dir,
+            f"{root}/state",
+            f"{root}/ckpt",
+            "o_orderkey long, o_totalprice double, o_orderdate timestamp",
+            x="o_totalprice",
+            y="o_orderdate",
+            key="o_orderkey",
+        )
+        streamed = spark.read.parquet(final_dir)
+        # one materialization: the batch frontier feeds two anti-joins
+        # and a count — uncheckpointed it would re-run the superset pass
+        # and the dominance join three times
+        batch = (
+            QUERIES["pareto_frontier_orders"].fn(spark, sf_dir).localCheckpoint()
+        )
+        cols = ["o_orderkey", "o_totalprice", "o_orderdate"]
+        only_s = streamed.join(batch, cols, "anti").count()
+        only_b = batch.join(streamed, cols, "anti").count()
+        n_frontier = batch.count()
+        row = (n_batches > 1, only_s == 0 and only_b == 0, int(n_frontier))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        "multi_batch boolean, matches_batch boolean, frontier_size bigint",
     )

@@ -876,3 +876,38 @@ def ohlc_merge_ingest(
         spark, delta_path, state_root, checkpoint, schema,
         partial, fold, max_files_per_trigger,
     )
+
+
+def skyline_merge_ingest(
+    spark: SparkSession,
+    delta_path: str,
+    state_root: str,
+    checkpoint: str,
+    schema,
+    x: str,
+    y: str,
+    key: str,
+    max_files_per_trigger: int | None = 1,
+) -> tuple[int, str | None]:
+    """Streaming Pareto-frontier maintenance: state is the CURRENT
+    skyline, each batch folds as skyline(state ∪ skyline(batch)) — the
+    dominance merge is idempotent and commutative (no ordering
+    contract), and the state is self-bounding: a dominated point can
+    never re-enter, so the frontier only refines. The sixth fold shape
+    in the tier: linear cells (CMS), min-k (theta), intervals (SCD2),
+    n-gram monoid (journey), argmin/argmax (OHLC), and now
+    idempotent dominance.
+
+    Returns (n_batches, final_state_dir)."""
+    from ..operators.skyline import exact_skyline
+
+    def partial(batch_df: DataFrame) -> DataFrame:
+        return exact_skyline(batch_df.select(key, x, y), x, y, key)
+
+    def fold(prev: DataFrame, part: DataFrame) -> DataFrame:
+        return exact_skyline(prev.unionByName(part), x, y, key)
+
+    return versioned_fold_ingest(
+        spark, delta_path, state_root, checkpoint, schema,
+        partial, fold, max_files_per_trigger,
+    )

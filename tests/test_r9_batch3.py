@@ -199,3 +199,9 @@ def test_ohlc_fold_order_free(spark):
         assert batch.join(streamed, cols, "anti").count() == 0
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_stream_skyline_verdict_and_shrinking_state(spark):
+    [r] = _q("stream_skyline_merge")(spark, SF).collect()
+    assert r["multi_batch"] and r["matches_batch"]
+    assert r["frontier_size"] > 0
