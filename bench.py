@@ -200,6 +200,8 @@ FAMILIES: dict[str, list[str]] = {
         "journey_trigrams_topk",
         "rolling_7day_distinct_users",
         "rolling_7day_hll_users",
+        "mannwhitney_value_shift",
+        "chisq_type_daypart",
     ],
 }
 

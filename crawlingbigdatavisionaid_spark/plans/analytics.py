@@ -1280,3 +1280,175 @@ def rolling_7day_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("target").alias("day"), "active_users_7d")
         .orderBy("day")
     )
+
+
+@register(
+    "mannwhitney_value_shift",
+    ops=("OP-AGG-01", "OP-AGG-05"),
+    oracle="""
+        WITH v AS (
+            SELECT event_type, value FROM events
+            WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+        ), r AS (
+            SELECT event_type,
+                   2 * RANK() OVER (ORDER BY value)
+                   + COUNT(*) OVER (PARTITION BY value) - 1 AS dblrank
+            FROM v
+        )
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(dblrank) - COUNT(*) * (COUNT(*) + 1) AS BIGINT)
+               AS u2
+        FROM r GROUP BY event_type ORDER BY event_type
+    """,
+)
+def mannwhitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between click and purchase
+    value distributions — the standard nonparametric A/B shift test,
+    and a pure rank statistic, so it is computable EXACTLY in integers:
+    with midranks doubled (2·midrank = 2·|{v' < v}| + |{v'' = v}| + 1,
+    an integer even under ties), 2·U_g = Σ 2·midrank − n_g(n_g+1).
+
+    Scale shape: the oracle's global RANK() window would funnel the
+    corpus into one task; the Spark side instead aggregates to the
+    DISTINCT-VALUE grain (one hash aggregate), takes an exclusive
+    running count over values via ``operators/prefix.chunked_cumsum``
+    (bounded per-task state; values are non-negative so the chunk key
+    is well-defined), and expands Σ 2·midrank per group as
+    Σ_v cnt_g(v)·(2·less(v) + cnt(v) + 1) — identical integers, no
+    row-level window anywhere. U_click + U_purchase = n_c·n_p is the
+    built-in self-check (implied by the two output rows)."""
+    from ..operators.prefix import chunked_cumsum
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
+    )
+    dv = ev.groupBy("value").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum((F.col("event_type") == "click").cast("long")).alias("cnt_click"),
+    )
+    # inclusive running count over ascending value; exclusive = inc - cnt
+    dv = chunked_cumsum(dv, [], "value", F.col("cnt"), "inc", chunk=64)
+    dv = dv.withColumn("less", F.col("inc") - F.col("cnt")).withColumn(
+        "dbl", 2 * F.col("less") + F.col("cnt") + 1
+    )
+    per_group = dv.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("click").alias("event_type"),
+                    F.col("cnt_click").alias("g"),
+                ),
+                F.struct(
+                    F.lit("purchase").alias("event_type"),
+                    (F.col("cnt") - F.col("cnt_click")).alias("g"),
+                ),
+            )
+        ).alias("s"),
+        "dbl",
+    ).select(F.col("s.event_type").alias("event_type"), F.col("s.g").alias("g"), "dbl")
+    return (
+        per_group.groupBy("event_type")
+        .agg(
+            F.sum("g").alias("n"),
+            F.sum(F.col("g") * F.col("dbl")).alias("sum2r"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.col("sum2r") - F.col("n") * (F.col("n") + 1)).cast("bigint").alias("u2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "chisq_type_daypart",
+    ops=("OP-AGG-01",),
+    oracle="""
+        WITH o AS (
+            SELECT event_type, CAST(hour(ts) // 6 AS INT) AS daypart,
+                   COUNT(*) AS obs
+            FROM events GROUP BY 1, 2
+        ), tot AS (
+            SELECT SUM(obs) AS n FROM o
+        ), rt AS (
+            SELECT event_type, SUM(obs) AS r FROM o GROUP BY 1
+        ), ct AS (
+            SELECT daypart, SUM(obs) AS c FROM o GROUP BY 1
+        ), terms AS (
+            SELECT o.event_type, o.daypart,
+                   ROUND(
+                       CAST((o.obs * t.n - rt.r * ct.c) AS DECIMAL(38,0))
+                       * (o.obs * t.n - rt.r * ct.c)
+                       / (CAST(rt.r AS DECIMAL(38,0)) * ct.c * t.n * t.n),
+                       6) AS term
+            FROM o JOIN rt USING (event_type) JOIN ct USING (daypart)
+                 CROSS JOIN tot t
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST((SELECT COUNT(DISTINCT event_type) - 1 FROM o)
+                    * (SELECT COUNT(DISTINCT daypart) - 1 FROM o)
+                    AS BIGINT) AS dof,
+               CAST(SUM(term) AS DOUBLE) AS chi2
+        FROM terms
+    """,
+)
+def chisq_type_daypart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence audit of event_type × day-part
+    (6-hour buckets) — the screening test for 'does traffic mix shift by
+    time of day'. Exact-decimal contract: each cell's term is the
+    algebraically-cleared form (O·N − r·c)² / (r·c·N²) computed in
+    DECIMAL(38) products with ONE rounding to 6 decimals per cell
+    BEFORE the sum (the BM25 round-then-DECIMAL-sum rule), so the total
+    is independent of aggregation order and bit-equal across engines.
+    One hash aggregate to the contingency grain, two broadcast-sized
+    margin joins, a 1-row total — nothing scales with event volume but
+    the first aggregate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.hour("ts") / 6).cast("int").alias("daypart")
+    )
+    o = ev.groupBy("event_type", "daypart").agg(F.count(F.lit(1)).alias("obs"))
+    o = o.localCheckpoint(eager=False)
+    rt = o.groupBy("event_type").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("daypart").agg(F.sum("obs").alias("c"))
+    tot = o.agg(F.sum("obs").alias("n"))
+    terms = (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "daypart")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "term",
+            F.round(
+                (
+                    (F.col("obs") * F.col("n") - F.col("r") * F.col("c")).cast(
+                        "decimal(38,0)"
+                    )
+                    * (F.col("obs") * F.col("n") - F.col("r") * F.col("c"))
+                )
+                / (
+                    F.col("r").cast("decimal(38,0)")
+                    * F.col("c")
+                    * F.col("n")
+                    * F.col("n")
+                ),
+                6,
+            ),
+        )
+    )
+    dof = (
+        o.agg(
+            (
+                (F.countDistinct("event_type") - 1)
+                * (F.countDistinct("daypart") - 1)
+            ).alias("dof")
+        )
+    )
+    return (
+        terms.agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("term").cast("double").alias("chi2"),
+        )
+        .crossJoin(F.broadcast(dof))
+        .select("n_cells", F.col("dof").cast("bigint").alias("dof"), "chi2")
+    )

@@ -153,3 +153,55 @@ def test_conversion_latency_matches_python(spark):
     assert (r["n_rows"], r["p50_us"], r["p90_us"], r["p99_us"]) == (
         n, cut(0.50), cut(0.90), cut(0.99),
     )
+
+
+def test_mannwhitney_matches_python_and_u_identity(spark):
+    import math
+
+    ev = load_table(spark, SF, "events").select("event_type", "value").collect()
+    vals = [
+        (r["event_type"], r["value"])
+        for r in ev
+        if r["event_type"] in ("click", "purchase") and r["value"] is not None
+    ]
+    allv = sorted(v for _, v in vals)
+    from bisect import bisect_left, bisect_right
+
+    def dbl(v):
+        return 2 * bisect_left(allv, v) + (bisect_right(allv, v) - bisect_left(allv, v)) + 1
+
+    exp = {}
+    for g in ("click", "purchase"):
+        gs = [v for t, v in vals if t == g]
+        exp[g] = (len(gs), sum(dbl(v) for v in gs) - len(gs) * (len(gs) + 1))
+    got = {
+        r["event_type"]: (r["n"], r["u2"])
+        for r in _q("mannwhitney_value_shift")(spark, SF).collect()
+    }
+    assert got == exp
+    # U_a + U_b == n_a * n_b  (doubled: u2_a + u2_b == 2 n_a n_b)
+    (na, ua), (nb, ub) = got["click"], got["purchase"]
+    assert ua + ub == 2 * na * nb
+
+
+def test_chisq_matches_python(spark):
+    from collections import Counter
+    from decimal import Decimal, ROUND_HALF_UP
+
+    ev = load_table(spark, SF, "events").select("event_type", "ts").collect()
+    obs = Counter((r["event_type"], r["ts"].hour // 6) for r in ev)
+    n = sum(obs.values())
+    rt = Counter()
+    ct = Counter()
+    for (t, d), o in obs.items():
+        rt[t] += o
+        ct[d] += o
+    chi2 = Decimal(0)
+    for (t, d), o in obs.items():
+        num = Decimal(o * n - rt[t] * ct[d]) ** 2
+        den = Decimal(rt[t]) * ct[d] * n * n
+        chi2 += (num / den).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    [r] = _q("chisq_type_daypart")(spark, SF).collect()
+    assert r["n_cells"] == len(obs)
+    assert r["dof"] == (len(rt) - 1) * (len(ct) - 1)
+    assert abs(r["chi2"] - float(chi2)) < 1e-9
