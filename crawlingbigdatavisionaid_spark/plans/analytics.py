@@ -1378,11 +1378,10 @@ def mannwhitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT daypart, SUM(obs) AS c FROM o GROUP BY 1
         ), terms AS (
             SELECT o.event_type, o.daypart,
-                   ROUND(
-                       CAST((o.obs * t.n - rt.r * ct.c) AS DECIMAL(38,0))
-                       * (o.obs * t.n - rt.r * ct.c)
-                       / (CAST(rt.r AS DECIMAL(38,0)) * ct.c * t.n * t.n),
-                       6) AS term
+                   CAST((o.obs * t.n - rt.r * ct.c) AS HUGEINT)
+                   * (o.obs * t.n - rt.r * ct.c) * 1000000
+                   // (CAST(rt.r AS HUGEINT) * ct.c * t.n * t.n)
+                   AS term_micros
             FROM o JOIN rt USING (event_type) JOIN ct USING (daypart)
                  CROSS JOIN tot t
         )
@@ -1390,21 +1389,25 @@ def mannwhitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST((SELECT COUNT(DISTINCT event_type) - 1 FROM o)
                     * (SELECT COUNT(DISTINCT daypart) - 1 FROM o)
                     AS BIGINT) AS dof,
-               CAST(SUM(term) AS DOUBLE) AS chi2
+               CAST(SUM(term_micros) AS DOUBLE) / 1e6 AS chi2
         FROM terms
     """,
 )
 def chisq_type_daypart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square independence audit of event_type × day-part
     (6-hour buckets) — the screening test for 'does traffic mix shift by
-    time of day'. Exact-decimal contract: each cell's term is the
-    algebraically-cleared form (O·N − r·c)² / (r·c·N²) computed in
-    DECIMAL(38) products with ONE rounding to 6 decimals per cell
-    BEFORE the sum (the BM25 round-then-DECIMAL-sum rule), so the total
-    is independent of aggregation order and bit-equal across engines.
-    One hash aggregate to the contingency grain, two broadcast-sized
-    margin joins, a 1-row total — nothing scales with event volume but
-    the first aggregate."""
+    time of day'. Exactness contract: each cell's term is the
+    algebraically-cleared form (O·N − r·c)²·10⁶ DIV (r·c·N²) — an
+    INTEGER micro-unit via DECIMAL(38) (Spark) / HUGEINT (oracle)
+    products and exact integer floor division (two DuckDB traps caught
+    by the full verify: `/` on decimals returns DOUBLE, making the
+    parallel SUM order-dependent, and `//` on decimals is DOUBLE
+    division without the floor — only HUGEINT `//` divides exactly) —
+    so the
+    sum is an exact integer on both engines and the ONE final division
+    by 1e6 is the only float op. One hash aggregate to the contingency
+    grain, two broadcast-sized margin joins, a 1-row total — nothing
+    scales with event volume but the first aggregate."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", (F.hour("ts") / 6).cast("int").alias("daypart")
     )
@@ -1418,21 +1421,11 @@ def chisq_type_daypart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ct), "daypart")
         .crossJoin(F.broadcast(tot))
         .withColumn(
-            "term",
-            F.round(
-                (
-                    (F.col("obs") * F.col("n") - F.col("r") * F.col("c")).cast(
-                        "decimal(38,0)"
-                    )
-                    * (F.col("obs") * F.col("n") - F.col("r") * F.col("c"))
-                )
-                / (
-                    F.col("r").cast("decimal(38,0)")
-                    * F.col("c")
-                    * F.col("n")
-                    * F.col("n")
-                ),
-                6,
+            "term_micros",
+            F.expr(
+                "CAST((obs * n - r * c) AS DECIMAL(38,0))"
+                " * (obs * n - r * c) * 1000000"
+                " DIV (CAST(r AS DECIMAL(38,0)) * c * n * n)"
             ),
         )
     )
@@ -1447,7 +1440,7 @@ def chisq_type_daypart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         terms.agg(
             F.count(F.lit(1)).alias("n_cells"),
-            F.sum("term").cast("double").alias("chi2"),
+            (F.sum("term_micros").cast("double") / F.lit(1e6)).alias("chi2"),
         )
         .crossJoin(F.broadcast(dof))
         .select("n_cells", F.col("dof").cast("bigint").alias("dof"), "chi2")

@@ -186,7 +186,6 @@ def test_mannwhitney_matches_python_and_u_identity(spark):
 
 def test_chisq_matches_python(spark):
     from collections import Counter
-    from decimal import Decimal, ROUND_HALF_UP
 
     ev = load_table(spark, SF, "events").select("event_type", "ts").collect()
     obs = Counter((r["event_type"], r["ts"].hour // 6) for r in ev)
@@ -196,12 +195,12 @@ def test_chisq_matches_python(spark):
     for (t, d), o in obs.items():
         rt[t] += o
         ct[d] += o
-    chi2 = Decimal(0)
+    micros = 0
     for (t, d), o in obs.items():
-        num = Decimal(o * n - rt[t] * ct[d]) ** 2
-        den = Decimal(rt[t]) * ct[d] * n * n
-        chi2 += (num / den).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        num = (o * n - rt[t] * ct[d]) ** 2 * 1_000_000
+        den = rt[t] * ct[d] * n * n
+        micros += num // den
     [r] = _q("chisq_type_daypart")(spark, SF).collect()
     assert r["n_cells"] == len(obs)
     assert r["dof"] == (len(rt) - 1) * (len(ct) - 1)
-    assert abs(r["chi2"] - float(chi2)) < 1e-9
+    assert r["chi2"] == micros / 1e6
