@@ -347,7 +347,11 @@ def incremental_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (SELECT r.segment FROM runs r
                     WHERE r.user_id = p.user_id
                       AND r.valid_from <= p.ts
-                    ORDER BY r.valid_from DESC LIMIT 1) AS segment
+                    ORDER BY r.valid_from DESC,
+                             CASE r.segment WHEN 'low' THEN 0
+                                            WHEN 'mid' THEN 1
+                                            ELSE 2 END DESC
+                    LIMIT 1) AS segment
             FROM p
         )
         SELECT segment,
@@ -379,8 +383,20 @@ def pit_segment_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(
         F.col("ts").isNotNull() & F.col("value").isNotNull()
     )
+    # deterministic tie resolution (r9 ADVICE): a user with two same-ts
+    # events in DIFFERENT value bands yields two runs sharing
+    # valid_from; the as-of carry-forward and the oracle's correlated
+    # LIMIT 1 must then agree on which segment wins.  Band rank
+    # (low < mid < high) is the tiebreak — the highest band wins on
+    # both engines, so the match is a pure function of the data.
     segs = scd2_runs(ev.select("user_id", "ts", scd2_segment_expr())).select(
-        "user_id", F.col("valid_from").alias("ts"), "segment"
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        "segment",
+        F.when(F.col("segment") == "low", 0)
+        .when(F.col("segment") == "mid", 1)
+        .otherwise(2)
+        .alias("band_rank"),
     )
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "user_id", "ts", "value"
@@ -392,6 +408,7 @@ def pit_segment_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts",
         right_ts="ts",
         right_payload=("segment",),
+        right_tiebreak="band_rank",
     )
     return (
         matched.groupBy(F.col("asof_segment").alias("segment"))

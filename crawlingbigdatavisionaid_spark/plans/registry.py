@@ -39,122 +39,107 @@ QUERIES: dict[str, QuerySpec] = {}
 # module-import order after the pinned block.  ``tests/test_registry.py``
 # asserts every SURVEY.md §2 OP-ID has a representative in the first 50.
 #
-# Round-9 rotation (judge r8 next-round #1): seats assigned by STALENESS
+# Round-10 rotation (judge r9 next-round #1): seats assigned by STALENESS
 # — last driver-checked round per query computed from the union of
-# CORRECTNESS_r01-r08 keys.  Seated, in order:
-#   (a) ALL 20 never-driver-checked r8 additions (each oracle-PASS in the
-#       judge's own r8 verify run) — PageRank, theta intersection, SCD2
-#       batch+streaming, delta-join MV, the exact-percentile tier,
-#       PSI/OLS/MG, BM25, cohort/markov/keywords, repetition filter, and
-#       the two streaming sketch folds;
-#   (b) the 5 deferred-since-r4 plain-OLAP entries the r8 comment named
-#       (customer_order_counts, order_priority_monthly, part_type_stats,
-#       supplier_nation_balance, parts_above_type_average);
-#   (c) a greedy 6-seat OP-ID coverage repair so every SURVEY §2 OP-ID
-#       keeps a window representative (tests/test_registry.py asserts
-#       this): html_extraction (EXT-01..07, SRC-01/02, STR-02),
-#       project_with_default (PRJ-01/02, SRC-03), word_topk (FLT-01,
-#       TXT-03), ingest_observed_metrics (SRC-04, STR-03),
-#       timeline_gapfill (FLT-02, GAP-01), latest_ingested (TOPK-02),
-#       plus dedup_ensemble_audit / domain_mix_weights /
-#       incremental_ingest_dedup / json_props_typed_struct /
-#       multimodal_decode_video / ann_brute_force_topk_np from the r5
-#       block for OP-X-DEDUP-02 / OP-AGG-02 / OP-DEDUP-01 / OP-X-JSON-01
-#       / OP-X-MM-01 / OP-X-SIM-01;
-#   (d) the 13 alphabetically-first remaining r5-stale queries.
-# 20 + 5 + 12 + 13 = 50 exactly; every seat is oracle-backed.
+# CORRECTNESS_r01-r09 keys (tools/rotation.py reproduces the derivation).
+# Seated, in order:
+#   (a) ALL 29 never-driver-checked r9 additions (each oracle-PASS in the
+#       judge's own r9 verify run) — the statistics pair (Mann-Whitney,
+#       chi-square), the graph tier (triangles/BFS/HITS/Bellman-Ford),
+#       the ER tier (prefix join / sorted-neighborhood / fuzzy parts),
+#       IVF-PQ, skyline/sweep-line/Benford/OHLC, the rolling-window trio,
+#       PIT features, pivot-roundtrip, the quality audits
+#       (Wilson/entropy/fertility/MAD), phrase search, conversion
+#       latency, and the three new streaming folds (journey/OHLC/
+#       skyline);
+#   (b) a greedy 19-seat OP-ID coverage repair, STALEST eligible
+#       representative first (ties broken toward covering more missing
+#       ops): the r5-stale incremental_minhash_recall /
+#       lang_temperature_weights / pseudonymize_users /
+#       stratified_sample_by_lang / stream_multimodal_decode /
+#       stream_quality_filter / token_rarity_score, the r6-stale
+#       html_extraction_parsed_ts / sql_api_nation_activity /
+#       variant_props_distinct_k, the r7-stale crawl_pysource_ingest /
+#       source_distribution / bigram_topk / crawl_batch_dedup /
+#       crawl_frontier_schedule / text_normalize / url_canonical_dedup,
+#       plus html_extraction + ingest_observed_metrics (r9-checked but
+#       sole representatives of EXT-01..07/SRC-01/02/STR-02 and
+#       STR-03/SRC-04 respectively after the stalest picks);
+#   (c) the 2 stalest remaining r5-block queries as fill
+#       (embedding_centroids_by_label, embedding_norms).
+# 29 + 19 + 2 = 50 exactly; every seat is oracle-backed.
 #
-# Rows-only disposition (judge r8 next-round #7): the six rows-only
+# Rows-only disposition (unchanged from r9): the six rows-only
 # registrations (dedup_minhash_lsh, dedup_simhash, ann_lsh_topk,
-# ann_ivf_topk, stream_neardup_minhash, bpe_merge_rounds) are hereby
-# marked PERMANENTLY TWIN-CARRIED: each has an oracle-pinned exact twin
-# (dedup_minhash_recall, dedup_simhash_recall, ann_lsh_recall,
-# ann_ivf_recall, stream_neardup_recall, bpe_top_merges) that the
-# rotation DOES seat on the normal staleness schedule, and the pytest
-# suite pins the probabilistic variant against its exact twin.  They are
-# excluded from future staleness bookkeeping; this comment is the
-# recorded disposition.
+# ann_ivf_topk, stream_neardup_minhash, bpe_merge_rounds) are
+# PERMANENTLY TWIN-CARRIED by their oracle-pinned exact twins and
+# excluded from staleness bookkeeping.
 #
-# Remaining stale for r10: the 21 r5-block queries not seated this round
-# (embedding_centroids_by_label, embedding_norms, embedding_quantize_int8,
-# incremental_minhash_recall, lang_temperature_weights, pseudonymize_users,
-# repetition_signals, semdedup_greedy_audit, span_dedup_stats,
-# stratified_sample_by_lang, stream_incremental_neardup,
-# stream_multimodal_decode, stream_neardup_recall, stream_quality_filter,
-# token_rarity_score, top_customers, total_count,
-# users_without_orders_except, value_dispersion_by_type,
-# value_stats_by_type, window_sliding_1h_30m), then the r6 block, plus
-# any queries registered after this rotation — which now includes the
-# 18 r9-session-2 additions (the graph tier simgraph_triangle_stats /
-# trade_bfs_hops / hits_hubs_authorities / cheapest_trade_path, the ER
-# tier setsim_prefix_join / sorted_neighborhood_pairs /
-# fuzzy_match_parts, pareto_frontier_orders, max_concurrent_events,
-# benford_value_audit, journey_trigrams_topk,
-# rolling_7day_distinct_users + rolling_7day_hll_users,
-# phrase_search_positions, value_ohlc_hourly,
-# conversion_latency_percentiles, pit_segment_features,
-# stream_journey_merge — plus the 7 first-session r9 queries, 25 in
-# all): every one is never-driver-checked and leads the r10 seating by
-# the staleness rule.
+# Remaining stale for r11, stalest first: the r5 block
+# (embedding_quantize_int8, repetition_signals, semdedup_greedy_audit,
+# span_dedup_stats, stream_incremental_neardup, stream_neardup_recall,
+# top_customers, total_count, users_without_orders_except,
+# value_dispersion_by_type, value_stats_by_type, window_sliding_1h_30m),
+# then the r6 block, then anything registered in r10 itself.
 _PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked: r8 exact-percentile / rank tier
-    "exact_percentiles",
-    "type_value_percentiles_exact",
-    "value_equidepth_histogram",
-    "quantile_sketch_verdict",
-    # --- never driver-checked: r8 sketch / set-algebra tier
-    "theta_intersection_users",
-    "mg_screening_verdict",
-    "value_drift_psi",
-    # --- never driver-checked: r8 graph / incremental tier
-    "supplier_pagerank",
-    "scd2_user_segments",
-    "incremental_join_mv",
-    # --- never driver-checked: r8 streaming folds
-    "stream_cms_merge",
-    "stream_theta_merge",
-    "stream_scd2_merge",
-    # --- never driver-checked: r8 analytics / retrieval tier
-    "cohort_retention",
-    "markov_transition_matrix",
-    "dq_referential_audit",
-    "revenue_trend_ols",
-    "repetition_ngram_filter",
-    "bm25_topk",
-    "doc_keywords_tfidf",
-    # --- deferred-since-r4 plain OLAP
-    "customer_order_counts",
-    "order_priority_monthly",
-    "part_type_stats",
-    "supplier_nation_balance",
-    "parts_above_type_average",
+    # --- never driver-checked: r9 statistics / analytics tier
+    "mad_outlier_values",
+    "max_concurrent_events",
+    "benford_value_audit",
+    "journey_trigrams_topk",
+    "rolling_7day_distinct_users",
+    "mannwhitney_value_shift",
+    "chisq_type_daypart",
+    # --- never driver-checked: r9 entity-resolution tier
+    "setsim_prefix_join",
+    "sorted_neighborhood_pairs",
+    "fuzzy_match_parts",
+    # --- never driver-checked: r9 graph tier
+    "simgraph_triangle_stats",
+    "trade_bfs_hops",
+    "hits_hubs_authorities",
+    "cheapest_trade_path",
+    # --- never driver-checked: r9 feature/window tier
+    "pit_segment_features",
+    "rolling_7day_hll_users",
+    "rolling_7day_revenue",
+    "daily_pivot_unpivot_roundtrip",
+    "pareto_frontier_orders",
+    "value_ohlc_hourly",
+    "conversion_latency_percentiles",
+    # --- never driver-checked: r9 ANN / retrieval / quality tier
+    "ann_ivfpq_recall",
+    "wilson_source_quality",
+    "char_entropy_quality",
+    "tokenizer_fertility_by_lang",
+    "phrase_search_positions",
+    # --- never driver-checked: r9 streaming folds
+    "stream_journey_merge",
+    "stream_ohlc_merge",
+    "stream_skyline_merge",
     # --- OP-ID coverage repair (stalest eligible representative per op)
+    "incremental_minhash_recall",
+    "lang_temperature_weights",
+    "pseudonymize_users",
+    "stratified_sample_by_lang",
+    "stream_multimodal_decode",
+    "stream_quality_filter",
+    "token_rarity_score",
+    "html_extraction_parsed_ts",
+    "sql_api_nation_activity",
+    "variant_props_distinct_k",
+    "crawl_pysource_ingest",
+    "source_distribution",
+    "bigram_topk",
+    "crawl_batch_dedup",
+    "crawl_frontier_schedule",
+    "text_normalize",
+    "url_canonical_dedup",
     "html_extraction",
-    "project_with_default",
-    "word_topk",
     "ingest_observed_metrics",
-    "timeline_gapfill",
-    "latest_ingested",
-    "dedup_ensemble_audit",
-    "domain_mix_weights",
-    "incremental_ingest_dedup",
-    "json_props_typed_struct",
-    "multimodal_decode_video",
-    "ann_brute_force_topk_np",
-    # --- r5-stale block (alphabetical)
-    "ann_filtered_topk",
-    "ann_ivf_recall",
-    "ann_lsh_recall",
-    "boilerplate_phrases",
-    "bpe_token_count",
-    "bpe_top_merges",
-    "dedup_cluster_stats",
-    "dedup_containment",
-    "dedup_minhash_recall",
-    "dedup_simhash_recall",
-    "deterministic_doc_split",
-    "doc_chunks",
-    "doc_first_tokens",
+    # --- stalest-fill (r5 block, alphabetical)
+    "embedding_centroids_by_label",
+    "embedding_norms",
 )
 
 

@@ -125,6 +125,47 @@ def test_pareto_frontier_partitioning_invariant(spark):
     assert base == again and len(base) > 0
 
 
+def test_skyline_sweep_matches_bnl_twin(spark):
+    """The registered relational sweep (no broadcast, no pairwise join)
+    must emit exactly the broadcast-nested-loop twin's row set — the r9
+    ADVICE swap changed the plan shape, not the frontier."""
+    from crawlingbigdatavisionaid_spark.operators.skyline import (
+        exact_skyline,
+        exact_skyline_bnl,
+    )
+
+    pts = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    sweep = {
+        tuple(r)
+        for r in exact_skyline(
+            pts, "o_totalprice", "o_orderdate", "o_orderkey"
+        ).collect()
+    }
+    bnl = {
+        tuple(r)
+        for r in exact_skyline_bnl(
+            pts, "o_totalprice", "o_orderdate", "o_orderkey"
+        ).collect()
+    }
+    assert sweep == bnl and len(sweep) > 0
+
+
+def test_skyline_sweep_keeps_xy_ties(spark):
+    """Two rows at the same (x, y) dominate neither — both survive,
+    exactly as the pairwise definition demands."""
+    from crawlingbigdatavisionaid_spark.operators.skyline import exact_skyline
+
+    df = spark.createDataFrame(
+        [(1, 10, 10), (2, 10, 10), (3, 10, 9), (4, 11, 1), (5, 1, 11)],
+        "k int, x int, y int",
+    )
+    got = sorted(r["k"] for r in exact_skyline(df, "x", "y", "k").collect())
+    # (3,10,9) dominated by (1,10,10); the (10,10) twins both survive
+    assert got == [1, 2, 4, 5]
+
+
 def test_max_concurrent_matches_python_sweep(spark):
     rows = {
         r["event_type"]: (r["peak"], r["peak_at_us"])

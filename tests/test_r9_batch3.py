@@ -55,6 +55,55 @@ def test_pit_join_matches_python_replica(spark):
     assert got == {s: tuple(v) for s, v in agg.items()}
 
 
+def test_pit_join_tied_timestamps_deterministic(spark):
+    """r9 ADVICE: a user with two same-ts events in different value
+    bands yields two SCD2 runs sharing valid_from; the as-of match must
+    resolve the tie by band rank (highest band wins) on the Spark side
+    exactly as the oracle's CASE ... DESC does — not by partition
+    order."""
+    import datetime as dt
+
+    from crawlingbigdatavisionaid_spark.operators.asof import asof_join
+    from crawlingbigdatavisionaid_spark.plans.incremental import (
+        scd2_runs,
+        scd2_segment_expr,
+    )
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 10.0, "view"),     # low band
+        (1, t0, 500.0, "view"),    # high band — same ts, tie
+        (1, t0 + dt.timedelta(hours=1), 75.0, "purchase"),  # later: mid
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_type string"
+    )
+    segs = scd2_runs(ev.select("user_id", "ts", scd2_segment_expr())).select(
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        "segment",
+        F.when(F.col("segment") == "low", 0)
+        .when(F.col("segment") == "mid", 1)
+        .otherwise(2)
+        .alias("band_rank"),
+    )
+    # a purchase AT the tied timestamp must match 'high' every time
+    probe = spark.createDataFrame(
+        [(1, t0, 1.0)], "user_id long, ts timestamp, value double"
+    )
+    for _ in range(3):
+        got = asof_join(
+            probe.repartition(7),
+            segs,
+            on="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            right_payload=("segment",),
+            right_tiebreak="band_rank",
+        ).collect()
+        assert [r["asof_segment"] for r in got] == ["high"]
+
+
 def _drain_journeys(spark, slices, order):
     """Write slices as delta files with mtimes in ``order``; drain and
     return the folded journey counts dict."""

@@ -1,0 +1,106 @@
+"""Reproduce the driver-window rotation in ``plans/registry._PRIORITY``.
+
+The driver's correctness gate checks the FIRST 50 registered queries, so
+each round the window rotates by STALENESS: a query's staleness is the
+last round it appeared in a ``CORRECTNESS_r*.json`` (never-checked
+queries are stalest of all).  The window is composed as:
+
+1. every never-driver-checked query (newest registrations first serve);
+2. a greedy OP-ID coverage repair — while any SURVEY.md §2 OP-ID lacks a
+   window representative, seat the STALEST eligible query covering one
+   (ties broken toward covering more missing ops, then name) — eligible
+   means oracle-backed and not twin-carried;
+3. stalest-first fill to exactly 50 seats.
+
+The six twin-carried rows-only registrations are excluded from staleness
+bookkeeping per the recorded disposition in ``plans/registry.py``.
+
+Usage: python tools/rotation.py   # prints the derived window and diffs
+it against the committed ``_PRIORITY`` tuple.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TWIN_CARRIED = {
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "stream_neardup_minhash",
+    "bpe_merge_rounds",
+}
+
+WINDOW = 50
+
+
+def derive() -> list[str]:
+    from crawlingbigdatavisionaid_spark.plans import registry
+
+    registry._load_all()
+    q = registry.QUERIES
+    # registration order WITHOUT the current priority pin: module-import
+    # order is what the rotation actually ranks, so re-derive it by
+    # putting priority names back at their staleness rank, not position 0
+    names = list(q)
+
+    hist: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        for name in json.load(open(f)):
+            hist[name] = max(hist.get(name, 0), rnd)
+
+    window = [n for n in names if n not in hist and n not in TWIN_CARRIED
+              and q[n].oracle is not None]
+
+    def ops_of(ns):
+        s = set()
+        for n in ns:
+            s.update(q[n].ops)
+        return s
+
+    all_ops = ops_of(names)
+    remaining = set(all_ops) - ops_of(window)
+    while remaining:
+        cands = [
+            n for n in names
+            if n not in window and n not in TWIN_CARRIED
+            and q[n].oracle is not None and set(q[n].ops) & remaining
+        ]
+        cands.sort(key=lambda n: (hist.get(n, -1),
+                                  -len(set(q[n].ops) & remaining), n))
+        pick = cands[0]
+        window.append(pick)
+        remaining -= set(q[pick].ops)
+
+    rest = [n for n in names if n not in window and n not in TWIN_CARRIED
+            and q[n].oracle is not None]
+    rest.sort(key=lambda n: (hist.get(n, -1), n))
+    window += rest[: WINDOW - len(window)]
+    return window
+
+
+def main() -> None:
+    from crawlingbigdatavisionaid_spark.plans import registry
+
+    derived = derive()
+    committed = list(registry._PRIORITY)
+    print(json.dumps({"derived": derived}, indent=2))
+    d, c = set(derived), set(committed)
+    if d == c:
+        print("MATCH: derived window == committed _PRIORITY (as sets)")
+    else:
+        print("DIFF: only-derived:", sorted(d - c))
+        print("DIFF: only-committed:", sorted(c - d))
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
