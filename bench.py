@@ -78,6 +78,8 @@ FAMILIES: dict[str, list[str]] = {
         "trade_bfs_hops",
         "hits_hubs_authorities",
         "cheapest_trade_path",
+        # round 10 additions
+        "bucketed_join_no_shuffle",
     ],
     # event-time windows, as-of/range joins, JSON extraction
     "windows": [
@@ -171,6 +173,8 @@ FAMILIES: dict[str, list[str]] = {
         "char_entropy_quality",
         "tokenizer_fertility_by_lang",
         "phrase_search_positions",
+        # round 10 additions
+        "deterministic_negative_samples",
     ],
     # sketches, incremental maintenance, event analytics
     "sketch": [
@@ -202,6 +206,9 @@ FAMILIES: dict[str, list[str]] = {
         "rolling_7day_hll_users",
         "mannwhitney_value_shift",
         "chisq_type_daypart",
+        # round 10 additions
+        "join_size_cms_estimate",
+        "ks_value_shift",
     ],
 }
 

@@ -1445,3 +1445,101 @@ def chisq_type_daypart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(dof))
         .select("n_cells", F.col("dof").cast("bigint").alias("dof"), "chi2")
     )
+
+
+@register(
+    "ks_value_shift",
+    ops=("OP-AGG-01", "OP-AGG-05"),
+    oracle="""
+        WITH e AS (
+            SELECT event_type, value FROM events
+            WHERE event_type IN ('click', 'purchase')
+              AND value IS NOT NULL
+        ), n AS (
+            SELECT SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS nc,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS np
+            FROM e
+        ), dv AS (
+            SELECT value,
+                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS cc,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS cp
+            FROM e GROUP BY value
+        ), cum AS (
+            SELECT value,
+                   SUM(cc) OVER (ORDER BY value) AS cumc,
+                   SUM(cp) OVER (ORDER BY value) AS cump
+            FROM dv
+        ), d AS (
+            SELECT value,
+                   ABS(cumc * (SELECT np FROM n)
+                       - cump * (SELECT nc FROM n)) AS dnum
+            FROM cum
+        ), best AS (
+            SELECT dnum, value FROM d
+            ORDER BY dnum DESC, value ASC LIMIT 1
+        )
+        SELECT CAST((SELECT nc FROM n) AS BIGINT) AS n_click,
+               CAST((SELECT np FROM n) AS BIGINT) AS n_purchase,
+               CAST(dnum AS BIGINT) AS d_num,
+               CAST((1000 * dnum) //
+                    ((SELECT nc FROM n) * (SELECT np FROM n)) AS BIGINT)
+                   AS d_permille,
+               value AS at_value
+        FROM best
+    """,
+)
+def ks_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the click and
+    purchase value distributions — the third member of the exact-
+    arithmetic statistics tier (Mann-Whitney tests stochastic order,
+    chi-square tests independence; KS localizes WHERE two CDFs diverge
+    most). D = max_v |F_c(v) − F_p(v)| is computed as the INTEGER
+    max_v |cum_c(v)·n_p − cum_p(v)·n_c| (common denominator n_c·n_p
+    cleared), so no float ever crosses engines; the witness row
+    reports the smallest value attaining the max (struct-max with a
+    negated-value tie key — a total order, not partition luck) and
+    D in permille via a single integer DIV.
+
+    Scale shape (the ``mannwhitney_value_shift`` pattern): aggregate to
+    the distinct-value grain, two ``chunked_cumsum`` running counts
+    (bounded per-task state, no global window), one 1-row totals
+    broadcast, one max-struct aggregate. The oracle's window-cumsum
+    over distinct values is the same math in DuckDB's idiom."""
+    from ..operators.prefix import chunked_cumsum
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
+    )
+    dv = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("cc"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("cp"),
+    )
+    dv = chunked_cumsum(dv, [], "value", F.col("cc"), "cumc", chunk=64)
+    dv = chunked_cumsum(dv, [], "value", F.col("cp"), "cump", chunk=64)
+    totals = dv.agg(
+        F.sum("cc").cast("bigint").alias("nc"),
+        F.sum("cp").cast("bigint").alias("np"),
+    )
+    scored = dv.crossJoin(F.broadcast(totals)).withColumn(
+        "dnum",
+        F.abs(F.col("cumc") * F.col("np") - F.col("cump") * F.col("nc")),
+    )
+    best = scored.groupBy("nc", "np").agg(
+        F.max(
+            F.struct(
+                F.col("dnum").alias("d"), (-F.col("value")).alias("nv")
+            )
+        ).alias("b")
+    )
+    return best.select(
+        F.col("nc").alias("n_click"),
+        F.col("np").alias("n_purchase"),
+        F.col("b.d").cast("bigint").alias("d_num"),
+        F.expr("(1000 * b.d) DIV (nc * np)").cast("bigint").alias("d_permille"),
+        (-F.col("b.nv")).alias("at_value"),
+    )

@@ -1078,3 +1078,75 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_size", "part_a", "part_b", "name_a", "name_b", "dist")
         .orderBy("p_size", "part_a", "part_b")
     )
+
+
+@register(
+    "bucketed_join_no_shuffle",
+    ops=("OP-SNK-01", "OP-AGG-05"),
+    # the layout story as a driver-checked query, not just a pytest:
+    # the aggregates are independently recomputed by the oracle, and
+    # the two plan verdicts are asserted LOUDLY on the Spark side (a
+    # False would hash-mismatch against the oracle's TRUE)
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS joined_rows,
+               CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS price_cents,
+               TRUE AS bucketed_shuffle_free,
+               TRUE AS matches_unbucketed
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed CO-LOCATED join (``sources/storage.write_bucketed``):
+    both fact tables land hash-clustered by the join key (16 buckets,
+    sorted within), and the subsequent sort-merge join runs with ZERO
+    Exchange — the write-once/join-forever trade every 100 TB store
+    makes for its hottest join key. The query materializes both layouts,
+    joins them with an explicit MERGE hint (so a small test corpus
+    can't silently take the broadcast path and vacuously 'avoid' the
+    shuffle), asserts the physical plan contains no Exchange of any
+    kind, and cross-checks the aggregate against the plain
+    parquet-scan join — layout must never change results.
+
+    The plan inspection is the point: ``PushedFilters``-style evidence
+    that the layout works, embedded in the correctness gate instead of
+    a doc claim. At 100 TB the same two tables are written once by the
+    ingest job and every downstream join/dedup on the key rides the
+    bucketing (the reference's Mongo store re-scans the collection per
+    probe, ``crawl.py:73``)."""
+    import uuid
+
+    from ..sources.storage import write_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    cents = F.sum(
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    ).cast("bigint")
+    tag = uuid.uuid4().hex[:10]
+    t_li, t_o = f"bjns_{tag}_li", f"bjns_{tag}_o"
+    try:
+        write_bucketed(li, t_li, "l_orderkey", n_buckets=16)
+        write_bucketed(o, t_o, "o_orderkey", n_buckets=16)
+        bl, bo = spark.table(t_li), spark.table(t_o)
+        j = bl.hint("MERGE").join(bo, bl.l_orderkey == bo.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        shuffle_free = "Exchange" not in plan
+        [(n_b, c_b)] = j.agg(
+            F.count(F.lit(1)).alias("n"), cents.alias("c")
+        ).collect()
+        [(n_p, c_p)] = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .agg(F.count(F.lit(1)).alias("n"), cents.alias("c"))
+            .collect()
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_li}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+    return spark.createDataFrame(
+        [(n_b, c_b, bool(shuffle_free), n_b == n_p and c_b == c_p)],
+        "joined_rows bigint, price_cents bigint, "
+        "bucketed_shuffle_free boolean, matches_unbucketed boolean",
+    )

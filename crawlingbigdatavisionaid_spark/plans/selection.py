@@ -601,3 +601,88 @@ def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.orderBy(
         (F.col("ln_u_e6").cast("double") / F.col("wt")).desc(), "doc_id"
     ).limit(50)
+
+
+@register(
+    "deterministic_negative_samples",
+    ops=("OP-X-SIM-01", "OP-PRJ-01"),
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, lang FROM documents
+        ), n AS (
+            SELECT COUNT(*) AS n FROM d
+        ), r AS (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (ORDER BY doc_id) AS rnk
+            FROM d
+        ), a AS (
+            SELECT d.doc_id, d.lang, js.j
+            FROM d, (VALUES (1), (2), (3)) AS js(j)
+        ), t AS (
+            SELECT a.doc_id, a.lang, a.j,
+                   (('0x' || substr(md5(a.doc_id || ':' || a.j), 1, 8))
+                        ::BIGINT % (SELECT n FROM n)) + 1 AS trank
+            FROM a
+        )
+        SELECT t.doc_id, t.j, r.doc_id AS neg_doc_id,
+               (r.lang <> t.lang) AS cross_lang,
+               (r.doc_id = t.doc_id) AS is_self
+        FROM t JOIN r ON r.rnk = t.trank
+        ORDER BY t.doc_id, t.j
+    """,
+)
+def deterministic_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    every document draws 3 pseudo-random negatives by HASH-TO-RANK
+    lookup — target_rank = md5(doc_id ':' j) mod N — so a re-run, a
+    different engine, or a different partitioning selects the SAME
+    negatives (the ``hash_sample_by_lang`` reproducibility rule applied
+    to pair GENERATION instead of row selection). Emits the mapping
+    plus cross-language and self-collision flags; training consumers
+    drop/resample flagged rows, and the flags make the collision rate
+    auditable instead of silent.
+
+    Plan shape: the corpus gets an exact dense rank (1..N) from
+    ``operators/rank.global_rank`` (range-repartition + broadcast
+    offsets — no single-task window, and N rides along as a column so
+    the modulus needs no separate count job); anchors explode x3; the
+    negative lookup is then ONE hash equi-join on rank. At 100 TB this
+    is the standard random-access-without-RNG shape: no sort beyond the
+    rank build, no skew (md5 is uniform), and the join keys are dense
+    integers. DuckDB mirrors rank and hash exactly (md5 hex prefix →
+    32-bit integer is engine-neutral arithmetic)."""
+    from ..operators.rank import global_rank
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    ranked = global_rank(d, ["doc_id"], alias="rnk", total_alias="n")
+    anchors = ranked.select(
+        "doc_id", "lang", "n", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j")
+    )
+    hash32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("j").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    targets = anchors.select(
+        "doc_id", "lang", "j", (F.pmod(hash32, F.col("n")) + 1).alias("trank")
+    )
+    neg = ranked.select(
+        F.col("doc_id").alias("neg_doc_id"),
+        F.col("lang").alias("neg_lang"),
+        F.col("rnk").alias("trank"),
+    )
+    return (
+        targets.join(neg, "trank")
+        .select(
+            "doc_id",
+            "j",
+            "neg_doc_id",
+            (F.col("neg_lang") != F.col("lang")).alias("cross_lang"),
+            (F.col("neg_doc_id") == F.col("doc_id")).alias("is_self"),
+        )
+        .orderBy("doc_id", "j")
+    )

@@ -1058,3 +1058,102 @@ def mg_screening_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return thr.select(F.col("threshold").cast("bigint")).crossJoin(verdict)
+
+
+_JSZ_W = 1 << 16  # join-size sketch width: E[overcount] = n1*n2/W
+
+
+def _jsz_cells_duck(tc: str, out: str) -> str:
+    """DuckDB CMS cell table over count-table CTE ``tc`` (w, c) —
+    the oracle twin of ``cms_cells`` at ``_JSZ_W`` width."""
+    return f"""{out}th AS (
+            SELECT w, c, h1, (h1 * {_H2A} + {_H2B}) % {_P} AS h2
+            FROM (SELECT w, c, {_poly_fold_duck('w')} AS h1 FROM {tc})
+        ), {out} AS (
+            SELECT i, ((h1 + i * h2) % {_P}) % {_JSZ_W} AS cell,
+                   SUM(c) AS s
+            FROM {out}th, LATERAL unnest(
+                generate_series(1, {_CMS_D})) AS t(i)
+            GROUP BY 1, 2
+        )"""
+
+
+@register(
+    "join_size_cms_estimate",
+    ops=("OP-X-APPROX-01", "OP-AGG-05"),
+    oracle=f"""
+        WITH tc1 AS (
+            SELECT CAST(l_orderkey AS VARCHAR) AS w, COUNT(*) AS c
+            FROM lineitem GROUP BY 1
+        ), tc2 AS (
+            SELECT CAST(o_orderkey AS VARCHAR) AS w, COUNT(*) AS c
+            FROM orders GROUP BY 1
+        ), {_jsz_cells_duck('tc1', 'cells1')},
+        {_jsz_cells_duck('tc2', 'cells2')},
+        ip AS (
+            SELECT a.i, SUM(a.s * b.s) AS ip
+            FROM cells1 a JOIN cells2 b ON a.i = b.i AND a.cell = b.cell
+            GROUP BY a.i
+        ), est AS (
+            SELECT MIN(ip) AS est FROM ip
+        ), ex AS (
+            SELECT SUM(t1.c * t2.c) AS exact
+            FROM tc1 t1 JOIN tc2 t2 ON t1.w = t2.w
+        )
+        SELECT CAST(est AS BIGINT) AS cms_est_rows,
+               CAST(exact AS BIGINT) AS exact_join_rows,
+               est >= exact AS never_underestimates,
+               CAST((1000 * est) // exact AS BIGINT) AS ratio_permille
+        FROM est, ex
+    """,
+)
+def join_size_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based JOIN-SIZE estimation (the AGMS/count-min inner
+    product, Alon-Gibbons-Matias-Szegedy '99 / Cormode-Muthukrishnan
+    '05 §4.2): |R ⋈ S on k| is estimated as min_i Σ_cell
+    CMS_R[i][cell] · CMS_S[i][cell] — the optimizer statistic that
+    prices a join WITHOUT running it, from two single-pass mergeable
+    summaries a 100 TB pipeline maintains per partition/ingest batch
+    anyway (CMS is linear: per-batch cells just SUM — the
+    ``stream_cms_merge`` fold).
+
+    Two guarantees are ASSERTED, not hoped: the estimate NEVER
+    underestimates (colliding keys add only nonnegative cross terms —
+    a deterministic one-sided bound, unlike sampling estimators), and
+    the reported ratio_permille quantifies the overcount, whose
+    expectation is n1·n2/width. Everything is exact integer arithmetic
+    end-to-end; the exact join size comes from the count-table inner
+    join Σ c1(k)·c2(k) (identical to COUNT(*) of the key join, without
+    materializing the join). One scan per side, four bounded shuffles
+    (two count aggregates, two 4x65536-cell sketch aggregates), one
+    tiny cell-table join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("w")
+    )
+    tc1 = li.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("w")
+    )
+    tc2 = o.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    c1 = cms_cells(tc1, width=_JSZ_W)
+    c2 = (
+        cms_cells(tc2, width=_JSZ_W)
+        .withColumnRenamed("cellsum", "s2")
+    )
+    ip = (
+        c1.join(c2, ["i", "cell"])
+        .groupBy("i")
+        .agg(F.sum(F.col("cellsum") * F.col("s2")).alias("ip"))
+    )
+    est = ip.agg(F.min("ip").alias("est"))
+    exact = (
+        tc1.withColumnRenamed("c", "c1")
+        .join(tc2.withColumnRenamed("c", "c2"), "w")
+        .agg(F.sum(F.col("c1") * F.col("c2")).alias("exact"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.col("est").cast("bigint").alias("cms_est_rows"),
+        F.col("exact").cast("bigint").alias("exact_join_rows"),
+        (F.col("est") >= F.col("exact")).alias("never_underestimates"),
+        F.expr("(1000 * est) DIV exact").cast("bigint").alias("ratio_permille"),
+    )

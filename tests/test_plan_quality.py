@@ -452,19 +452,17 @@ def test_triangle_join_has_no_cartesian_and_prunes_embeddings(spark, sf_dir):
         raise AssertionError("no embeddings scan in the edge-builder plan")
 
 
-def test_pareto_frontier_only_intended_bnlj(spark, sf_dir):
-    """The skyline's dominance anti-join over the tiny candidate union
-    is the ONE place a nested-loop join is the right plan (non-equi
-    predicate over a broadcast-small set); the corpus side must never
-    appear under one. The candidate pass reads from the checkpointed
-    local-skyline output, so every BNLJ input is an ExistingRDD scan,
-    not a parquet scan."""
+def test_pareto_frontier_is_sweep_no_pairwise_join(spark, sf_dir):
+    """r10: ``exact_skyline`` is the relational sweep — per-x max-y
+    aggregate + hierarchical exclusive running max — so the plan must
+    contain NO pairwise dominance join at all (no nested loop, no
+    cartesian; the r9 BNL form survives only as the ``exact_skyline_bnl``
+    test twin), and every window must be keyed (_pid for the
+    within-partition pass; the offsets window runs over the
+    |partitions|-row totals table)."""
     plan = _plan(spark, sf_dir, "pareto_frontier_orders")
-    assert "BroadcastNestedLoopJoin" in plan, plan
-    import re
-
-    bnlj_inputs = plan.split("BroadcastNestedLoopJoin", 1)[1]
-    assert "Scan parquet" not in bnlj_inputs, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_max_concurrent_has_no_unpartitioned_window(spark, sf_dir):

@@ -519,3 +519,33 @@ def test_semdedup_mega_fallback_is_observable(spark):
     quiet = mega_cluster_monitor(spark)
     semdedup_keep(df, 0.9, max_cluster=None, mega_events=quiet).collect()
     assert quiet.value == []
+
+
+def test_negative_samples_deterministic_and_complete(spark):
+    """Hash-to-rank negative sampling: exactly 3 negatives per anchor,
+    every negative is a real corpus doc, and two runs (any partition
+    layout) emit identical mappings — the whole point of hashing over
+    an RNG."""
+    from pyspark.sql import functions as F
+
+    from crawlingbigdatavisionaid_spark.plans import registry
+
+    registry._load_all()
+    q = registry.QUERIES["deterministic_negative_samples"].fn
+    sf = "/root/testdata/sf0.001"
+    a = sorted(tuple(r) for r in q(spark, sf).collect())
+    b = sorted(tuple(r) for r in q(spark, sf).collect())
+    assert a == b and a
+    docs = {
+        r[0]
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    }
+    per_anchor: dict = {}
+    for doc_id, j, neg, _cross, is_self in a:
+        per_anchor.setdefault(doc_id, set()).add(j)
+        assert neg in docs
+        assert is_self == (neg == doc_id)
+    assert set(per_anchor) == docs
+    assert all(js == {1, 2, 3} for js in per_anchor.values())

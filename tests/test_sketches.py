@@ -340,3 +340,22 @@ def test_kmv_key_is_null_safe_and_engine_identical(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_join_size_cms_never_underestimates(spark):
+    """The AGMS/CMS inner-product join-size estimate: exact value must
+    equal the materialized join's COUNT(*), and the estimate's
+    one-sided bound must hold (collisions only ADD nonnegative cross
+    terms)."""
+    from crawlingbigdatavisionaid_spark.plans import registry
+
+    registry._load_all()
+    sf = "/root/testdata/sf0.001"
+    [row] = registry.QUERIES["join_size_cms_estimate"].fn(spark, sf).collect()
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    true_join = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    assert row["exact_join_rows"] == true_join
+    assert row["never_underestimates"]
+    assert row["cms_est_rows"] >= row["exact_join_rows"]
+    assert row["ratio_permille"] >= 1000

@@ -17,7 +17,14 @@ hop tables / distance tables — this is a plan experiment, not a
 semantics change).  The verdict lands in PLANS.md either way: adopt if
 it pays at local[32], record as the accepted Pregel cost if not.
 
-Usage: python tools/graph_ab.py [K] [base_sf_dir] [rounds]
+Usage: python tools/graph_ab.py [K] [base_sf_dir] [rounds] [variants]
+
+``variants`` (csv of A,B — default both) lets each arm run in its own
+process at K=100: localCheckpoint blocks from a finished arm are not
+individually releasable from Python, and two arms' worth of 117M-edge
+materializations in one 48g JVM OOM the second arm — the same
+isolation rule bench.py applies per family.  Result equality across
+arms is then asserted by comparing the printed ``rows`` field.
 """
 
 from __future__ import annotations
@@ -89,6 +96,7 @@ def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    variants = (sys.argv[4] if len(sys.argv) > 4 else "A,B").split(",")
 
     from crawlingbigdatavisionaid_spark.session import get_spark
 
@@ -115,20 +123,31 @@ def main() -> None:
             res[tag] = {"walls_s": walls, "best_s": min(walls)}
             return rows
 
-        # A: the registered form — plain lazy localCheckpoint, the join
-        # re-exchanges the edge table every round
-        rows_a = run("A_plain_checkpoint", lambda: _edges(spark, gdir).localCheckpoint(eager=False))
-        # B: src-partitioned materialization — rounds reuse the edge
-        # partitioning, only the frontier side shuffles
-        rows_b = run(
-            "B_src_partitioned",
-            lambda: _edges(spark, gdir)
-            .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")), "src")
-            .localCheckpoint(eager=False),
-        )
-        assert rows_a == rows_b, "variants disagree — not a fair A/B"
-        res["results_equal"] = True
-        res["edges"] = _edges(spark, gdir).count()
+        rows_a = rows_b = None
+        if "A" in variants:
+            # A: plain lazy localCheckpoint — the join re-exchanges the
+            # edge table every round
+            rows_a = run(
+                "A_plain_checkpoint",
+                lambda: _edges(spark, gdir).localCheckpoint(eager=False),
+            )
+            res["rows"] = rows_a
+        if "B" in variants:
+            # B: src-partitioned materialization — rounds reuse the
+            # edge partitioning, only the frontier side shuffles
+            rows_b = run(
+                "B_src_partitioned",
+                lambda: _edges(spark, gdir)
+                .repartition(
+                    int(spark.conf.get("spark.sql.shuffle.partitions")), "src"
+                )
+                .localCheckpoint(eager=False),
+            )
+            res["rows"] = rows_b
+        if rows_a is not None and rows_b is not None:
+            assert rows_a == rows_b, "variants disagree — not a fair A/B"
+            res["results_equal"] = True
+        res["rows"] = [list(map(str, r)) for r in res["rows"]]
         print(json.dumps(res))
     finally:
         shutil.rmtree(out, ignore_errors=True)
