@@ -209,6 +209,7 @@ FAMILIES: dict[str, list[str]] = {
         # round 10 additions
         "join_size_cms_estimate",
         "ks_value_shift",
+        "ewma_spike_days",
     ],
 }
 

@@ -1543,3 +1543,85 @@ def ks_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000 * b.d) DIV (nc * np)").cast("bigint").alias("d_permille"),
         (-F.col("b.nv")).alias("at_value"),
     )
+
+
+_EWMA_W = 16  # trailing-window depth: weight 2^(W-i) for lag i (halving)
+
+
+@register(
+    "ewma_spike_days",
+    ops=("OP-AGG-03", "OP-AGG-01"),
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ), contrib AS (
+            SELECT d2.d AS target,
+                   SUM(d1.x * (1 << ({_EWMA_W} - DATEDIFF('day', d1.d, d2.d))))
+                       AS num,
+                   SUM(CAST(1 AS BIGINT) << ({_EWMA_W} - DATEDIFF('day', d1.d, d2.d)))
+                       AS den
+            FROM daily d1 JOIN daily d2
+              ON d2.d > d1.d AND d2.d <= d1.d + INTERVAL {_EWMA_W} DAY
+            GROUP BY 1
+        )
+        SELECT daily.d AS day, daily.x AS n_events,
+               CAST(contrib.num AS BIGINT) AS ewma_num,
+               CAST(contrib.den AS BIGINT) AS ewma_den,
+               (daily.x * contrib.den > 2 * contrib.num) AS spike
+        FROM daily JOIN contrib ON contrib.target = daily.d
+        ORDER BY day
+    """,
+)
+def ewma_spike_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over the daily event rollup — the
+    recency-weighted sibling of ``daily_anomaly_days`` (whose z-test
+    weights all history equally and goes blind to level shifts): a day
+    is a spike when its count exceeds 2x the exponentially-weighted
+    moving average of the trailing 16 days (halving weights,
+    alpha = 1/2).
+
+    Exactness: the EWMA is never computed as a float — the recurrence
+    is unrolled to its closed form over a DEPTH-CAPPED window (weights
+    2^(W-lag), lag 1..16; beyond W the dropped tail is < 2^-16
+    of the mass) and kept as an integer fraction num/den, with the
+    control test cleared to x*den > 2*num. Same shape as the
+    rolling-window family: one daily aggregate (|days| rows), one
+    bounded x16 day-offset join, integer sums — no recursive
+    state, no window function, no float anywhere."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    # each source day contributes to targets d+1 .. d+W with weight
+    # 2^(W - lag); the join against the daily table itself keeps only
+    # targets that are real days (same trick as rolling_7day_revenue)
+    contrib = (
+        daily.select(
+            "d",
+            "x",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(_EWMA_W))
+            ).alias("lag"),
+        )
+        .select(
+            F.date_add("d", F.col("lag")).alias("target"),
+            F.expr(f"x * shiftleft(cast(1 as bigint), {_EWMA_W} - lag)").alias("wx"),
+            F.expr(f"shiftleft(cast(1 as bigint), {_EWMA_W} - lag)").alias("wt"),
+        )
+        .groupBy("target")
+        .agg(F.sum("wx").alias("num"), F.sum("wt").alias("den"))
+    )
+    return (
+        daily.join(contrib, daily.d == contrib.target)
+        .select(
+            F.col("d").alias("day"),
+            F.col("x").alias("n_events"),
+            F.col("num").cast("bigint").alias("ewma_num"),
+            F.col("den").cast("bigint").alias("ewma_den"),
+            (F.col("x") * F.col("den") > 2 * F.col("num")).alias("spike"),
+        )
+        .orderBy("day")
+    )

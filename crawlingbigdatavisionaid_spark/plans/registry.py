@@ -75,12 +75,15 @@ QUERIES: dict[str, QuerySpec] = {}
 # PERMANENTLY TWIN-CARRIED by their oracle-pinned exact twins and
 # excluded from staleness bookkeeping.
 #
-# Remaining stale for r11, stalest first: the r5 block
+# Remaining stale for r11, stalest first: the never-driver-checked r10
+# registrations (pit_over_streamed_scd2, deterministic_negative_samples,
+# join_size_cms_estimate, bucketed_join_no_shuffle, ks_value_shift —
+# each oracle-PASS in this round's local verify), then the r5 block
 # (embedding_quantize_int8, repetition_signals, semdedup_greedy_audit,
 # span_dedup_stats, stream_incremental_neardup, stream_neardup_recall,
 # top_customers, total_count, users_without_orders_except,
 # value_dispersion_by_type, value_stats_by_type, window_sliding_1h_30m),
-# then the r6 block, then anything registered in r10 itself.
+# then the r6 block.
 _PRIORITY: tuple[str, ...] = (
     # --- never driver-checked: r9 statistics / analytics tier
     "mad_outlier_values",

@@ -359,3 +359,35 @@ def test_join_size_cms_never_underestimates(spark):
     assert row["never_underestimates"]
     assert row["cms_est_rows"] >= row["exact_join_rows"]
     assert row["ratio_permille"] >= 1000
+
+
+def test_ewma_spike_matches_python_replica(spark):
+    """EWMA control chart: the integer fraction num/den must equal the
+    closed-form sum over the trailing 16 real days, per day."""
+    from collections import Counter
+
+    from crawlingbigdatavisionaid_spark.plans import registry
+
+    registry._load_all()
+    sf = "/root/testdata/sf0.001"
+    rows = registry.QUERIES["ewma_spike_days"].fn(spark, sf).collect()
+    ev = spark.read.parquet(f"{sf}/events.parquet").selectExpr(
+        "cast(ts as date) AS d"
+    ).where("d is not null").collect()
+    daily = Counter(r["d"] for r in ev)
+    for r in rows:
+        num = den = 0
+        for lag in range(1, 17):
+            src = r["day"] - __import__("datetime").timedelta(days=lag)
+            if src in daily:
+                w = 1 << (16 - lag)
+                num += daily[src] * w
+                den += w
+        assert den > 0 and (r["ewma_num"], r["ewma_den"]) == (num, den), r
+        assert r["spike"] == (r["n_events"] * den > 2 * num)
+    assert {r["day"] for r in rows} == {
+        d for d in daily if any(
+            d - __import__("datetime").timedelta(days=s) in daily
+            for s in range(1, 17)
+        )
+    }

@@ -144,6 +144,34 @@ def main() -> None:
                 .localCheckpoint(eager=False),
             )
             res["rows"] = rows_b
+        if "C" in variants:
+            # C: src-partitioned AND sorted within partitions — the
+            # bucketed-table layout; if LogicalRDD carries the ordering,
+            # per-round sort-merge joins skip both exchange AND sort
+            rows_c = run(
+                "C_src_partitioned_sorted",
+                lambda: _edges(spark, gdir)
+                .repartition(
+                    int(spark.conf.get("spark.sql.shuffle.partitions")), "src"
+                )
+                .sortWithinPartitions("src")
+                .localCheckpoint(eager=False),
+            )
+            res["rows"] = rows_c
+        if "D" in variants:
+            # D: round-robin repartition, NO key — isolates the
+            # partition-count/layout effect from any partitioning-reuse
+            # story (the static plans are identical across layouts:
+            # LogicalRDD partitioning is not consumed by this join)
+            rows_d = run(
+                "D_roundrobin_32",
+                lambda: _edges(spark, gdir)
+                .repartition(
+                    int(spark.conf.get("spark.sql.shuffle.partitions"))
+                )
+                .localCheckpoint(eager=False),
+            )
+            res["rows"] = rows_d
         if rows_a is not None and rows_b is not None:
             assert rows_a == rows_b, "variants disagree — not a fair A/B"
             res["results_equal"] = True

@@ -25,6 +25,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Editorial notes that should survive regeneration — investigation
 # outcomes that a generated table cannot carry.
 STANDING_NOTES = [
+    "Graph-tier Pregel edge-layout A/B CLOSED (judge r9 #5, r10; "
+    "`tools/graph_ab.py`, per-arm process isolation, min-of-2, idle "
+    "box): four edge-table materializations ran the identical "
+    "4-round frontier BFS at 11.7M and 117M trade edges. Plain "
+    "localCheckpoint: 17.8 s / 156.4 s. Key-partitioned "
+    "(`repartition(32, src)`): 10.2 s / 198.1 s — pays at 10x, "
+    "REVERSES at 100x. Key-partitioned + `sortWithinPartitions(src)` "
+    "(the bucketed-table layout): 9.5 s / 76.2 s — 1.9x/2.05x at BOTH "
+    "scales, results bit-identical (rows md5-equal across arms). "
+    "Round-robin `repartition(32)` (no key): 27.4 s at 10x — WORSE "
+    "than plain, so partition count is not the mechanism. The static "
+    "per-round plans are IDENTICAL across layouts (3 Exchanges, 1 SMJ "
+    "— LogicalRDD partitioning is not consumed by this join shape); "
+    "the win is the materialized CLUSTERING + SORTEDNESS: equal keys "
+    "in sorted runs compress every round's shuffle write and make the "
+    "per-round SMJ sort near-free. ADOPTED in trade_bfs_hops, "
+    "cheapest_trade_path, and hits_hubs_authorities (both "
+    "orientations); at cluster scale the same layout is a bucketed, "
+    "sorted edge table written once.",
     "r7 sf1 dedup-heavy drift EXONERATED (judge r7 #3, r8): the five "
     "flagged rows (`dedup_components` 6.87\u21927.83, `dedup_containment` "
     "3.84\u21924.58, `incremental_ingest_dedup` 3.88\u21924.43, "
