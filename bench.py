@@ -80,6 +80,9 @@ FAMILIES: dict[str, list[str]] = {
         "cheapest_trade_path",
         # round 10 additions
         "bucketed_join_no_shuffle",
+        "label_propagation_communities",
+        "kcore_membership",
+        "link_prediction_jaccard",
     ],
     # event-time windows, as-of/range joins, JSON extraction
     "windows": [
@@ -210,6 +213,10 @@ FAMILIES: dict[str, list[str]] = {
         "join_size_cms_estimate",
         "ks_value_shift",
         "ewma_spike_days",
+        "daily_revenue_acf",
+        "cusum_changepoint_day",
+        "dow_seasonal_profile",
+        "decayed_user_leaderboard",
     ],
 }
 

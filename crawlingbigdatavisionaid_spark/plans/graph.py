@@ -543,3 +543,332 @@ def cheapest_trade_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         d = relaxed
     return d.orderBy("cost", "node").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Community / cohesion / link-prediction tier over the same trade graph
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous majority-LPA twin of
+    :func:`label_propagation_communities` — argmax by (count DESC, label
+    ASC) via a per-node ROW_NUMBER (oracle scale only; the Spark side
+    uses a struct-min aggregate, no window)."""
+    pre = _trade_pairs_sql() + """, edges AS MATERIALIZED (
+            SELECT c AS src, s AS dst FROM pairs
+            UNION ALL SELECT s, c FROM pairs
+        ), l0 AS (
+            SELECT DISTINCT src AS node, src AS label FROM edges
+        )"""
+    its = []
+    for i in range(1, _LPA_ROUNDS + 1):
+        its.append(f""", l{i} AS MATERIALIZED (
+            SELECT node, label FROM (
+                SELECT node, label,
+                       ROW_NUMBER() OVER (PARTITION BY node
+                                          ORDER BY cnt DESC, label) AS rn
+                FROM (
+                    SELECT e.dst AS node, l.label, COUNT(*) AS cnt
+                    FROM edges e JOIN l{i - 1} l ON e.src = l.node
+                    GROUP BY 1, 2
+                )
+            ) WHERE rn = 1
+        )""")
+    return (
+        pre
+        + "".join(its)
+        + f"""
+        SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS size,
+               MIN(node) AS first_node, MAX(node) AS last_node
+        FROM l{_LPA_ROUNDS}
+        GROUP BY label ORDER BY size DESC, community LIMIT 20
+    """
+    )
+
+
+@register(
+    "label_propagation_communities",
+    ops=("OP-AGG-01", "OP-TOPK-01"),
+    oracle=_lpa_oracle(),
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007), 4 rounds over the undirected trade graph: every node
+    starts as its own community and each round adopts the MAJORITY
+    label among its neighbors — the near-linear-time community
+    baseline, here surfacing 'trading blocs' of customers and the
+    suppliers they share. Top-20 communities by size.
+
+    Determinism: plain LPA is notoriously order-dependent (tie-broken
+    at random, updated asynchronously). This is the deterministic
+    variant: SYNCHRONOUS rounds (all nodes update from the round-t
+    state) and total-order tie-break (highest vote count, then
+    lexicographically smallest label) — a pinned recurrence both
+    engines unroll identically. On a bipartite graph sync-LPA can
+    oscillate rather than converge; the query reports the fixed
+    4-round state, which is exactly what the oracle computes.
+
+    Plan shape per round: one keyed join frontier×edges, one hash
+    aggregate to (node,label) vote counts (map-side combinable), one
+    struct-min argmax aggregate — NO per-node window at any scale. The
+    edge table is built once, key-clustered + sorted (the graph_ab.py
+    layout), and each round's label table is lazily checkpointed: it
+    feeds the next round's join, and an uncheckpointed 4-round
+    composition re-expands the vote subtree per reference."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    edges = (
+        edges.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "src"
+        )
+        .sortWithinPartitions("src")
+        .localCheckpoint(eager=False)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("neg_cnt"),
+                        F.col("label").alias("label"),
+                    )
+                ).alias("win")
+            )
+            .select("node", F.col("win.label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("size"),
+            F.min("node").alias("first_node"),
+            F.max("node").alias("last_node"),
+        )
+        .orderBy(F.col("size").desc(), "community")
+        .limit(20)
+    )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peel-round twin of :func:`kcore_membership`."""
+    pre = _trade_pairs_sql() + """, edges AS MATERIALIZED (
+            SELECT c AS src, s AS dst FROM pairs
+            UNION ALL SELECT s, c FROM pairs
+        ), a0 AS (
+            SELECT DISTINCT src AS node FROM edges
+        )"""
+    its = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        its.append(f""", e{i} AS MATERIALIZED (
+            SELECT e.src, e.dst FROM edges e
+            JOIN a{i - 1} u ON e.src = u.node
+            JOIN a{i - 1} v ON e.dst = v.node
+        ), a{i} AS MATERIALIZED (
+            SELECT src AS node FROM e{i}
+            GROUP BY src HAVING COUNT(*) >= {_KCORE_K}
+        )""")
+    last = _KCORE_ROUNDS
+    return (
+        pre
+        + "".join(its)
+        + f"""
+        SELECT substr(node, 1, 1) AS side,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               MIN(node) AS first_node, MAX(node) AS last_node
+        FROM a{last}
+        GROUP BY 1 ORDER BY 1
+    """
+    )
+
+
+@register(
+    "kcore_membership",
+    ops=("OP-AGG-01",),
+    oracle=_kcore_oracle(),
+)
+def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition (k=3) of the trade graph by iterative
+    peeling: repeatedly delete nodes with fewer than 3 surviving trade
+    relations — what remains is the mutually-reinforced core where
+    every member keeps >=3 partners who themselves stay. The standard
+    'dense backbone vs peripheral one-shot buyers' split (Seidman
+    1983), summarized per side (customers / suppliers) with min/max
+    node witnesses.
+
+    The peel is pinned to 4 SYNCHRONOUS rounds — a deterministic
+    recurrence both engines run identically regardless of whether the
+    peel has reached its fixpoint; ``tests/test_graph_communities.py``
+    asserts rounds 4 and 5 agree at test scale, so the reported set IS
+    the 3-core there. (Data-dependent loop-to-fixpoint is the Spark
+    production form — same rounds, stop when the alive count stops
+    falling; the fixed unroll exists so the oracle is expressible.)
+
+    Plan shape per round: two semi-joins restrict the once-built
+    key-clustered edge table to alive×alive, one map-side-combined
+    degree aggregate with HAVING. Per-round cost tracks the SURVIVING
+    edge count — monotonically shrinking — and state is one
+    |alive|-row table, lazily checkpointed (it feeds both next-round
+    semi-joins)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    edges = (
+        edges.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "src"
+        )
+        .sortWithinPartitions("src")
+        .localCheckpoint(eager=False)
+    )
+    alive = edges.select(F.col("src").alias("node")).distinct()
+    for _ in range(_KCORE_ROUNDS):
+        surv = edges.join(
+            alive.withColumnRenamed("node", "src"), "src", "semi"
+        ).join(alive.withColumnRenamed("node", "dst"), "dst", "semi")
+        alive = (
+            surv.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= _KCORE_K)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        alive.groupBy(F.substring("node", 1, 1).alias("side"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("node").alias("first_node"),
+            F.max("node").alias("last_node"),
+        )
+        .orderBy("side")
+    )
+
+
+# wedge-join hub cap: a customer with more than this many distinct
+# suppliers is excluded from pair enumeration (deg^2 fan-out guard) —
+# the corpus-relative df-cap pattern operators/neardup.py established,
+# applied identically in both engines so results stay comparable
+_WEDGE_CAP = 64
+
+
+@register(
+    "link_prediction_jaccard",
+    ops=("OP-AGG-01", "OP-TOPK-01"),
+    oracle=f"""
+        WITH pairs AS (
+            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ), cdeg AS (
+            SELECT c, COUNT(*) AS dc FROM pairs GROUP BY c
+        ), p AS (
+            SELECT pr.c, pr.s FROM pairs pr
+            JOIN cdeg USING (c) WHERE cdeg.dc <= {_WEDGE_CAP}
+        ), sdeg AS (
+            SELECT s, COUNT(*) AS d FROM p GROUP BY s
+        ), common AS (
+            SELECT a.s AS s1, b.s AS s2, COUNT(*) AS common
+            FROM p a JOIN p b ON a.c = b.c AND a.s < b.s
+            GROUP BY 1, 2
+        )
+        SELECT s1, s2, CAST(common AS BIGINT) AS common,
+               CAST(d1.d AS BIGINT) AS deg1, CAST(d2.d AS BIGINT) AS deg2,
+               CAST(1000 * common // (d1.d + d2.d - common) AS BIGINT)
+               AS jaccard_permille
+        FROM common JOIN sdeg d1 ON common.s1 = d1.s
+                    JOIN sdeg d2 ON common.s2 = d2.s
+        ORDER BY jaccard_permille DESC, common DESC, s1, s2 LIMIT 20
+    """,
+)
+def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction features over the bipartite trade graph:
+    neighborhood Jaccard between supplier pairs — |customers in
+    common| / |customers of either| — the classic 'who competes with
+    whom / who could substitute for whom' score, top-20 pairs. Exact
+    integer permille (1000·common DIV union), no floats.
+
+    Scale shape: pair enumeration is the WEDGE JOIN (self-join of the
+    customer→supplier relation on customer), whose fan-out is
+    Σ_c deg(c)² — quadratic in the degree of hub customers. The guard
+    is the df-cap pattern from ``operators/neardup.py``: customers
+    above {_WEDGE_CAP} distinct suppliers are excluded from pair
+    generation IN BOTH ENGINES (a reseller buying from everyone links
+    all supplier pairs and carries no signal — exactly the stopword
+    argument). With the cap, fan-out per customer is bounded by
+    {_WEDGE_CAP}²/2 rows; the degree joins are broadcast-sized
+    (|suppliers| rows)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    cdeg = pairs.groupBy("c").agg(F.count(F.lit(1)).alias("dc"))
+    p = (
+        pairs.join(cdeg.where(F.col("dc") <= _WEDGE_CAP), "c", "semi")
+        .localCheckpoint(eager=False)
+    )
+    sdeg = p.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    a = p.select("c", F.col("s").alias("s1"))
+    b = p.select("c", F.col("s").alias("s2"))
+    common = (
+        a.join(b, "c")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    d1 = sdeg.select(F.col("s").alias("s1"), F.col("d").alias("deg1"))
+    d2 = sdeg.select(F.col("s").alias("s2"), F.col("d").alias("deg2"))
+    return (
+        common.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            F.col("common").cast("bigint").alias("common"),
+            F.col("deg1").cast("bigint").alias("deg1"),
+            F.col("deg2").cast("bigint").alias("deg2"),
+            F.expr(
+                "CAST(1000 * common DIV (deg1 + deg2 - common) AS BIGINT)"
+            ).alias("jaccard_permille"),
+        )
+        .orderBy(
+            F.col("jaccard_permille").desc(), F.col("common").desc(), "s1", "s2"
+        )
+        .limit(20)
+    )

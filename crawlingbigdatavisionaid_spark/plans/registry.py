@@ -200,6 +200,7 @@ def _load_all() -> None:
         star,
         streaming,
         text,
+        timeseries,
         windows,
     )
 

@@ -1,0 +1,376 @@
+"""Time-series diagnostics over the daily revenue / purchase series:
+autocorrelation, CUSUM changepoint, day-of-week seasonality, and
+time-decayed leaderboards.
+
+The reference's dashboard stops at the daily timeline (``app.py:84-110``);
+these queries are the next analyses a monitoring pipeline runs over that
+same series — is it autocorrelated (forecastability), did its level shift
+(changepoint), is it seasonal (dow profile), and who matters NOW
+(recency-decayed ranking).
+
+Determinism contract (the ``revenue_trend_ols`` /
+``chisq_type_daypart`` pattern): every series value is exact integer
+cents (``floor(x*100 + 0.5)`` — one IEEE multiply+add, then floor),
+every Σ is an exact BIGINT/DECIMAL aggregate (order-invariant under any
+partitioning), ratios are either integer permille via exact floor
+division (Spark ``DECIMAL(38,0) DIV`` / DuckDB ``HUGEINT //``) or ONE
+final double expression tree both engines evaluate identically, then
+``round``.
+
+Scale notes are per-query; the common shape is: one map-side-combined
+hash aggregate to the daily grain (the only full-data pass), then
+O(days)-row arithmetic — broadcastable everywhere, windows replaced by
+:func:`operators.prefix.chunked_cumsum` so no single-task global sort
+survives at any series length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.prefix import chunked_cumsum
+from ..sources import load_table
+from .registry import register
+
+_EPOCH = "1992-01-01"  # orders epoch, shared with revenue_trend_ols
+_ACF_MAX_LAG = 7
+
+# daily order revenue in exact integer cents, keyed by epoch-day index —
+# the shared series both engines derive identically
+_DAILY_SQL = f"""
+        daily AS (
+            SELECT CAST(date_diff('day', DATE '{_EPOCH}', o_orderdate)
+                        AS BIGINT) AS idx,
+                   SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS v
+            FROM orders GROUP BY 1
+        )"""
+
+
+def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order revenue (exact cents) keyed by days-since-epoch."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit(_EPOCH))
+        .cast("bigint")
+        .alias("idx")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")).alias(
+            "v"
+        )
+    )
+
+
+@register(
+    "daily_revenue_acf",
+    ops=("OP-AGG-03", "OP-AGG-05"),
+    oracle=f"""
+        WITH {_DAILY_SQL},
+        bounds AS (SELECT MIN(idx) AS lo, MAX(idx) AS hi FROM daily),
+        spine AS (
+            SELECT unnest(generate_series(lo, hi)) AS idx FROM bounds
+        ),
+        s AS (
+            SELECT sp.idx, CAST(COALESCE(d.v, 0) AS DECIMAL(18, 0)) AS v
+            FROM spine sp LEFT JOIN daily d ON sp.idx = d.idx
+        ),
+        l AS (SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS lag),
+        p AS (
+            SELECT l.lag, a.v AS x, b.v AS y
+            FROM l CROSS JOIN s b
+                 JOIN s a ON a.idx = b.idx + l.lag
+        ),
+        g AS (
+            SELECT lag, COUNT(*) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+            FROM p GROUP BY lag
+        )
+        SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS acf
+        FROM g ORDER BY lag
+    """,
+)
+def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of daily revenue at lags 1..7 — the
+    forecastability diagnostic (a weekly cycle shows as a lag-7 spike,
+    a trend as slow decay). Pearson r between the zero-filled daily
+    series and its lag-h shift, one row per lag.
+
+    Zero-fill matters: skipping absent days silently re-indexes the
+    series and turns lag-7 into "7 trading rows back"; the dense spine
+    (``sequence`` over the 1-row min/max aggregate, the
+    ``timeline_gapfill`` machinery) pins calendar semantics.
+
+    Exactness: x, y are integer cents; the 5 sums per lag are exact
+    DECIMAL aggregates; r's numerator/denominator are exact integers
+    cast to double for ONE division + one correctly-rounded sqrt —
+    identical expression trees on both engines, then round(6).
+
+    Scale shape: one pass to the daily grain (map-side combine), a
+    broadcast 7-row lag table × O(days) self-equi-join on idx+lag, one
+    hash aggregate to 7 rows. No windows, no driver math; 100 TB of
+    orders costs the same single scan as ``revenue_trend_ols``."""
+    daily = _daily_revenue(spark, sf_dir)
+    spine = daily.agg(
+        F.min("idx").alias("lo"), F.max("idx").alias("hi")
+    ).select(F.explode(F.sequence("lo", "hi")).alias("idx"))
+    s = (
+        spine.join(F.broadcast(daily), "idx", "left_outer")
+        .select(
+            "idx",
+            F.coalesce("v", F.lit(0)).cast("decimal(18,0)").alias("v"),
+        )
+        # both the lag-shifted side and the base side read this plan;
+        # one lazy materialization keeps the scan+agg subtree single
+        .localCheckpoint(eager=False)
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("bigint").alias("lag")
+    )
+    b = s.crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("idx") + F.col("lag")).alias("idx"), F.col("v").alias("y")
+    )
+    p = s.select("idx", F.col("v").alias("x")).join(b, "idx")
+    g = p.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return g.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / F.sqrt(
+                (
+                    F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+                ).cast("double")
+                * (
+                    F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+                ).cast("double")
+            ),
+            6,
+        ).alias("acf"),
+    ).orderBy("lag")
+
+
+@register(
+    "cusum_changepoint_day",
+    ops=("OP-AGG-03",),
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+            FROM events
+            WHERE ts IS NOT NULL AND value IS NOT NULL
+                  AND event_type = 'purchase'
+            GROUP BY 1
+        ),
+        tot AS (SELECT COUNT(*) AS n, SUM(v) AS t FROM daily),
+        c AS (
+            SELECT day,
+                   SUM(v) OVER (ORDER BY day) AS cum,
+                   ROW_NUMBER() OVER (ORDER BY day) AS k
+            FROM daily
+        )
+        SELECT c.day AS day,
+               CAST(n * cum - k * t AS BIGINT) AS cusum_scaled,
+               CASE WHEN n * cum - k * t >= 0 THEN 'up' ELSE 'down' END
+               AS side
+        FROM c CROSS JOIN tot
+        ORDER BY abs(n * cum - k * t) DESC, c.day LIMIT 1
+    """,
+)
+def cusum_changepoint_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint locator over daily purchase value: the day k
+    maximizing |S_k|, S_k = Σ_{i<=k}(x_i − mean) — the classic
+    level-shift detector (Page 1954). The mean-subtraction is cleared
+    to integers: n·S_k = n·cumsum_k − k·T with T = Σx, so S's argmax
+    (and sign) is computed in exact BIGINT cents with no float mean.
+
+    The running sum is :func:`operators.prefix.chunked_cumsum` — at any
+    series length the plain ``SUM() OVER (ORDER BY day)`` is one
+    single-task global sort; the chunked form bounds every task. The
+    final argmax is orderBy+limit(1) (TakeOrdered, per-partition top-1),
+    tie-broken to the earliest day.
+
+    Scale shape: one pass to the daily grain, a 1-row totals broadcast,
+    a bounded cumsum, a 1-row result."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & (F.col("event_type") == "purchase")
+        )
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias(
+                "v"
+            )
+        )
+        .withColumn("idx", F.datediff(F.col("day"), F.lit(_EPOCH)))
+    )
+    daily = chunked_cumsum(daily, [], "idx", F.col("v"), "cum")
+    daily = chunked_cumsum(daily, [], "idx", F.lit(1), "k")
+    tot = daily.agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("t"))
+    scored = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        (F.col("n") * F.col("cum") - F.col("k") * F.col("t"))
+        .cast("bigint")
+        .alias("cusum_scaled"),
+    )
+    return (
+        scored.select(
+            "day",
+            "cusum_scaled",
+            F.when(F.col("cusum_scaled") >= 0, "up")
+            .otherwise("down")
+            .alias("side"),
+        )
+        .orderBy(F.abs(F.col("cusum_scaled")).desc(), "day")
+        .limit(1)
+    )
+
+
+@register(
+    "dow_seasonal_profile",
+    ops=("OP-AGG-03", "OP-AGG-01"),
+    oracle=f"""
+        WITH {_DAILY_SQL},
+        d AS (
+            SELECT isodow(DATE '{_EPOCH}' + idx * INTERVAL 1 DAY) AS isodow,
+                   v
+            FROM daily
+        ),
+        g AS (
+            SELECT isodow, COUNT(*) AS n_days, SUM(v) AS cents
+            FROM d GROUP BY 1
+        ),
+        tot AS (SELECT SUM(n_days) AS n_all, SUM(cents) AS s_all FROM g)
+        SELECT CAST(isodow AS BIGINT) AS isodow,
+               CAST(n_days AS BIGINT) AS n_days,
+               CAST(cents AS BIGINT) AS revenue_cents,
+               CAST(CAST(cents AS HUGEINT) * n_all * 1000
+                    // (CAST(n_days AS HUGEINT) * s_all) AS BIGINT)
+               AS seasonal_permille
+        FROM g CROSS JOIN tot
+        ORDER BY isodow
+    """,
+)
+def dow_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index of daily revenue: per ISO weekday,
+    mean daily revenue relative to the overall mean, as exact integer
+    permille — (Σ_dow · n_all · 1000) DIV (n_dow · Σ_all). 1000 = flat;
+    the Mon..Sun profile is the seasonality row a forecaster divides
+    out before trend fitting.
+
+    Exactness: the ratio-of-means is cleared to one integer floor
+    division (Spark DECIMAL(38,0) ``DIV`` / DuckDB HUGEINT ``//`` — the
+    ``chisq_type_daypart`` pattern; decimal ``/`` detours through
+    DOUBLE on both engines). ISO weekday via Spark ``weekday()+1`` =
+    DuckDB ``isodow`` (Monday=1).
+
+    Scale shape: one pass to the daily grain, a 7-row aggregate, a
+    1-row totals broadcast."""
+    daily = _daily_revenue(spark, sf_dir)
+    g = (
+        daily.select(
+            (
+                F.weekday(F.date_add(F.lit(_EPOCH).cast("date"), F.col("idx").cast("int")))
+                + 1
+            ).alias("isodow"),
+            "v",
+        )
+        .groupBy("isodow")
+        .agg(F.count(F.lit(1)).alias("n_days"), F.sum("v").alias("cents"))
+    )
+    tot = g.agg(F.sum("n_days").alias("n_all"), F.sum("cents").alias("s_all"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("isodow").cast("bigint").alias("isodow"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("cents").cast("bigint").alias("revenue_cents"),
+            F.expr(
+                "CAST(CAST(cents AS DECIMAL(38,0)) * n_all * 1000"
+                " DIV (CAST(n_days AS DECIMAL(38,0)) * s_all) AS BIGINT)"
+            ).alias("seasonal_permille"),
+        )
+        .orderBy("isodow")
+    )
+
+
+@register(
+    "decayed_user_leaderboard",
+    ops=("OP-AGG-01", "OP-TOPK-01"),
+    oracle="""
+        WITH p AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events
+            WHERE ts IS NOT NULL AND value IS NOT NULL
+                  AND event_type = 'purchase'
+        ),
+        ref AS (SELECT MAX(day) AS ref_day FROM p),
+        w AS (
+            SELECT user_id,
+                   cents * (1 << (8 - LEAST(
+                       CAST(date_diff('day', day, ref_day) // 7 AS INT), 8)))
+                   AS part
+            FROM p CROSS JOIN ref
+        )
+        SELECT user_id, CAST(SUM(part) AS BIGINT) AS decayed_score_cents
+        FROM w GROUP BY user_id
+        ORDER BY decayed_score_cents DESC, user_id LIMIT 20
+    """,
+)
+def decayed_user_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed purchase leaderboard: each purchase weighted by
+    a staircase half-life — weight = 2^(8 − min(age_weeks, 8)), so this
+    week counts 256×, last week 128×, … anything ≥8 weeks old 1× — and
+    the top-20 users by decayed score. The "who matters NOW" ranking a
+    live dashboard wants instead of the all-time total.
+
+    The staircase (integer ages bucketed to weeks, power-of-two
+    weights) exists for exactness: a continuous exp(−λ·age) weight is a
+    transcendental per row whose SUM is order-dependent; integer
+    weights make the score an exact BIGINT under any partitioning, and
+    the ranking it induces is the same step-wise recency preference.
+
+    Scale shape: one filter+project pass, a 1-row max-day broadcast,
+    one hash aggregate keyed by user, TakeOrdered top-20. Weights
+    compose with partial aggregation (each partial sum is exact), so
+    map-side combine still applies."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & (F.col("event_type") == "purchase")
+    ).select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    ref = p.agg(F.max("day").alias("ref_day"))
+    w = p.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        F.expr(
+            "cents * shiftleft(CAST(1 AS BIGINT),"
+            " 8 - least(CAST(datediff(ref_day, day) / 7 AS INT), 8))"
+        ).alias("part"),
+    )
+    return (
+        w.groupBy("user_id")
+        .agg(F.sum("part").alias("decayed_score_cents"))
+        .orderBy(F.col("decayed_score_cents").desc(), "user_id")
+        .limit(20)
+    )
