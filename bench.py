@@ -83,6 +83,8 @@ FAMILIES: dict[str, list[str]] = {
         "label_propagation_communities",
         "kcore_membership",
         "link_prediction_jaccard",
+        "partitioned_write_prune",
+        "zorder_bucket_profile",
     ],
     # event-time windows, as-of/range joins, JSON extraction
     "windows": [

@@ -191,6 +191,7 @@ def _load_all() -> None:
         extraction,
         graph,
         incremental,
+        layout,
         multimodal,
         observability,
         olap,

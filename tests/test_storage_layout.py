@@ -87,3 +87,54 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, warehouse_tables):
         assert joined.count() == o.join(li, o.o_orderkey == li.l_orderkey).count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def _morton_py(x: int, y: int) -> int:
+    z = 0
+    for i in range(16):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_morton_spark_expr_matches_python(spark):
+    from crawlingbigdatavisionaid_spark.plans.layout import _morton_spark
+
+    cases = [(0, 0), (1, 0), (0, 1), (5, 3), (149, 29), (65535, 65535)]
+    df = spark.createDataFrame(cases, "x bigint, y bigint")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.selectExpr(
+            "x", "y", _morton_spark("x", "y") + " AS z"
+        ).collect()
+    }
+    assert got == {(x, y): _morton_py(x, y) for x, y in cases}
+    # interleave is monotone per dimension within the other's bits:
+    # the (x,y) -> z map must be injective over the domain
+    assert len(set(got.values())) == len(cases)
+
+
+def test_zorder_ab_tool_smoke():
+    """The A/B tool runs end-to-end at a tiny K and reports the
+    expected structure (layouts x preds with rg_frac in [0,1] and
+    equal row counts)."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "tools/zorder_ab.py", "2", "/root/testdata/sf0.01"],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["rows_equal"] is True
+    for name in ("unsorted", "user_sorted", "zorder"):
+        for pred in ("box", "user"):
+            frac = rec["layouts"][name]["preds"][pred]["rg_frac"]
+            assert 0.0 <= frac <= 1.0
+    # unsorted prunes nothing
+    assert rec["layouts"]["unsorted"]["preds"]["box"]["rg_frac"] == 1.0
