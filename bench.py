@@ -85,6 +85,7 @@ FAMILIES: dict[str, list[str]] = {
         "link_prediction_jaccard",
         "partitioned_write_prune",
         "zorder_bucket_profile",
+        "theilsen_trend",
     ],
     # event-time windows, as-of/range joins, JSON extraction
     "windows": [
@@ -149,6 +150,8 @@ FAMILIES: dict[str, list[str]] = {
         # round 9 additions
         "ann_ivfpq_recall",
         "simgraph_triangle_stats",
+        # round 10 additions
+        "ann_prefix_dim_recall",
     ],
     # text quality / language statistics / selection / BPE
     "text": [
@@ -219,6 +222,7 @@ FAMILIES: dict[str, list[str]] = {
         "cusum_changepoint_day",
         "dow_seasonal_profile",
         "decayed_user_leaderboard",
+        "bootstrap_mean_ci",
     ],
 }
 

@@ -109,3 +109,109 @@ def max_oriented_outdegree(edges: DataFrame) -> int:
         .first()
     )
     return int(row["mx"]) if row and row["mx"] is not None else 0
+
+
+def lpa_labels(edges: DataFrame, rounds: int) -> DataFrame:
+    """Synchronous majority label propagation over a DIRECTED edge
+    table (pass both orientations for an undirected graph): ``rounds``
+    full-frontier rounds, deterministic argmax tie-break (highest vote
+    count, then lexicographically smallest label). Returns
+    (node, label) — the fixed round-``rounds`` state.
+
+    Per round: one keyed join, one (node,label) vote count (map-side
+    combinable), one struct-min argmax aggregate — no per-node window.
+    Each round's label table is lazily checkpointed (it feeds the next
+    join; an uncheckpointed composition re-expands per reference).
+    Callers materialize the edge layout (plans/graph.py uses the
+    key-clustered sorted form the graph_ab.py A/B adopted)."""
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(rounds):
+        votes = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("neg_cnt"),
+                        F.col("label").alias("label"),
+                    )
+                ).alias("win")
+            )
+            .select("node", F.col("win.label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
+def kcore_alive(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """``rounds`` synchronous peel rounds toward the k-core of the
+    graph given as a DIRECTED edge table containing both orientations:
+    each round keeps nodes with >= k surviving neighbors. Returns the
+    surviving (node) set — the k-core once the peel has converged
+    (data-dependent at 100 TB: loop until the alive count stops
+    falling; fixed rounds here keep the recurrence oracle-expressible).
+
+    Per round: two semi-joins restrict edges to alive x alive, one
+    degree aggregate with HAVING; cost tracks the monotonically
+    SHRINKING surviving edge set, state is one |alive|-row table."""
+    alive = edges.select(F.col("src").alias("node")).distinct()
+    for _ in range(rounds):
+        surv = edges.join(
+            alive.withColumnRenamed("node", "src"), "src", "semi"
+        ).join(alive.withColumnRenamed("node", "dst"), "dst", "semi")
+        alive = (
+            surv.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=False)
+        )
+    return alive
+
+
+def neighborhood_jaccard_pairs(pairs: DataFrame, cap: int) -> DataFrame:
+    """Common-neighbor Jaccard between right-side entities of a
+    bipartite (c, s) relation: for every s1 < s2 sharing a c, returns
+    (s1, s2, common, deg1, deg2, jaccard_permille) with the score an
+    exact integer permille (1000*common DIV union).
+
+    Scale guard: the wedge join's fan-out is Σ_c deg(c)²; left-side
+    hubs above ``cap`` distinct partners are excluded from BOTH pair
+    generation and the degree denominator (the df-cap pattern from
+    operators/neardup.py — a hub that links every pair carries no
+    signal). Degree joins are broadcast-sized (|right entities|)."""
+    cdeg = pairs.groupBy("c").agg(F.count(F.lit(1)).alias("dc"))
+    p = pairs.join(
+        cdeg.where(F.col("dc") <= cap), "c", "semi"
+    ).localCheckpoint(eager=False)
+    sdeg = p.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    a = p.select("c", F.col("s").alias("s1"))
+    b = p.select("c", F.col("s").alias("s2"))
+    common = (
+        a.join(b, "c")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    d1 = sdeg.select(F.col("s").alias("s1"), F.col("d").alias("deg1"))
+    d2 = sdeg.select(F.col("s").alias("s2"), F.col("d").alias("deg2"))
+    return (
+        common.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            F.col("common").cast("bigint").alias("common"),
+            F.col("deg1").cast("bigint").alias("deg1"),
+            F.col("deg2").cast("bigint").alias("deg2"),
+            F.expr(
+                "CAST(1000 * common DIV (deg1 + deg2 - common) AS BIGINT)"
+            ).alias("jaccard_permille"),
+        )
+    )

@@ -1253,3 +1253,58 @@ def ivfpq_probe_index(
         .where(F.col("cos") > _IVFPQ_MASKED / 2)
     )
     return _rank_topk(partial, k)
+
+
+def prefix_dim_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    prefix_dims: int = 16,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Dimension-truncated prescreen + exact refine (the Matryoshka /
+    truncated-embedding serving trick): stage 1 ranks the corpus by
+    cosine over only the FIRST ``prefix_dims`` coordinates (a 4x
+    cheaper matmul and, at serving time, a 4x smaller hot index) and
+    keeps a per-query ``shortlist``; stage 2 rescores ONLY the
+    shortlist with the full-dimension exact cosine and returns top-k.
+
+    Degeneracy contract: with ``shortlist`` >= corpus size the result
+    is EXACTLY ``brute_force_topk_np(emb, queries, k)`` — stage 1 then
+    filters nothing and stage 2 is the exact ranking (same (-cos,
+    neighbor_id) tie order, same self-exclusion) — pinned by the
+    ``ann_prefix_dim_recall`` verdict query.
+
+    Scale shape: stage 1 is the one-pass blocked matmul of
+    :func:`brute_force_topk_np` on sliced vectors; stage 2 touches
+    |Q| x shortlist rows — a broadcast-joined rescore, never a second
+    corpus pass. Refine ranking is a window bounded by ``shortlist``
+    rows per query."""
+    from ..functions.vectors import as_double, cosine
+
+    sliced = emb.select(id_col, F.slice(vec_col, 1, prefix_dims).alias(vec_col))
+    q_sliced = queries.select(
+        id_col, F.slice(vec_col, 1, prefix_dims).alias(vec_col)
+    )
+    cands = brute_force_topk_np(
+        sliced, q_sliced, k=shortlist, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    full_n = emb.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nvec")
+    )
+    full_q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
+    )
+    scored = (
+        cands.join(full_n, "neighbor_id")
+        .join(F.broadcast(full_q), "query_id")
+        .withColumn("cos", cosine(F.col("qvec"), F.col("nvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )

@@ -638,28 +638,9 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         .sortWithinPartitions("src")
         .localCheckpoint(eager=False)
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    )
-    for _ in range(_LPA_ROUNDS):
-        votes = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node"), "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        labels = (
-            votes.groupBy("node")
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("cnt")).alias("neg_cnt"),
-                        F.col("label").alias("label"),
-                    )
-                ).alias("win")
-            )
-            .select("node", F.col("win.label").alias("label"))
-            .localCheckpoint(eager=False)
-        )
+    from ..operators.graph import lpa_labels
+
+    labels = lpa_labels(edges, _LPA_ROUNDS)
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(
@@ -756,18 +737,9 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortWithinPartitions("src")
         .localCheckpoint(eager=False)
     )
-    alive = edges.select(F.col("src").alias("node")).distinct()
-    for _ in range(_KCORE_ROUNDS):
-        surv = edges.join(
-            alive.withColumnRenamed("node", "src"), "src", "semi"
-        ).join(alive.withColumnRenamed("node", "dst"), "dst", "semi")
-        alive = (
-            surv.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .where(F.col("deg") >= _KCORE_K)
-            .select(F.col("src").alias("node"))
-            .localCheckpoint(eager=False)
-        )
+    from ..operators.graph import kcore_alive
+
+    alive = kcore_alive(edges, _KCORE_K, _KCORE_ROUNDS)
     return (
         alive.groupBy(F.substring("node", 1, 1).alias("side"))
         .agg(
@@ -838,35 +810,10 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    cdeg = pairs.groupBy("c").agg(F.count(F.lit(1)).alias("dc"))
-    p = (
-        pairs.join(cdeg.where(F.col("dc") <= _WEDGE_CAP), "c", "semi")
-        .localCheckpoint(eager=False)
-    )
-    sdeg = p.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
-    a = p.select("c", F.col("s").alias("s1"))
-    b = p.select("c", F.col("s").alias("s2"))
-    common = (
-        a.join(b, "c")
-        .where(F.col("s1") < F.col("s2"))
-        .groupBy("s1", "s2")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    d1 = sdeg.select(F.col("s").alias("s1"), F.col("d").alias("deg1"))
-    d2 = sdeg.select(F.col("s").alias("s2"), F.col("d").alias("deg2"))
+    from ..operators.graph import neighborhood_jaccard_pairs
+
     return (
-        common.join(F.broadcast(d1), "s1")
-        .join(F.broadcast(d2), "s2")
-        .select(
-            "s1",
-            "s2",
-            F.col("common").cast("bigint").alias("common"),
-            F.col("deg1").cast("bigint").alias("deg1"),
-            F.col("deg2").cast("bigint").alias("deg2"),
-            F.expr(
-                "CAST(1000 * common DIV (deg1 + deg2 - common) AS BIGINT)"
-            ).alias("jaccard_permille"),
-        )
+        neighborhood_jaccard_pairs(pairs, _WEDGE_CAP)
         .orderBy(
             F.col("jaccard_permille").desc(), F.col("common").desc(), "s1", "s2"
         )

@@ -814,3 +814,46 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         [row],
         "persisted_matches boolean, recall_ok boolean, scan_bounded boolean",
     )
+
+
+@register(
+    "ann_prefix_dim_recall",
+    ops=("OP-X-SIM-01",),
+    # recall@10 vs exact measures 0.94 (sf0.01) / 0.85 (sf0.1) with a
+    # 32-of-64-dim prescreen and a 200-candidate exact refine — on
+    # RANDOM gaussian embeddings, the worst case for dimension
+    # truncation (no Matryoshka energy concentration in the prefix;
+    # trained MRL embeddings put most of the signal there). Verdict
+    # pins recall >= 0.7 and the shortlist>=corpus degeneracy EXACT.
+    oracle="SELECT TRUE AS degenerate_exact, TRUE AS recall_ok",
+)
+def ann_prefix_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable verdict for the dimension-truncated prescreen
+    (``operators/similarity.prefix_dim_topk`` — the Matryoshka serving
+    trick: rank on the first 32 dims, exact-rescore a 200-candidate
+    shortlist): (a) with shortlist >= corpus the two-stage result must
+    equal ``brute_force_topk_np`` as a SET over (query, neighbor) pairs
+    (the stage-1 filter passes everything and stage-2 is the exact
+    ranking); (b) the real 200-candidate configuration recalls >= 7/10
+    of the exact top-10 — integer arithmetic, worst-case (untrained,
+    isotropic) embeddings."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = S.brute_force_topk_np(emb, queries, k=10)
+    n = emb.count()
+    degen = S.prefix_dim_topk(
+        emb, queries, k=10, prefix_dims=32, shortlist=n
+    )
+    e = exact.select("query_id", "neighbor_id")
+    d = degen.select("query_id", "neighbor_id")
+    degen_ok = (
+        e.join(d, ["query_id", "neighbor_id"], "anti")
+        .unionByName(d.join(e, ["query_id", "neighbor_id"], "anti"))
+        .agg((F.count(F.lit(1)) == 0).alias("degenerate_exact"))
+    )
+    approx = S.prefix_dim_topk(
+        emb, queries, k=10, prefix_dims=32, shortlist=200
+    )
+    return degen_ok.crossJoin(
+        _topk_recall_verdict(exact, approx, num=10, den=7)
+    )

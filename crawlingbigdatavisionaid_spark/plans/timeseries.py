@@ -26,6 +26,8 @@ survives at any series length.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.prefix import chunked_cumsum
@@ -373,4 +375,192 @@ def decayed_user_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("part").alias("decayed_score_cents"))
         .orderBy(F.col("decayed_score_cents").desc(), "user_id")
         .limit(20)
+    )
+
+
+_TS_SHIFT = 10**14  # positivity offset: > max |dy|*1e6 / dx at any SF
+
+
+@register(
+    "theilsen_trend",
+    ops=("OP-AGG-03", "OP-AGG-05"),
+    oracle=f"""
+        WITH {_DAILY_SQL},
+        p AS (
+            SELECT CAST(
+                       (CAST(b.v - a.v AS HUGEINT) * 1000000
+                        + CAST({_TS_SHIFT} AS HUGEINT) * (b.idx - a.idx))
+                       // (b.idx - a.idx)
+                       - {_TS_SHIFT} AS BIGINT) AS slope_micros
+            FROM daily a JOIN daily b ON a.idx < b.idx
+        ),
+        r AS (
+            SELECT slope_micros AS v,
+                   ROW_NUMBER() OVER (ORDER BY slope_micros) AS rk,
+                   COUNT(*) OVER () AS n
+            FROM p
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+               MAX(CASE WHEN rk = CAST(ceil(0.50 * n) AS BIGINT)
+                   THEN v END) AS slope_micros
+        FROM r
+    """,
+)
+def theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily revenue: the MEDIAN of all
+    pairwise slopes (v_j − v_i)/(idx_j − idx_i) — the estimator that
+    shrugs off the outlier days OLS (``revenue_trend_ols``) gets
+    dragged by (29.3% breakdown point vs zero). Emitted in integer
+    micro-cents/day.
+
+    Exactness: each slope is quantized ONCE by exact integer floor
+    division — and because Spark's ``DIV`` truncates toward zero while
+    DuckDB's ``//`` floors, negative slopes would round apart; the
+    positivity shift (+SHIFT·dx inside the division, −SHIFT after)
+    makes every numerator positive so truncation IS floor on both
+    engines. The median is then an exact order statistic over the
+    quantized BIGINTs via :func:`operators.rank.inverse_cdf` — the
+    range-repartitioned rank plan, never a single-task window (the
+    oracle's ROW_NUMBER twin is oracle-scale only).
+
+    Scale shape: the pair join is Θ(days²) — ~3.3 M rows for 7 years
+    of days, constant in ROW count at any corpus size because it runs
+    on the post-aggregation daily grain (100 TB of orders still
+    reduces to one daily series first). For decade-long series the
+    standard refinement is the randomized median-of-pairs or the
+    O(n log n) Kth-pair selection; the exact all-pairs form is the
+    spec those approximate."""
+    daily = _daily_revenue(spark, sf_dir).localCheckpoint(eager=False)
+    a = daily.select(F.col("idx").alias("ia"), F.col("v").alias("va"))
+    b = daily.select(F.col("idx").alias("ib"), F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select(
+            F.expr(
+                f"CAST((CAST(vb - va AS DECIMAL(38,0)) * 1000000"
+                f" + CAST({_TS_SHIFT} AS DECIMAL(38,0)) * (ib - ia))"
+                f" DIV (ib - ia) - {_TS_SHIFT} AS BIGINT)"
+            ).alias("slope_micros")
+        )
+    )
+    from ..operators.rank import inverse_cdf
+
+    return inverse_cdf(
+        pairs, "slope_micros", [("slope_micros", 0.50)], total_alias="n_pairs"
+    )
+
+
+_BOOT_B = 64
+# Poisson(1) inverse-CDF thresholds scaled to 2^32 (floor(CDF_k * 2^32)
+# for k = 0..5; u32 >= the last -> weight 6, P ~ 8e-5). Exact integer
+# literals shared verbatim by both engines.
+_POIS_T = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373,
+           4292415291)
+
+
+def _pois_case(u: str) -> str:
+    """CASE expression: 32-bit hash uniform -> Poisson(1) weight."""
+    whens = "".join(
+        f" WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"CASE{whens} ELSE 6 END"
+
+
+@register(
+    "bootstrap_mean_ci",
+    ops=("OP-AGG-05",),
+    oracle=f"""
+        WITH o AS (
+            SELECT o_orderkey,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders
+        ),
+        b AS (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS rep),
+        w AS (
+            SELECT b.rep, o.cents,
+                   {_pois_case(
+                       "(('0x' || substr(md5(o.o_orderkey || ':' || b.rep),"
+                       " 1, 8))::BIGINT)"
+                   )} AS w
+            FROM o CROSS JOIN b
+        ),
+        means AS (
+            SELECT rep,
+                   CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+                   AS mean_b
+            FROM w GROUP BY rep
+        ),
+        r AS (
+            SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b) AS rk
+            FROM means
+        ),
+        full_mean AS (
+            SELECT CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS m FROM o
+        )
+        SELECT CAST({_BOOT_B} AS BIGINT) AS n_replicas,
+               ROUND((SELECT m FROM full_mean), 4) AS mean_cents,
+               ROUND(MAX(CASE WHEN rk = {math.ceil(0.025 * 64)}
+                     THEN mean_b END), 4) AS ci_lo_cents,
+               ROUND(MAX(CASE WHEN rk = {math.ceil(0.5 * 64)}
+                     THEN mean_b END), 4) AS ci_mid_cents,
+               ROUND(MAX(CASE WHEN rk = {math.ceil(0.975 * 64)}
+                     THEN mean_b END), 4) AS ci_hi_cents
+        FROM r
+    """,
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for the mean order
+    value — the BOOTSTRAP THAT SCALES (Chamandy et al., Google 2012 /
+    the streaming form of Efron's resampling): instead of materializing
+    B resampled copies, each row gets B independent Poisson(1) weights
+    (for n large, multinomial(n, 1/n) per-row counts converge to
+    Poisson(1)), so all 64 replicas ride ONE corpus pass as a
+    weighted aggregate. Weights are DERIVED, not drawn: md5(orderkey,
+    replica) -> 32-bit uniform -> exact inverse-CDF thresholds — the
+    ``hash_sample_by_lang`` reproducibility rule, so any engine and any
+    partitioning produce the identical resample.
+
+    Exactness: weights and cents are integers; each replica mean is
+    one double division of exact sums; the CI bounds are order
+    statistics over the 64 replica means (value-at-rank, the
+    ``exact_percentiles`` convention); round(4) at the end.
+
+    Scale shape: one scan fanned x64 by a broadcast replica spine
+    (map-side combinable into 64 partial rows), one 64-row rank.
+    100 TB of orders = one pass, no per-replica jobs, no RNG state."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    reps = spark.range(_BOOT_B).select(F.col("id").alias("rep"))
+    u32 = (
+        "CAST(conv(substr(md5(concat(CAST(o_orderkey AS STRING), ':',"
+        " CAST(rep AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    )
+    w = o.crossJoin(F.broadcast(reps)).select(
+        "rep", "cents", F.expr(_pois_case(u32)).alias("w")
+    )
+    means = w.groupBy("rep").agg(
+        (
+            F.sum(F.col("w") * F.col("cents")).cast("double")
+            / F.sum("w").cast("double")
+        ).alias("mean_b")
+    )
+    from ..operators.rank import inverse_cdf
+
+    cuts = inverse_cdf(
+        means,
+        "mean_b",
+        [("ci_lo_cents", 0.025), ("ci_mid_cents", 0.5), ("ci_hi_cents", 0.975)],
+        total_alias="n_replicas",
+    )
+    full = o.agg(
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    return cuts.crossJoin(F.broadcast(full)).select(
+        F.col("n_replicas").cast("bigint").alias("n_replicas"),
+        F.round("m", 4).alias("mean_cents"),
+        F.round("ci_lo_cents", 4).alias("ci_lo_cents"),
+        F.round("ci_mid_cents", 4).alias("ci_mid_cents"),
+        F.round("ci_hi_cents", 4).alias("ci_hi_cents"),
     )

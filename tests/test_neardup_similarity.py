@@ -549,3 +549,28 @@ def test_ivfpq_full_probe_equals_plain_pq(spark, sf_dir):
     a = {(r.query_id, r.rank, r.neighbor_id) for r in full.collect()}
     b = {(r.query_id, r.rank, r.neighbor_id) for r in plain.collect()}
     assert a == b and len(a) == 5 * 10
+
+
+def test_prefix_dim_degenerate_equals_brute_force(spark):
+    """prefix_dim_topk with shortlist >= corpus must return EXACTLY the
+    brute-force top-k pair set (stage 1 filters nothing, stage 2 is the
+    exact ranking)."""
+    from pyspark.sql import functions as F
+
+    from crawlingbigdatavisionaid_spark.operators import similarity as S
+    from crawlingbigdatavisionaid_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    n = emb.count()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk_np(emb, q, k=10).collect()
+    }
+    degen = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.prefix_dim_topk(
+            emb, q, k=10, prefix_dims=32, shortlist=n
+        ).collect()
+    }
+    assert degen == exact

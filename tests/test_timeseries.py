@@ -140,3 +140,90 @@ def test_decayed_leaderboard_matches_python_replica(spark):
     # recency dominance: a this-week purchase outweighs the same cents
     # made >=8 weeks ago by exactly 256x in the score
     assert (1 << 8) == 256
+
+
+def test_theilsen_matches_python_replica(spark):
+    daily = sorted(_daily_order_cents(spark).items())
+    SHIFT = 10**14
+    slopes = []
+    for i in range(len(daily)):
+        ia, va = daily[i]
+        for j in range(i + 1, len(daily)):
+            ib, vb = daily[j]
+            dx = ib - ia
+            # positive-numerator floor division == Spark DIV truncation
+            q = ((vb - va) * 10**6 + SHIFT * dx) // dx - SHIFT
+            slopes.append(q)
+    slopes.sort()
+    n = len(slopes)
+    want = slopes[math.ceil(0.5 * n) - 1]
+    [row] = _q("theilsen_trend")(spark, SF).collect()
+    assert row["n_pairs"] == n
+    assert row["slope_micros"] == want
+
+
+def test_theilsen_negative_slope_rounding(spark):
+    """The positivity shift must make Spark's truncating DIV agree with
+    floor for NEGATIVE slopes: -3/2 cents/day quantizes to -1500000
+    floor-style (not -1500000.0 truncated toward zero differently).
+    Craft a 3-day falling series and check the median slope."""
+    import duckdb
+
+    # replica of both engines' quantizer on a falling pair: dy=-3, dx=2
+    SHIFT = 10**14
+    spark_style = (-3 * 10**6 + SHIFT * 2) // 2 - SHIFT  # positive num
+    con = duckdb.connect()
+    duck = con.sql(
+        f"SELECT CAST((CAST(-3 AS HUGEINT) * 1000000"
+        f" + CAST({SHIFT} AS HUGEINT) * 2) // 2 - {SHIFT} AS BIGINT)"
+    ).fetchone()[0]
+    assert spark_style == duck == -1500000
+
+
+def test_bootstrap_ci_matches_python_replica(spark):
+    import hashlib
+
+    from crawlingbigdatavisionaid_spark.plans.timeseries import (
+        _BOOT_B,
+        _POIS_T,
+    )
+
+    rows = (
+        load_table(spark, SF, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    )
+    data = [
+        (r["o_orderkey"], int(math.floor(r["o_totalprice"] * 100 + 0.5)))
+        for r in rows
+    ]
+
+    def pois(u32):
+        for k, t in enumerate(_POIS_T):
+            if u32 < t:
+                return k
+        return 6
+
+    means = []
+    for b in range(_BOOT_B):
+        sw = n = 0
+        for key, cents in data:
+            u = int(hashlib.md5(f"{key}:{b}".encode()).hexdigest()[:8], 16)
+            w = pois(u)
+            sw += w * cents
+            n += w
+        means.append(float(sw) / float(n))
+    means.sort()
+    want = {
+        "n_replicas": _BOOT_B,
+        "mean_cents": round(
+            float(sum(c for _, c in data)) / len(data), 4
+        ),
+        "ci_lo_cents": round(means[math.ceil(0.025 * _BOOT_B) - 1], 4),
+        "ci_mid_cents": round(means[math.ceil(0.5 * _BOOT_B) - 1], 4),
+        "ci_hi_cents": round(means[math.ceil(0.975 * _BOOT_B) - 1], 4),
+    }
+    [row] = _q("bootstrap_mean_ci")(spark, SF).collect()
+    assert row.asDict() == want
+    # the CI must bracket the point estimate
+    assert want["ci_lo_cents"] <= want["mean_cents"] <= want["ci_hi_cents"]

@@ -1314,6 +1314,190 @@ def _streamstate_mode(spark, base: str, k: int, out: str) -> None:
     print(json.dumps(res))
 
 
+
+def _communities_mode(spark, base: str, k: int, out: str) -> None:
+    """Scale rows for the round-10 community/cohesion/link-prediction
+    tier (``lpa_labels`` / ``kcore_alive`` / ``neighborhood_jaccard_pairs``):
+    the trade graph replicated K times as DISJOINT components (string
+    nodes suffix-tagged ``#i`` — suffixing preserves within-replica
+    lexicographic order, so every tie-break resolves exactly as in the
+    base graph; numeric ids offset for the wedge join), so each
+    replica's result must be BIT-IDENTICAL to base modulo the tag and
+    the global counts exactly K-linear.
+
+    Asserted per section (all checks distributed — collects are
+    counters only):
+
+    - ``lpa``: no label crosses replicas (label's tag == node's tag for
+      every row), and each replica's stripped (node -> label) map
+      equals the base map — 0 mismatches on a broadcast join; node
+      count exactly Kx.
+    - ``kcore``: alive count exactly Kx; stripped alive set of EVERY
+      replica anti-joins empty against the base alive set in both
+      directions.
+    - ``jaccard``: scored-pair count exactly Kx; every replica's
+      residue-mapped (s1, s2, common, deg1, deg2, permille) tuple set
+      equals the base set (anti-join count 0).
+
+    ``SMOKE_COMM_SECTIONS`` (csv of lpa,kcore,jaccard) splits sections
+    across processes at K=100 like the graph2 smoke.
+    """
+    from pyspark.sql import functions as F
+
+    from crawlingbigdatavisionaid_spark.operators.graph import (
+        kcore_alive,
+        lpa_labels,
+        neighborhood_jaccard_pairs,
+    )
+    from crawlingbigdatavisionaid_spark.sources import load_table
+
+    res: dict = {"mode": "communities", "k": k, "base": base}
+    sections = set(
+        os.environ.get("SMOKE_COMM_SECTIONS", "lpa,kcore,jaccard").split(",")
+    )
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    li = load_table(spark, base, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, base, "orders").select("o_orderkey", "o_custkey")
+    pairs_str = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    e_base = (
+        pairs_str.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionByName(
+            pairs_str.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        )
+        .repartition(n_shuffle, "src")
+        .sortWithinPartitions("src")
+        .localCheckpoint()
+    )
+    m = e_base.count()
+    reps = spark.range(k).select(F.col("id").cast("string").alias("rep"))
+    e_k = (
+        e_base.crossJoin(reps)
+        .select(
+            F.concat("src", F.lit("#"), "rep").alias("src"),
+            F.concat("dst", F.lit("#"), "rep").alias("dst"),
+        )
+        .repartition(n_shuffle, "src")
+        .sortWithinPartitions("src")
+        .localCheckpoint()
+    )
+    assert e_k.count() == k * m
+    res["edges"] = {"base": m, "kx": k * m}
+
+    strip = lambda c: F.substring_index(c, "#", 1)  # noqa: E731
+    tag = lambda c: F.substring_index(c, "#", -1)  # noqa: E731
+
+    if "lpa" in sections:
+        t0 = time.time()
+        lab_b = lpa_labels(e_base, 4).localCheckpoint()
+        nb = lab_b.count()
+        w_base = round(time.time() - t0, 1)
+        t0 = time.time()
+        lab_k = lpa_labels(e_k, 4).localCheckpoint()
+        nk = lab_k.count()
+        w_k = round(time.time() - t0, 1)
+        assert nk == k * nb, (nk, nb)
+        cross = lab_k.where(tag(F.col("node")) != tag(F.col("label"))).count()
+        assert cross == 0, f"{cross} labels crossed replicas"
+        stripped = lab_k.select(
+            strip(F.col("node")).alias("node"), strip(F.col("label")).alias("label")
+        )
+        mism = (
+            stripped.join(
+                F.broadcast(lab_b.withColumnRenamed("label", "base_label")),
+                "node",
+            )
+            .where(F.col("label") != F.col("base_label"))
+            .count()
+        )
+        assert mism == 0, f"{mism} replica labels diverge from base"
+        res["lpa"] = {
+            "nodes_base": nb,
+            "nodes_kx": nk,
+            "wall_base_s": w_base,
+            "wall_kx_s": w_k,
+            "replica_equal": True,
+        }
+
+    if "kcore" in sections:
+        t0 = time.time()
+        alive_b = kcore_alive(e_base, 3, 4).localCheckpoint()
+        ab = alive_b.count()
+        w_base = round(time.time() - t0, 1)
+        t0 = time.time()
+        alive_k = kcore_alive(e_k, 3, 4).localCheckpoint()
+        ak = alive_k.count()
+        w_k = round(time.time() - t0, 1)
+        assert ak == k * ab, (ak, ab)
+        s_k = alive_k.select(strip(F.col("node")).alias("node")).distinct()
+        extra = s_k.join(alive_b, "node", "anti").count()
+        missing = alive_b.join(s_k, "node", "anti").count()
+        assert extra == 0 and missing == 0, (extra, missing)
+        res["kcore"] = {
+            "alive_base": ab,
+            "alive_kx": ak,
+            "wall_base_s": w_base,
+            "wall_kx_s": w_k,
+            "replica_equal": True,
+        }
+
+    if "jaccard" in sections:
+        pn = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cspan = pn.agg(F.max("c")).first()[0] + 1
+        sspan = pn.agg(F.max("s")).first()[0] + 1
+        nreps = spark.range(k).select(F.col("id").alias("rep"))
+        pk = (
+            pn.crossJoin(nreps)
+            .select(
+                (F.col("c") + F.col("rep") * cspan).alias("c"),
+                (F.col("s") + F.col("rep") * sspan).alias("s"),
+            )
+            .localCheckpoint()
+        )
+        t0 = time.time()
+        sc_b = neighborhood_jaccard_pairs(pn, 64).localCheckpoint()
+        pb = sc_b.count()
+        w_base = round(time.time() - t0, 1)
+        t0 = time.time()
+        sc_k = neighborhood_jaccard_pairs(pk, 64).localCheckpoint()
+        pk_n = sc_k.count()
+        w_k = round(time.time() - t0, 1)
+        assert pk_n == k * pb, (pk_n, pb)
+        residue = sc_k.select(
+            (F.col("s1") % sspan).alias("s1"),
+            (F.col("s2") % sspan).alias("s2"),
+            "common",
+            "deg1",
+            "deg2",
+            "jaccard_permille",
+        ).distinct()
+        cols = ["s1", "s2", "common", "deg1", "deg2", "jaccard_permille"]
+        extra = residue.join(sc_b, cols, "anti").count()
+        missing = sc_b.join(residue, cols, "anti").count()
+        assert extra == 0 and missing == 0, (extra, missing)
+        res["jaccard"] = {
+            "pairs_base": pb,
+            "pairs_kx": pk_n,
+            "wall_base_s": w_base,
+            "wall_kx_s": w_k,
+            "replica_equal": True,
+        }
+
+    print(json.dumps(res))
+
+
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -1355,6 +1539,9 @@ def main() -> None:
             return
         if mode == "streamstate":
             _streamstate_mode(spark, base, k, out)
+            return
+        if mode == "communities":
+            _communities_mode(spark, base, k, out)
             return
         if mode == "ivfpq":
             _ivfpq_mode(spark, base, k, out)
