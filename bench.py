@@ -83,6 +83,7 @@ FAMILIES: dict[str, list[str]] = {
         "label_propagation_communities",
         "kcore_membership",
         "link_prediction_jaccard",
+        "temporal_reachability",
         "partitioned_write_prune",
         "zorder_bucket_profile",
         "theilsen_trend",
@@ -102,6 +103,8 @@ FAMILIES: dict[str, list[str]] = {
         "pit_segment_features",
         "value_ohlc_hourly",
         "conversion_latency_percentiles",
+        # round 10 additions
+        "attribution_first_touch",
     ],
     # text dedup: exact, n-gram, minhash, simhash, containment, spans,
     # chunks, components, and the corpora they feed

@@ -819,3 +819,121 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+_TEMPORAL_HOPS = 4
+_TEMPORAL_SEED = "s:1"
+_TEMPORAL_EPOCH = "1992-01-01"
+
+
+def _temporal_oracle() -> str:
+    """Unrolled earliest-arrival relaxation twin of
+    :func:`temporal_reachability` (MATERIALIZED per round: each d{i}
+    feeds both the relax join and the carry-over MIN)."""
+    pre = f"""
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT 'c:' || o.o_custkey AS src,
+                   's:' || l.l_suppkey AS dst,
+                   CAST(o.o_orderdate AS DATE) AS t
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ), edges AS MATERIALIZED (
+            SELECT src, dst, t FROM e
+            UNION ALL SELECT dst, src, t FROM e
+        ), d0 AS (
+            SELECT '{_TEMPORAL_SEED}' AS node,
+                   DATE '{_TEMPORAL_EPOCH}' AS arr
+        )"""
+    its = []
+    for i in range(1, _TEMPORAL_HOPS + 1):
+        its.append(f""", d{i} AS MATERIALIZED (
+            SELECT node, MIN(arr) AS arr FROM (
+                SELECT node, arr FROM d{i - 1}
+                UNION ALL
+                SELECT e.dst AS node, e.t AS arr
+                FROM edges e JOIN d{i - 1} d
+                     ON e.src = d.node AND e.t >= d.arr
+            ) GROUP BY node
+        )""")
+    return (
+        pre
+        + "".join(its)
+        + f"""
+        SELECT CAST(year(arr) AS BIGINT) AS arrival_year,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               MIN(node) AS first_node, MAX(node) AS last_node
+        FROM d{_TEMPORAL_HOPS}
+        WHERE node <> '{_TEMPORAL_SEED}'
+        GROUP BY 1 ORDER BY 1
+    """
+    )
+
+
+@register(
+    "temporal_reachability",
+    ops=("OP-AGG-01", "OP-X-WIN-01"),
+    oracle=_temporal_oracle(),
+)
+def temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RESPECTING reachability (temporal-graph semantics, Holme &
+    Saramäki 2012): earliest arrival from supplier ``s:1`` where each
+    hop's trade must occur AT OR AFTER the arrival at its source —
+    'how fast could influence actually propagate through the trade
+    network', which plain BFS (``trade_bfs_hops``) overstates by using
+    edges out of time order. 4 relaxation rounds of the earliest-
+    arrival semiring: arr'(dst) = min over edges (src,dst,t), t >=
+    arr(src), of t — MIN of dates, idempotent, no tie-break needed;
+    summarized per arrival year.
+
+    This is the fourth Pregel-as-join recurrence (PageRank sum-times,
+    BFS reachability, Bellman-Ford min-plus, now min-date with a
+    TEMPORAL join predicate): the relax join is equi on src PLUS the
+    range condition t >= arr — Catalyst plans the equi part as the
+    shuffle key and evaluates the range residual post-match, so the
+    per-round cost stays one keyed shuffle over the once-materialized
+    (key-clustered, sorted) dated edge table; state is one
+    |reached|-row (node, arr) table, checkpointed per round like the
+    other recurrences."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+            F.to_date("o_orderdate").alias("t"),
+        )
+        .distinct()
+    )
+    edges = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "t")
+        )
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")), "src")
+        .sortWithinPartitions("src")
+        .localCheckpoint(eager=False)
+    )
+    d = spark.createDataFrame(
+        [(_TEMPORAL_SEED, _TEMPORAL_EPOCH)], "node string, arr string"
+    ).select("node", F.col("arr").cast("date").alias("arr"))
+    for _ in range(_TEMPORAL_HOPS):
+        d = (
+            edges.join(d, edges.src == d.node)
+            .where(F.col("t") >= F.col("arr"))
+            .select(F.col("dst").alias("node"), F.col("t").alias("arr"))
+            .unionByName(d)
+            .groupBy("node")
+            .agg(F.min("arr").alias("arr"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        d.where(F.col("node") != _TEMPORAL_SEED)
+        .groupBy(F.year("arr").cast("bigint").alias("arrival_year"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("node").alias("first_node"),
+            F.max("node").alias("last_node"),
+        )
+        .orderBy("arrival_year")
+    )

@@ -418,3 +418,84 @@ def conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
         [("p50_us", 0.50), ("p90_us", 0.90), ("p99_us", 0.99)],
         total_alias="n_rows",
     )
+
+
+@register(
+    "attribution_first_touch",
+    ops=("OP-X-WIN-01", "OP-AGG-01"),
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                   event_type, value,
+                   CASE WHEN CAST(ts AS TIMESTAMP)
+                             - LAG(CAST(ts AS TIMESTAMP)) OVER
+                               (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events WHERE ts IS NOT NULL
+        ), islands AS (
+            SELECT *, SUM(new_session) OVER
+                       (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        ), sessions AS (
+            SELECT user_id, sid,
+                   MIN(struct_pack(ts := ts, event_id := event_id,
+                       event_type := event_type)) AS first_ev,
+                   SUM(CASE WHEN event_type = 'purchase'
+                            AND value IS NOT NULL
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS rev_cents
+            FROM islands GROUP BY user_id, sid
+        )
+        SELECT first_ev.event_type AS first_touch,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(rev_cents) AS BIGINT) AS revenue_cents
+        FROM sessions
+        GROUP BY 1 ORDER BY revenue_cents DESC, first_touch
+    """,
+)
+def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch marketing attribution: every 30-minute session's
+    purchase revenue is credited to the session's FIRST event type —
+    'which entry point starts the sessions that end in money'. One row
+    per first-touch type with session count and attributed cents.
+
+    Spark side this is ONE aggregation: ``session_window`` assigns
+    sessions inside the groupBy (no gap-island window machinery), the
+    first event is a struct-min over (ts, event_id, event_type) —
+    total-ordered by the unique event_id, so ties at the same
+    timestamp break identically on any partitioning — and revenue is a
+    conditional exact-cents sum in the same pass. The oracle derives
+    the same sessions with the LAG/cumsum island construction
+    ``session_windows_30m`` established (same > gap boundary rule) and
+    the same struct-min.
+
+    Scale shape: session_window's state is per (user, gap-run) — the
+    shuffle is keyed by user, sessions never cross keys, and the
+    second aggregate is |event types| rows. No per-event window, no
+    driver state; the classic attribution job as two hash
+    aggregates."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    sessions = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(
+        F.min(F.struct("ts", "event_id", "event_type")).alias("first_ev"),
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("value").isNotNull(),
+                F.floor(F.col("value") * 100 + 0.5).cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).alias("rev_cents"),
+    )
+    return (
+        sessions.groupBy(
+            F.col("first_ev.event_type").alias("first_touch")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("rev_cents").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy(F.col("revenue_cents").desc(), "first_touch")
+    )
