@@ -77,7 +77,13 @@ QUERIES: dict[str, QuerySpec] = {}
 #
 # Remaining stale for r11, stalest first: the never-driver-checked r10
 # registrations (pit_over_streamed_scd2, deterministic_negative_samples,
-# join_size_cms_estimate, bucketed_join_no_shuffle, ks_value_shift —
+# join_size_cms_estimate, bucketed_join_no_shuffle, ks_value_shift,
+# ewma_spike_days, plus the r10 session-2 tier: daily_revenue_acf,
+# cusum_changepoint_day, dow_seasonal_profile, decayed_user_leaderboard,
+# theilsen_trend, bootstrap_mean_ci, label_propagation_communities,
+# kcore_membership, link_prediction_jaccard, temporal_reachability,
+# attribution_first_touch, partitioned_write_prune,
+# zorder_bucket_profile, ann_prefix_dim_recall —
 # each oracle-PASS in this round's local verify), then the r5 block
 # (embedding_quantize_int8, repetition_signals, semdedup_greedy_audit,
 # span_dedup_stats, stream_incremental_neardup, stream_neardup_recall,

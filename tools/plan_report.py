@@ -143,6 +143,21 @@ STANDING_NOTES = [
     "the hinted plan, r4-level timings restored. This is the "
     "parquet-path stand-in for catalog statistics (ANALYZE TABLE / "
     "CBO), which is where a real deployment gets the same decision.",
+    "Z-order layout A/B (r10; `tools/zorder_ab.py`, 10M rows / 152 "
+    "single-row-group files, footer min/max overlap as the "
+    "deterministic pruning bound): unsorted prunes nothing (152/152); "
+    "plain user-sort reads 20/152 for BOTH the user-only predicate "
+    "and the 2-D user+day box (its day stats span everything); "
+    "normalized Morton Z-order reads 11/152 on the box (1.8x better) "
+    "but 44/152 on the single key (2.2x worse) — pick the layout for "
+    "the dominant predicate shape. Instructive negative: interleaving "
+    "RAW values degenerated to a user sort (box 0.151 vs 0.132) "
+    "because an 11-bit user domain owns every high Morton bit over a "
+    "5-bit day domain; the fix — normalize both dimensions to a "
+    "common 10-bit width before interleaving — is exactly what "
+    "OPTIMIZE ZORDER's range-id pass exists for. Cross-engine curve "
+    "parity and directory-level pruning are driver-gate rows "
+    "(`zorder_bucket_profile`, `partitioned_write_prune`).",
 ]
 
 

@@ -117,6 +117,22 @@ QUERIES = [
     "cheapest_trade_path",
     "sorted_neighborhood_pairs",
     "fuzzy_match_parts",
+    # r10 session 2: the new heavies earn standing 10x rows from birth.
+    # The graph trio (LPA / temporal / wedge-Jaccard) rides the 10x
+    # pre-distinct trade rows (replicated orders keep the same custkeys,
+    # so the DISTINCT pair graph is base-sized — these rows watch the
+    # scan+distinct cost, the same convention trade_bfs_hops set).
+    # bootstrap fans 10x orders by 64 md5 weights; theilsen's pair join
+    # is day-grain (base-sized) but its daily aggregate scans 10x;
+    # attribution sessionizes 10x events per user; the partitioned
+    # write re-lands 10x events through the day-partitioned sink.
+    "label_propagation_communities",
+    "link_prediction_jaccard",
+    "temporal_reachability",
+    "theilsen_trend",
+    "bootstrap_mean_ci",
+    "attribution_first_touch",
+    "partitioned_write_prune",
 ]
 
 
