@@ -87,6 +87,9 @@ FAMILIES: dict[str, list[str]] = {
         "partitioned_write_prune",
         "zorder_bucket_profile",
         "theilsen_trend",
+        "revenue_gini",
+        "market_concentration_hhi",
+        "nation_share_of_region",
     ],
     # event-time windows, as-of/range joins, JSON extraction
     "windows": [
@@ -226,6 +229,8 @@ FAMILIES: dict[str, list[str]] = {
         "dow_seasonal_profile",
         "decayed_user_leaderboard",
         "bootstrap_mean_ci",
+        "cumulative_unique_users",
+        "purchase_click_ccf",
     ],
 }
 

@@ -1150,3 +1150,215 @@ def bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "joined_rows bigint, price_cents bigint, "
         "bucketed_shuffle_free boolean, matches_unbucketed boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Concentration / inequality statistics — exact integer outputs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_gini",
+    ops=("OP-AGG-01", "OP-AGG-05"),
+    oracle="""
+        WITH cust AS (
+            SELECT o_custkey,
+                   SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS v
+            FROM orders GROUP BY 1
+        ),
+        r AS (
+            SELECT v, ROW_NUMBER() OVER (ORDER BY v, o_custkey) AS rk,
+                   COUNT(*) OVER () AS n
+            FROM cust
+        ),
+        s AS (
+            SELECT MAX(n) AS n,
+                   SUM(CAST(rk AS HUGEINT) * v) AS sriv,
+                   SUM(CAST(v AS HUGEINT)) AS sv
+            FROM r
+        )
+        SELECT CAST(n AS BIGINT) AS n_customers,
+               CAST(1000000 * (2 * sriv - (n + 1) * sv) // (n * sv)
+                    AS BIGINT) AS gini_micro
+        FROM s
+    """,
+)
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration, in exact
+    integer micro-units: G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over the
+    ascending-sorted per-customer revenue — the standard inequality
+    summary (0 = everyone buys equally, →1 = one whale).
+
+    Exactness: the rank weights come from
+    :func:`operators.rank.global_rank` (range-repartition + broadcast
+    offsets — no single-task window). Ranks within a tie group are
+    arbitrary but Σ i·x_i is INVARIANT under permutations of equal x,
+    so the tie-break (custkey) only pins determinism, not the value.
+    All sums are exact DECIMAL/HUGEINT; the single floor division has a
+    provably non-negative numerator (Chebyshev's sum inequality), so
+    Spark DIV == DuckDB //.
+
+    Scale shape: one pass to the customer grain, one range shuffle for
+    the rank, a 3-column single-row aggregate."""
+    from ..operators.rank import global_rank
+
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+            ).alias("v")
+        )
+    )
+    ranked = global_rank(cust, ["v", "o_custkey"], alias="rk", total_alias="n")
+    s = ranked.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("rk").cast("decimal(38,0)") * F.col("v")).alias("sriv"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.expr(
+            "CAST(1000000 * (2 * sriv - (n + 1) * sv) DIV (n * sv)"
+            " AS BIGINT)"
+        ).alias("gini_micro"),
+    )
+
+
+@register(
+    "market_concentration_hhi",
+    ops=("OP-AGG-01", "OP-AGG-05"),
+    oracle="""
+        WITH s AS (
+            SELECT l_suppkey,
+                   SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                   AS v
+            FROM lineitem GROUP BY 1
+        ),
+        t AS (
+            SELECT COUNT(*) AS n,
+                   SUM(CAST(v AS HUGEINT) * v) AS svv,
+                   SUM(CAST(v AS HUGEINT)) AS sv,
+                   MAX(v) AS mx
+            FROM s
+        )
+        SELECT CAST(n AS BIGINT) AS n_suppliers,
+               CAST(10000000 * svv // (sv * sv) AS BIGINT) AS hhi_milli,
+               CAST(1000 * CAST(mx AS HUGEINT) // sv AS BIGINT)
+               AS cr1_permille
+        FROM t
+    """,
+)
+def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman market-concentration index over supplier
+    revenue shares — HHI = Σ (100·sᵢ/T)², the antitrust screening
+    statistic (10,000 = monopoly; < 1,500 reads unconcentrated) — in
+    exact integer milli-points ((10⁷·Σsᵢ²) DIV T²), plus the top-1
+    concentration ratio in permille. No float crosses engines.
+
+    Scale shape: one pass to the supplier grain (map-side combine),
+    one 4-column single-row aggregate; Σsᵢ² in DECIMAL(38)/HUGEINT is
+    exact to per-supplier revenues of 10^12 cents."""
+    s = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+            ).alias("v")
+        )
+    )
+    t = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("svv"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+        F.max("v").alias("mx"),
+    )
+    return t.select(
+        F.col("n").cast("bigint").alias("n_suppliers"),
+        F.expr("CAST(10000000 * svv DIV (sv * sv) AS BIGINT)").alias(
+            "hhi_milli"
+        ),
+        F.expr(
+            "CAST(1000 * CAST(mx AS DECIMAL(38,0)) DIV sv AS BIGINT)"
+        ).alias("cr1_permille"),
+    )
+
+
+@register(
+    "nation_share_of_region",
+    ops=("OP-AGG-01", "OP-AGG-02"),
+    oracle="""
+        WITH nrev AS (
+            SELECT r.r_name AS region, n.n_name AS nation,
+                   SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2
+        ),
+        rrev AS (
+            SELECT region, SUM(cents) AS rcents FROM nrev GROUP BY 1
+        ),
+        tot AS (SELECT SUM(cents) AS t FROM nrev)
+        SELECT nrev.region, nation, CAST(cents AS BIGINT) AS revenue_cents,
+               CAST(1000 * CAST(cents AS HUGEINT) // rcents AS BIGINT)
+               AS share_of_region_permille,
+               CAST(1000 * CAST(cents AS HUGEINT) // t AS BIGINT)
+               AS share_of_total_permille
+        FROM nrev JOIN rrev ON nrev.region = rrev.region CROSS JOIN tot
+        ORDER BY nrev.region, nation
+    """,
+)
+def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical share-of-parent rollup: every nation's revenue as
+    an exact permille of its REGION and of the WORLD — the two-level
+    drill-down a revenue dashboard renders as nested bars. The nested
+    share-of-total shape: both denominators come from broadcast
+    re-aggregations of the nation grain (the ``functions/share.py``
+    rule — an unpartitioned window over nations would serialize;
+    re-aggregating 25 rows is free and scale-exempt), and every ratio
+    is an exact integer floor division.
+
+    Scale shape: one star join down to the 25-row nation grain (dims
+    broadcast via ``broadcast_if_small``'s threshold logic in the
+    star-plan family), then 5-row and 1-row broadcast joins."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nrev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    rrev = nrev.groupBy("region").agg(F.sum("cents").alias("rcents"))
+    tot = nrev.agg(F.sum("cents").alias("t"))
+    return (
+        nrev.join(F.broadcast(rrev), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            F.col("cents").cast("bigint").alias("revenue_cents"),
+            F.expr(
+                "CAST(1000 * CAST(cents AS DECIMAL(38,0)) DIV rcents"
+                " AS BIGINT)"
+            ).alias("share_of_region_permille"),
+            F.expr(
+                "CAST(1000 * CAST(cents AS DECIMAL(38,0)) DIV t AS BIGINT)"
+            ).alias("share_of_total_permille"),
+        )
+        .orderBy("region", "nation")
+    )

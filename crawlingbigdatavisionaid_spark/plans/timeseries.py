@@ -564,3 +564,182 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ci_mid_cents", 4).alias("ci_mid_cents"),
         F.round("ci_hi_cents", 4).alias("ci_hi_cents"),
     )
+
+
+@register(
+    "cumulative_unique_users",
+    ops=("OP-AGG-03", "OP-X-APPROX-01"),
+    oracle="""
+        WITH first_day AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ),
+        daily AS (
+            SELECT day, COUNT(*) AS new_users
+            FROM first_day GROUP BY 1
+        )
+        SELECT day, CAST(new_users AS BIGINT) AS new_users,
+               CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT)
+               AS cumulative_users
+        FROM daily ORDER BY day
+    """,
+)
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-growth curve: per day, the count of FIRST-SEEN users
+    and the running cumulative unique-user total — the exact form of
+    the growth chart ``rolling_7day_hll_users`` approximates with
+    sketches. The classic trick that avoids a cumulative COUNT
+    DISTINCT (which would rescan all history per day): reduce each
+    user to their first-seen day, then a daily count plus a running
+    sum are exact and incremental.
+
+    The running sum is :func:`operators.prefix.chunked_cumsum`, so the
+    day-grain cumulative never becomes a single-task window at any
+    series length. Scale shape: one user-keyed aggregate (the only
+    full-data shuffle), one day-grain aggregate, one bounded cumsum."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    daily = (
+        first_day.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+        .withColumn("idx", F.datediff(F.col("day"), F.lit(_EPOCH)))
+    )
+    daily = chunked_cumsum(
+        daily, [], "idx", F.col("new_users"), "cumulative_users"
+    )
+    return daily.select(
+        "day",
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.col("cumulative_users").cast("bigint").alias("cumulative_users"),
+    ).orderBy("day")
+
+
+_CCF_MAX_LAG = 7
+
+
+@register(
+    "purchase_click_ccf",
+    ops=("OP-AGG-03", "OP-AGG-05"),
+    oracle=f"""
+        WITH f AS (
+            SELECT CAST(ts AS DATE) AS day, event_type
+            FROM events WHERE ts IS NOT NULL
+        ),
+        daily AS (
+            SELECT day,
+                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS clicks,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS purchases
+            FROM f GROUP BY 1
+        ),
+        bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+        spine AS (
+            SELECT CAST(unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+                                               INTERVAL 1 DAY)) AS DATE)
+                   AS day
+            FROM bounds
+        ),
+        s AS (
+            SELECT sp.day, COALESCE(d.clicks, 0) AS c,
+                   COALESCE(d.purchases, 0) AS p
+            FROM spine sp LEFT JOIN daily d ON sp.day = d.day
+        ),
+        l AS (SELECT unnest(generate_series(0, {_CCF_MAX_LAG})) AS lag),
+        pairs AS (
+            SELECT l.lag, a.c AS x, b.p AS y
+            FROM l CROSS JOIN s b
+                 JOIN s a ON a.day = b.day - l.lag * INTERVAL 1 DAY
+        ),
+        g AS (
+            SELECT lag, COUNT(*) AS n,
+                   SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT))
+                   AS sy,
+                   SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                   SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                   SUM(CAST(y AS HUGEINT) * y) AS syy
+            FROM pairs GROUP BY lag
+        )
+        SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+               AS ccf
+        FROM g ORDER BY lag
+    """,
+)
+def purchase_click_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between daily CLICKS (lagged) and daily
+    PURCHASES: Pearson r of (clicks at day t−lag, purchases at day t)
+    for lags 0..7 — the leading-indicator diagnostic ('do clicks
+    predict purchases, and with what delay'). The two series share one
+    zero-filled daily spine (absent days are real zeros, exactly as in
+    ``daily_revenue_acf``), and both are integer counts, so the five
+    sums per lag are exact and the one division + correctly-rounded
+    sqrt per lag is the only float work.
+
+    Scale shape: ONE events pass produces both series as conditional
+    counts of the same day-grain aggregate; the lag fan-out is a
+    broadcast 8-row spine against O(days) rows."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("clicks"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("purchases"),
+    )
+    spine = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    ).select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    s = (
+        spine.join(F.broadcast(daily), "day", "left_outer")
+        .select(
+            "day",
+            F.coalesce("clicks", F.lit(0)).cast("bigint").alias("c"),
+            F.coalesce("purchases", F.lit(0)).cast("bigint").alias("p"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    lags = spark.range(0, _CCF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    b = s.crossJoin(F.broadcast(lags)).select(
+        "lag",
+        F.date_sub(F.col("day"), F.col("lag")).alias("day"),
+        F.col("p").alias("y"),
+    )
+    pairs = s.select("day", F.col("c").alias("x")).join(b, "day")
+    g = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y")).alias("syy"),
+    )
+    return g.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / F.sqrt(
+                (
+                    F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+                ).cast("double")
+                * (
+                    F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+                ).cast("double")
+            ),
+            6,
+        ).alias("ccf"),
+    ).orderBy("lag")

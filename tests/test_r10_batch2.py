@@ -111,3 +111,120 @@ def test_attribution_matches_python_replica(spark):
         for r in _q("attribution_first_touch")(spark, SF).collect()
     }
     assert got == want
+
+
+def test_gini_and_hhi_match_python_replicas(spark):
+    orders = (
+        load_table(spark, SF, "orders")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    )
+    cust = defaultdict(int)
+    for r in orders:
+        cust[r["o_custkey"]] += int(math.floor(r["o_totalprice"] * 100 + 0.5))
+    xs = sorted(cust.values())
+    n, sv = len(xs), sum(xs)
+    sriv = sum(i * x for i, x in enumerate(xs, start=1))
+    want_gini = (1000000 * (2 * sriv - (n + 1) * sv)) // (n * sv)
+    [row] = _q("revenue_gini")(spark, SF).collect()
+    assert (row["n_customers"], row["gini_micro"]) == (n, want_gini)
+
+    li = (
+        load_table(spark, SF, "lineitem")
+        .select("l_suppkey", "l_extendedprice")
+        .collect()
+    )
+    supp = defaultdict(int)
+    for r in li:
+        supp[r["l_suppkey"]] += int(
+            math.floor(r["l_extendedprice"] * 100 + 0.5)
+        )
+    vs = list(supp.values())
+    t = sum(vs)
+    want_hhi = (10000000 * sum(v * v for v in vs)) // (t * t)
+    want_cr1 = (1000 * max(vs)) // t
+    [row] = _q("market_concentration_hhi")(spark, SF).collect()
+    assert (row["n_suppliers"], row["hhi_milli"], row["cr1_permille"]) == (
+        len(vs),
+        want_hhi,
+        want_cr1,
+    )
+
+
+def test_nation_share_sums_to_1000_per_region(spark):
+    rows = _q("nation_share_of_region")(spark, SF).collect()
+    by_region = defaultdict(list)
+    for r in rows:
+        by_region[r["region"]].append(r["share_of_region_permille"])
+    for region, shares in by_region.items():
+        # floors undershoot by < 1 permille per nation
+        assert 1000 - len(shares) < sum(shares) <= 1000, region
+    total = sum(r["share_of_total_permille"] for r in rows)
+    assert 1000 - len(rows) < total <= 1000
+
+
+def test_cumulative_unique_users_replica(spark):
+    rows = (
+        load_table(spark, SF, "events")
+        .where(F.col("ts").isNotNull())
+        .select("user_id", "ts")
+        .collect()
+    )
+    first = {}
+    for r in rows:
+        d = r["ts"].date()
+        u = r["user_id"]
+        if u not in first or d < first[u]:
+            first[u] = d
+    daily = defaultdict(int)
+    for d in first.values():
+        daily[d] += 1
+    want = []
+    cum = 0
+    for d in sorted(daily):
+        cum += daily[d]
+        want.append((d, daily[d], cum))
+    got = [
+        (r["day"], r["new_users"], r["cumulative_users"])
+        for r in _q("cumulative_unique_users")(spark, SF).collect()
+    ]
+    assert got == want
+    assert got[-1][2] == len(first)
+
+
+def test_ccf_lag0_equals_same_day_correlation(spark):
+    """Lag 0 of the CCF is plain same-day Pearson between the two
+    zero-filled series; replicate it exactly."""
+    rows = (
+        load_table(spark, SF, "events")
+        .where(F.col("ts").isNotNull())
+        .select("ts", "event_type")
+        .collect()
+    )
+    daily = defaultdict(lambda: [0, 0])
+    for r in rows:
+        d = r["ts"].date()
+        if r["event_type"] == "click":
+            daily[d][0] += 1
+        elif r["event_type"] == "purchase":
+            daily[d][1] += 1
+    lo, hi = min(daily), max(daily)
+    days = [lo + timedelta(days=i) for i in range((hi - lo).days + 1)]
+    xs = [daily[d][0] if d in daily else 0 for d in days]
+    ys = [daily[d][1] if d in daily else 0 for d in days]
+    n = len(days)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    want = round(
+        float(n * sxy - sx * sy)
+        / math.sqrt(float(n * sxx - sx * sx) * float(n * syy - sy * sy)),
+        6,
+    )
+    got = {
+        r["lag"]: (r["n_pairs"], r["ccf"])
+        for r in _q("purchase_click_ccf")(spark, SF).collect()
+    }
+    assert got[0] == (n, want)
+    assert set(got) == set(range(8))
