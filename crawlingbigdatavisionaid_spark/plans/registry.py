@@ -83,7 +83,9 @@ QUERIES: dict[str, QuerySpec] = {}
 # theilsen_trend, bootstrap_mean_ci, label_propagation_communities,
 # kcore_membership, link_prediction_jaccard, temporal_reachability,
 # attribution_first_touch, partitioned_write_prune,
-# zorder_bucket_profile, ann_prefix_dim_recall —
+# zorder_bucket_profile, ann_prefix_dim_recall, revenue_gini,
+# market_concentration_hhi, nation_share_of_region,
+# cumulative_unique_users, purchase_click_ccf —
 # each oracle-PASS in this round's local verify), then the r5 block
 # (embedding_quantize_int8, repetition_signals, semdedup_greedy_audit,
 # span_dedup_stats, stream_incremental_neardup, stream_neardup_recall,

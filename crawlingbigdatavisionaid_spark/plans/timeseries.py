@@ -532,6 +532,15 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
     )
+    # spread the fact scan BEFORE the x64 fan-out: a small corpus
+    # arrives as one parquet file, and the broadcast crossJoin
+    # preserves that single partition — every md5 then runs in ONE
+    # task (caught by the round-10 hashing A/B: the 64M-hash pipeline
+    # was input-partition-bound, not hash-bound; a 4x-fewer-md5
+    # variant measured WORSE, 82.7 vs 76.9 s single-task, because the
+    # materialized hash string + slice fan-out cost more than the
+    # hashing it saved). The narrow pre-fan-out shuffle is 2 columns.
+    o = o.repartition(spark.sparkContext.defaultParallelism)
     reps = spark.range(_BOOT_B).select(F.col("id").alias("rep"))
     u32 = (
         "CAST(conv(substr(md5(concat(CAST(o_orderkey AS STRING), ':',"
