@@ -215,3 +215,29 @@ def neighborhood_jaccard_pairs(pairs: DataFrame, cap: int) -> DataFrame:
             ).alias("jaccard_permille"),
         )
     )
+
+
+def earliest_arrival(
+    edges: DataFrame, seeds: DataFrame, rounds: int
+) -> DataFrame:
+    """Time-respecting earliest-arrival relaxation over a DATED edge
+    table (src, dst, t): ``rounds`` rounds of arr'(dst) = min over
+    edges with t >= arr(src) of t, starting from ``seeds`` (node, arr).
+    MIN of dates is idempotent — no tie-break needed; multi-source
+    seeds compose naturally (the min absorbs them).
+
+    Per round: one equi join on src with the temporal range residual
+    evaluated post-match, one MIN aggregate, a lazy checkpoint (the
+    state feeds both the relax join and the carry-over MIN)."""
+    d = seeds
+    for _ in range(rounds):
+        d = (
+            edges.join(d, edges.src == d.node)
+            .where(F.col("t") >= F.col("arr"))
+            .select(F.col("dst").alias("node"), F.col("t").alias("arr"))
+            .unionByName(d)
+            .groupBy("node")
+            .agg(F.min("arr").alias("arr"))
+            .localCheckpoint(eager=False)
+        )
+    return d

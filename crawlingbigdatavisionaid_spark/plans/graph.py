@@ -914,19 +914,12 @@ def temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortWithinPartitions("src")
         .localCheckpoint(eager=False)
     )
-    d = spark.createDataFrame(
+    from ..operators.graph import earliest_arrival
+
+    seeds = spark.createDataFrame(
         [(_TEMPORAL_SEED, _TEMPORAL_EPOCH)], "node string, arr string"
     ).select("node", F.col("arr").cast("date").alias("arr"))
-    for _ in range(_TEMPORAL_HOPS):
-        d = (
-            edges.join(d, edges.src == d.node)
-            .where(F.col("t") >= F.col("arr"))
-            .select(F.col("dst").alias("node"), F.col("t").alias("arr"))
-            .unionByName(d)
-            .groupBy("node")
-            .agg(F.min("arr").alias("arr"))
-            .localCheckpoint(eager=False)
-        )
+    d = earliest_arrival(edges, seeds, _TEMPORAL_HOPS)
     return (
         d.where(F.col("node") != _TEMPORAL_SEED)
         .groupBy(F.year("arr").cast("bigint").alias("arrival_year"))

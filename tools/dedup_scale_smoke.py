@@ -1353,7 +1353,7 @@ def _communities_mode(spark, base: str, k: int, out: str) -> None:
 
     res: dict = {"mode": "communities", "k": k, "base": base}
     sections = set(
-        os.environ.get("SMOKE_COMM_SECTIONS", "lpa,kcore,jaccard").split(",")
+        os.environ.get("SMOKE_COMM_SECTIONS", "lpa,kcore,temporal,jaccard").split(",")
     )
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -1443,6 +1443,83 @@ def _communities_mode(spark, base: str, k: int, out: str) -> None:
         res["kcore"] = {
             "alive_base": ab,
             "alive_kx": ak,
+            "wall_base_s": w_base,
+            "wall_kx_s": w_k,
+            "replica_equal": True,
+        }
+
+    if "temporal" in sections:
+        from crawlingbigdatavisionaid_spark.operators.graph import (
+            earliest_arrival,
+        )
+
+        li2 = load_table(spark, base, "lineitem").select(
+            "l_orderkey", "l_suppkey"
+        )
+        o2 = load_table(spark, base, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderdate"
+        )
+        de = (
+            li2.join(o2, li2.l_orderkey == o2.o_orderkey)
+            .select(
+                F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+                F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+                F.to_date("o_orderdate").alias("t"),
+            )
+            .distinct()
+        )
+        de = (
+            de.unionByName(
+                de.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), "t"
+                )
+            )
+            .repartition(n_shuffle, "src")
+            .sortWithinPartitions("src")
+            .localCheckpoint()
+        )
+        dm = de.count()
+        de_k = (
+            de.crossJoin(reps)
+            .select(
+                F.concat("src", F.lit("#"), "rep").alias("src"),
+                F.concat("dst", F.lit("#"), "rep").alias("dst"),
+                "t",
+            )
+            .repartition(n_shuffle, "src")
+            .sortWithinPartitions("src")
+            .localCheckpoint()
+        )
+        assert de_k.count() == k * dm
+        seed_b = spark.createDataFrame(
+            [("s:1", "1992-01-01")], "node string, arr string"
+        ).select("node", F.col("arr").cast("date").alias("arr"))
+        t0 = time.time()
+        arr_b = earliest_arrival(de, seed_b, 4).localCheckpoint()
+        nb = arr_b.count()
+        w_base = round(time.time() - t0, 1)
+        seed_k = (
+            seed_b.crossJoin(reps)
+            .select(F.concat("node", F.lit("#"), "rep").alias("node"), "arr")
+        )
+        t0 = time.time()
+        arr_k = earliest_arrival(de_k, seed_k, 4).localCheckpoint()
+        nk = arr_k.count()
+        w_k = round(time.time() - t0, 1)
+        assert nk == k * nb, (nk, nb)
+        stripped = arr_k.select(strip(F.col("node")).alias("node"), "arr")
+        mism = (
+            stripped.join(
+                F.broadcast(arr_b.withColumnRenamed("arr", "base_arr")),
+                "node",
+            )
+            .where(F.col("arr") != F.col("base_arr"))
+            .count()
+        )
+        assert mism == 0, f"{mism} arrival dates diverge from base"
+        res["temporal"] = {
+            "reached_base": nb,
+            "reached_kx": nk,
             "wall_base_s": w_base,
             "wall_kx_s": w_k,
             "replica_equal": True,
