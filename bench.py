@@ -231,6 +231,8 @@ FAMILIES: dict[str, list[str]] = {
         "bootstrap_mean_ci",
         "cumulative_unique_users",
         "purchase_click_ccf",
+        "user_survival_curve",
+        "cohort_ltv_curve",
     ],
 }
 

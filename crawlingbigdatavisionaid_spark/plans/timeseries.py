@@ -752,3 +752,163 @@ def purchase_click_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ccf"),
     ).orderBy("lag")
+
+
+_SURV_KS = (0, 1, 7, 14, 28)
+
+
+@register(
+    "user_survival_curve",
+    ops=("OP-AGG-03",),
+    oracle=f"""
+        WITH span AS (
+            SELECT user_id,
+                   date_diff('day', MIN(CAST(ts AS DATE)),
+                             MAX(CAST(ts AS DATE))) AS days
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ),
+        ks AS (SELECT unnest(ARRAY{list(_SURV_KS)}) AS k),
+        tot AS (SELECT COUNT(*) AS n FROM span)
+        SELECT CAST(k AS BIGINT) AS k_days,
+               CAST(SUM(CASE WHEN days >= k THEN 1 ELSE 0 END) AS BIGINT)
+               AS survivors,
+               CAST(1000 * SUM(CASE WHEN days >= k THEN 1 ELSE 0 END)
+                    // n AS BIGINT) AS survival_permille
+        FROM span CROSS JOIN ks CROSS JOIN tot
+        GROUP BY k, n ORDER BY k
+    """,
+)
+def user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention survival curve: the share of users whose activity
+    span (last event day − first event day) reaches at least k days,
+    for k ∈ {0, 1, 7, 14, 28} — the churn summary a growth team reads
+    as 'S(7) = 610‰ of users are still around a week after they
+    arrive'. Exact integer permille; S is non-increasing in k by
+    construction (pinned in tests).
+
+    Scale shape: one user-keyed min/max aggregate (the only full-data
+    shuffle), a broadcast 5-row k spine, one 5-row aggregate."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    span = ev.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias(
+            "days"
+        )
+    )
+    ks = spark.createDataFrame(
+        [(k,) for k in _SURV_KS], "k int"
+    )
+    tot = span.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        span.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "n")
+        .agg(
+            F.sum(F.when(F.col("days") >= F.col("k"), 1).otherwise(0)).alias(
+                "survivors"
+            )
+        )
+        .select(
+            F.col("k").cast("bigint").alias("k_days"),
+            F.col("survivors").cast("bigint").alias("survivors"),
+            F.expr("CAST(1000 * survivors DIV n AS BIGINT)").alias(
+                "survival_permille"
+            ),
+        )
+        .orderBy("k_days")
+    )
+
+
+@register(
+    "cohort_ltv_curve",
+    ops=("OP-AGG-03", "OP-AGG-01"),
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ),
+        cohorts AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', first_day) AS DATE) AS cohort
+            FROM first_seen
+        ),
+        csize AS (
+            SELECT cohort, COUNT(*) AS users FROM cohorts GROUP BY 1
+        ),
+        weekly AS (
+            SELECT c.cohort,
+                   CAST(date_diff('day', c.cohort, CAST(e.ts AS DATE)) // 7
+                        AS BIGINT) AS week,
+                   SUM(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS cents
+            FROM events e JOIN cohorts c ON e.user_id = c.user_id
+            WHERE e.ts IS NOT NULL AND e.value IS NOT NULL
+                  AND e.event_type = 'purchase'
+            GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT cohort, week, cents,
+                   SUM(cents) OVER (PARTITION BY cohort ORDER BY week
+                                    ROWS UNBOUNDED PRECEDING) AS cum_cents
+            FROM weekly
+        )
+        SELECT cum.cohort, CAST(week AS BIGINT) AS week,
+               CAST(users AS BIGINT) AS cohort_users,
+               CAST(cum_cents AS BIGINT) AS cum_revenue_cents,
+               CAST(cum_cents // users AS BIGINT) AS ltv_cents_per_user
+        FROM cum JOIN csize ON cum.cohort = csize.cohort
+        ORDER BY cum.cohort, week
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users grouped by FIRST-SEEN week
+    (Monday-truncated), purchase revenue accumulated per
+    weeks-since-arrival — the LTV fan chart ('how much has the March
+    cohort spent per head by week 4'). Exact cents; per-user LTV is an
+    exact floor division by cohort size.
+
+    The running sum per cohort is
+    :func:`operators.prefix.chunked_cumsum` partitioned by cohort —
+    the per-cohort week series is bounded, but the pattern keeps the
+    plan window-free regardless of history length. Scale shape: one
+    user-keyed first-seen aggregate, one shuffle join of purchases to
+    their user's cohort, one (cohort, week) aggregate, a bounded
+    cumsum, broadcast cohort sizes."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    cohorts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min(F.to_date("ts")))
+        .cast("date")
+        .alias("cohort")
+    )
+    csize = cohorts.groupBy("cohort").agg(F.count(F.lit(1)).alias("users"))
+    weekly = (
+        ev.where(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .join(cohorts, "user_id")
+        .groupBy(
+            "cohort",
+            F.floor(
+                F.datediff(F.to_date("ts"), F.col("cohort")) / 7
+            )
+            .cast("bigint")
+            .alias("week"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    cum = chunked_cumsum(weekly, ["cohort"], "week", F.col("cents"), "cum_cents")
+    return (
+        cum.join(F.broadcast(csize), "cohort")
+        .select(
+            "cohort",
+            F.col("week").cast("bigint").alias("week"),
+            F.col("users").cast("bigint").alias("cohort_users"),
+            F.col("cum_cents").cast("bigint").alias("cum_revenue_cents"),
+            F.expr("CAST(cum_cents DIV users AS BIGINT)").alias(
+                "ltv_cents_per_user"
+            ),
+        )
+        .orderBy("cohort", "week")
+    )

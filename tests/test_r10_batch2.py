@@ -228,3 +228,76 @@ def test_ccf_lag0_equals_same_day_correlation(spark):
     }
     assert got[0] == (n, want)
     assert set(got) == set(range(8))
+
+
+def test_survival_curve_monotone_and_replica(spark):
+    rows = (
+        load_table(spark, SF, "events")
+        .where(F.col("ts").isNotNull())
+        .select("user_id", "ts")
+        .collect()
+    )
+    span = {}
+    for r in rows:
+        d = r["ts"].date()
+        u = r["user_id"]
+        lo, hi = span.get(u, (d, d))
+        span[u] = (min(lo, d), max(hi, d))
+    days = {u: (hi - lo).days for u, (lo, hi) in span.items()}
+    n = len(days)
+    want = []
+    for k in (0, 1, 7, 14, 28):
+        s = sum(1 for v in days.values() if v >= k)
+        want.append((k, s, 1000 * s // n))
+    got = [
+        (r["k_days"], r["survivors"], r["survival_permille"])
+        for r in _q("user_survival_curve")(spark, SF).collect()
+    ]
+    assert got == want
+    # survival is non-increasing in k, and S(0) covers everyone
+    perms = [p for _, _, p in got]
+    assert perms == sorted(perms, reverse=True)
+    assert got[0][1] == n
+
+
+def test_cohort_ltv_replica(spark):
+    rows = (
+        load_table(spark, SF, "events")
+        .where(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_type", "value")
+        .collect()
+    )
+    first = {}
+    for r in rows:
+        d = r["ts"].date()
+        u = r["user_id"]
+        if u not in first or d < first[u]:
+            first[u] = d
+    cohort = {u: d - timedelta(days=d.weekday()) for u, d in first.items()}
+    csize = defaultdict(int)
+    for c in cohort.values():
+        csize[c] += 1
+    weekly = defaultdict(int)
+    for r in rows:
+        if r["event_type"] != "purchase" or r["value"] is None:
+            continue
+        c = cohort[r["user_id"]]
+        wk = (r["ts"].date() - c).days // 7
+        weekly[(c, wk)] += int(math.floor(r["value"] * 100 + 0.5))
+    want = []
+    for c in sorted(csize):
+        cum = 0
+        for wk in sorted(w for (cc, w) in weekly if cc == c):
+            cum += weekly[(c, wk)]
+            want.append((c, wk, csize[c], cum, cum // csize[c]))
+    got = [
+        (
+            r["cohort"],
+            r["week"],
+            r["cohort_users"],
+            r["cum_revenue_cents"],
+            r["ltv_cents_per_user"],
+        )
+        for r in _q("cohort_ltv_curve")(spark, SF).collect()
+    ]
+    assert got == want
