@@ -233,6 +233,7 @@ FAMILIES: dict[str, list[str]] = {
         "purchase_click_ccf",
         "user_survival_curve",
         "cohort_ltv_curve",
+        "stream_first_seen_merge",
     ],
 }
 

@@ -1485,3 +1485,88 @@ def pit_over_streamed_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "stream_first_seen_merge",
+    ops=("OP-STR-01", "OP-AGG-03", "OP-AGG-06"),
+    # the drained per-entity merge-min state is bit-identical to the
+    # batch first-seen table, so the growth curve read off it is graded
+    # by the SAME oracle as the batch cumulative_unique_users — the
+    # streamed dimension vs DuckDB, not vs our own batch code
+    oracle="""
+        WITH first_day AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ),
+        daily AS (
+            SELECT day, COUNT(*) AS new_users
+            FROM first_day GROUP BY 1
+        )
+        SELECT day, CAST(new_users AS BIGINT) AS new_users,
+               CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT)
+               AS cumulative_users,
+               TRUE AS multi_batch
+        FROM daily ORDER BY day
+    """,
+)
+def stream_first_seen_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming audience-growth maintenance, end-to-end: events drain
+    as a multi-file delta, each micro-batch folds its per-user min
+    event day into the versioned state
+    (``streaming/ingest.first_seen_merge_ingest`` — the seventh fold
+    shape: per-entity idempotent MERGE-MIN, order-free and
+    replay-safe with no CDC ordering contract), and the final state —
+    one row per user ever seen — yields the cumulative unique-user
+    curve exactly as the batch ``cumulative_unique_users`` computes
+    it. The oracle recomputes the curve from scratch, so micro-batch
+    merge = one-shot is proven against DuckDB."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.prefix import chunked_cumsum
+    from ..sources import load_table
+    from ..streaming.ingest import first_seen_merge_ingest
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    root = tempfile.mkdtemp(prefix="first_seen_")
+    try:
+        delta_dir = f"{root}/delta"
+        ev.repartition(3).write.parquet(delta_dir)
+        n_batches, final_dir = first_seen_merge_ingest(
+            spark,
+            delta_dir,
+            f"{root}/state",
+            f"{root}/ckpt",
+            "user_id long, ts timestamp",
+        )
+        state = spark.read.parquet(final_dir)
+        daily = (
+            state.groupBy(F.col("first_day").alias("day"))
+            .agg(F.count(F.lit(1)).alias("new_users"))
+            .withColumn("idx", F.datediff(F.col("day"), F.lit("1992-01-01")))
+        )
+        daily = chunked_cumsum(
+            daily, [], "idx", F.col("new_users"), "cumulative_users"
+        )
+        rows = (
+            daily.select(
+                "day",
+                F.col("new_users").cast("bigint").alias("new_users"),
+                F.col("cumulative_users")
+                .cast("bigint")
+                .alias("cumulative_users"),
+                F.lit(n_batches > 1).alias("multi_batch"),
+            )
+            .orderBy("day")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "day date, new_users bigint, cumulative_users bigint, "
+        "multi_batch boolean",
+    )

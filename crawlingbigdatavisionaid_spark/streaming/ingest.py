@@ -911,3 +911,50 @@ def skyline_merge_ingest(
         spark, delta_path, state_root, checkpoint, schema,
         partial, fold, max_files_per_trigger,
     )
+
+
+def first_seen_merge_ingest(
+    spark: SparkSession,
+    delta_path: str,
+    state_root: str,
+    checkpoint: str,
+    schema,
+    max_files_per_trigger: int | None = 1,
+) -> tuple[int, str | None]:
+    """Streaming first-seen dimension maintenance — the seventh fold
+    shape: PER-ENTITY IDEMPOTENT MERGE-MIN. Each micro-batch reduces
+    to its own (user_id, min event day) partial; the fold re-mins the
+    union. min is commutative, associative AND idempotent, so the fold
+    is order-free and replay-safe with NO ordering contract (unlike
+    SCD2's CDC discipline) and no tolerance: the drained state is
+    BIT-IDENTICAL to the batch first-seen table under any batch
+    slicing. State is one row per entity ever seen — the entity-grain
+    bound (SCD2 history is a superset of this), never rescanned; a
+    micro-batch costs its own reduction plus an |entities|-row merge.
+
+    The state IS the audience-growth dimension: the
+    ``stream_first_seen_merge`` verdict derives the cumulative
+    unique-user curve from it and grades it against the SAME DuckDB
+    oracle as the batch ``cumulative_unique_users``.
+
+    Returns (n_batches, final_state_dir)."""
+    from pyspark.sql import functions as F
+
+    def partial(batch_df: DataFrame) -> DataFrame:
+        return (
+            batch_df.where(F.col("ts").isNotNull())
+            .groupBy("user_id")
+            .agg(F.min(F.to_date("ts")).alias("first_day"))
+        )
+
+    def fold(prev: DataFrame, part: DataFrame) -> DataFrame:
+        return (
+            prev.unionByName(part)
+            .groupBy("user_id")
+            .agg(F.min("first_day").alias("first_day"))
+        )
+
+    return versioned_fold_ingest(
+        spark, delta_path, state_root, checkpoint, schema,
+        partial, fold, max_files_per_trigger,
+    )

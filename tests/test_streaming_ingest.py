@@ -511,3 +511,47 @@ def test_scd2_out_of_order_batch_is_detected(spark, tmp_path):
         (1, "low", T(5), None): 2,
         (2, "low", T(5), None): 1,
     }
+
+
+def test_first_seen_fold_is_order_free_and_idempotent(spark, tmp_path):
+    """The seventh fold (per-entity merge-min): draining the same
+    history in 1 vs 6 arbitrary slices — and with duplicated rows —
+    must produce the identical first-seen state (min is commutative,
+    associative AND idempotent, so no ordering contract and no
+    double-count risk)."""
+    from pyspark.sql import functions as F
+
+    from crawlingbigdatavisionaid_spark.sources import load_table
+    from crawlingbigdatavisionaid_spark.streaming.ingest import (
+        first_seen_merge_ingest,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").where(
+        F.col("ts").isNotNull()
+    ).select("user_id", "ts")
+    schema = "user_id long, ts timestamp"
+    states = []
+    for tag, df, nf in [
+        ("one", ev, 1),
+        ("many", ev, 6),
+        ("dup", ev.unionByName(ev), 4),  # idempotence: duplicates free
+    ]:
+        root = tmp_path / tag
+        df.repartition(nf).write.parquet(str(root / "delta"))
+        n_batches, final_dir = first_seen_merge_ingest(
+            spark, str(root / "delta"), str(root / "state"),
+            str(root / "ckpt"), schema,
+        )
+        states.append(
+            {tuple(r) for r in spark.read.parquet(final_dir).collect()}
+        )
+        assert n_batches == nf
+    assert states[0] == states[1] == states[2]
+    # and the state equals the batch first-seen table
+    batch = {
+        tuple(r)
+        for r in ev.groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("first_day"))
+        .collect()
+    }
+    assert states[0] == batch

@@ -1188,6 +1188,7 @@ def _streamstate_mode(spark, base: str, k: int, out: str) -> None:
     from crawlingbigdatavisionaid_spark.sources import load_table
     from crawlingbigdatavisionaid_spark.streaming.ingest import (
         cms_merge_ingest,
+        first_seen_merge_ingest,
         journey_merge_ingest,
         ohlc_merge_ingest,
         scd2_merge_ingest,
@@ -1298,6 +1299,16 @@ def _streamstate_mode(spark, base: str, k: int, out: str) -> None:
             skyline_ingest,
             orders.select("o_orderkey", "o_totalprice", "o_orderdate"),
             "o_orderkey long, o_totalprice double, o_orderdate timestamp",
+            False,
+        ),
+        # r10 session 2: the seventh fold — per-entity idempotent
+        # merge-min (first-seen dimension). Order-free AND
+        # duplicate-safe (idempotent), so arbitrary repartition slices;
+        # state is one row per entity ever seen, flat by construction
+        "firstseen": (
+            first_seen_merge_ingest,
+            ev.where(F.col("ts").isNotNull()).select("user_id", "ts"),
+            "user_id long, ts timestamp",
             False,
         ),
     }
