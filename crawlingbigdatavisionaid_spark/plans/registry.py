@@ -86,7 +86,7 @@ QUERIES: dict[str, QuerySpec] = {}
 # zorder_bucket_profile, ann_prefix_dim_recall, revenue_gini,
 # market_concentration_hhi, nation_share_of_region,
 # cumulative_unique_users, purchase_click_ccf, user_survival_curve,
-# cohort_ltv_curve —
+# cohort_ltv_curve, stream_first_seen_merge —
 # each oracle-PASS in this round's local verify), then the r5 block
 # (embedding_quantize_int8, repetition_signals, semdedup_greedy_audit,
 # span_dedup_stats, stream_incremental_neardup, stream_neardup_recall,
