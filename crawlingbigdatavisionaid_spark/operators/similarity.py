@@ -1275,36 +1275,67 @@ def prefix_dim_topk(
     is EXACTLY ``brute_force_topk_np(emb, queries, k)`` — stage 1 then
     filters nothing and stage 2 is the exact ranking (same (-cos,
     neighbor_id) tie order, same self-exclusion) — pinned by the
-    ``ann_prefix_dim_recall`` verdict query.
+    ``ann_prefix_dim_recall`` verdict query. The rescore runs through
+    the SAME numpy path as ``brute_force_topk_np`` (``_normalize_rows``
+    + one BLAS matmul per batch + tie-aware ``_partial_topk_rows``),
+    not a second float-summation order: an SQL-aggregate cosine (the
+    r≤10 form) sums coordinates left-to-right while BLAS accumulates
+    blockwise, and a near-tie at the rank-k boundary could flip top-k
+    membership between the two (r10 advice).
 
     Scale shape: stage 1 is the one-pass blocked matmul of
     :func:`brute_force_topk_np` on sliced vectors; stage 2 touches
-    |Q| x shortlist rows — a broadcast-joined rescore, never a second
-    corpus pass. Refine ranking is a window bounded by ``shortlist``
-    rows per query."""
-    from ..functions.vectors import as_double, cosine
-
-    sliced = emb.select(id_col, F.slice(vec_col, 1, prefix_dims).alias(vec_col))
-    q_sliced = queries.select(
-        id_col, F.slice(vec_col, 1, prefix_dims).alias(vec_col)
-    )
+    only the |Q| x shortlist candidate rows — semi-joined out of the
+    corpus and rescored in one masked (B, |Q|) matmul — never a second
+    full-corpus scoring pass. The candidate set is collected into the
+    stage-2 closure: |Q| x shortlist ids, bounded by the same
+    small-query-set contract that lets stage 1 collect the query
+    matrix itself."""
     cands = brute_force_topk_np(
-        sliced, q_sliced, k=shortlist, id_col=id_col, vec_col=vec_col
+        emb.select(id_col, F.slice(vec_col, 1, prefix_dims).alias(vec_col)),
+        queries.select(
+            id_col, F.slice(vec_col, 1, prefix_dims).alias(vec_col)
+        ),
+        k=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
     ).select("query_id", "neighbor_id")
-    full_n = emb.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nvec")
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return _empty_topk(emb)
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = _normalize_rows(
+        np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     )
-    full_q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
+    # bounded closure: |Q| x shortlist (query, neighbor) pairs
+    allowed: dict[int, set[int]] = {int(q): set() for q in qids}
+    for r in cands.collect():
+        allowed[int(r["query_id"])].add(int(r["neighbor_id"]))
+    short_ids = sorted({n for s in allowed.values() for n in s})
+    keep = k + 1
+
+    def part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            nids = pdf[id_col].to_numpy()
+            c = _normalize_rows(_stack(pdf[vec_col]))
+            sims = c @ qm.T  # identical op to brute_force_topk_np
+            mask = np.empty(sims.shape, dtype=bool)
+            for j, qid in enumerate(qids):
+                aj = allowed[int(qid)]
+                mask[:, j] = [int(n) in aj for n in nids]
+            sims = np.where(mask, sims, _IVFPQ_MASKED)
+            yield _partial_topk_rows(sims, qids, nids, keep)
+
+    shortlist_df = emb.sparkSession.createDataFrame(
+        [(int(n),) for n in short_ids], f"{id_col} long"
     )
-    scored = (
-        cands.join(full_n, "neighbor_id")
-        .join(F.broadcast(full_q), "query_id")
-        .withColumn("cos", cosine(F.col("qvec"), F.col("nvec")))
+    partial = (
+        emb.join(F.broadcast(shortlist_df), id_col, "semi")
+        .select(id_col, vec_col)
+        .mapInPandas(part, _PARTIAL_SCHEMA)
+        .where(F.col("cos") > _IVFPQ_MASKED / 2)
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id")
-    )
+    return _rank_topk(partial, k)

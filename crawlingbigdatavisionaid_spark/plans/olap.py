@@ -1323,17 +1323,26 @@ def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregating 25 rows is free and scale-exempt), and every ratio
     is an exact integer floor division.
 
-    Scale shape: one star join down to the 25-row nation grain (dims
-    broadcast via ``broadcast_if_small``'s threshold logic in the
-    star-plan family), then 5-row and 1-row broadcast joins."""
+    Scale shape: one star join down to the 25-row nation grain —
+    customer routed through ``broadcast_if_small`` (SF-proportional, so
+    the hint must vanish at scale), nation/region statically broadcast
+    (constant 25/5 rows) — then 5-row and 1-row broadcast joins."""
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
     r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    # customer is SF-proportional (150k rows × SF): broadcast only while
+    # its on-disk footprint proves it small, so the hint vanishes at
+    # cluster scale and AQE picks the join strategy (r10 advice — an
+    # unconditional broadcast here broke the query's own 100 TB
+    # contract). nation/region are constant 25/5 rows: always broadcast.
     nrev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(
+            broadcast_if_small(c, spark, sf_dir, ("customer",)),
+            o.o_custkey == c.c_custkey,
+        )
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))

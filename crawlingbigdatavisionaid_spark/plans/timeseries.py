@@ -378,7 +378,24 @@ def decayed_user_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TS_SHIFT = 10**14  # positivity offset: > max |dy|*1e6 / dx at any SF
+# Sign-correct floor division shared by the Spark query and the DuckDB
+# oracle below: both engines' integer division (Spark ``DIV``, DuckDB
+# HUGEINT ``//``) truncates toward zero, which disagrees with floor for
+# negative numerators (trunc(-7/2) = -3 vs floor = -4), so subtract 1
+# exactly when the remainder is nonzero and the numerator negative.
+# This replaces the r≤10 positivity-shift trick (_TS_SHIFT = 1e14): the
+# r10 advice measured negative numerators breaching that shift at every
+# shipped SF, and a shift large enough for a 100 TB-class sf1000
+# (> max |dy|·1e6 ≈ 9e18) overflows the BIGINT quotient Spark's DIV
+# emits.  The explicit correction is magnitude-neutral — it works for
+# any |dy| whose quantized slope itself fits BIGINT, with no
+# SF-dependent constant to outgrow.
+def _floor_div_sql(num: str, den: str) -> str:
+    return (
+        f"(({num}) DIV ({den})"
+        f" - (CASE WHEN ({num}) % ({den}) != 0 AND ({num}) < 0"
+        f" THEN 1 ELSE 0 END))"
+    )
 
 
 @register(
@@ -388,10 +405,12 @@ _TS_SHIFT = 10**14  # positivity offset: > max |dy|*1e6 / dx at any SF
         WITH {_DAILY_SQL},
         p AS (
             SELECT CAST(
-                       (CAST(b.v - a.v AS HUGEINT) * 1000000
-                        + CAST({_TS_SHIFT} AS HUGEINT) * (b.idx - a.idx))
+                       (CAST(b.v - a.v AS HUGEINT) * 1000000)
                        // (b.idx - a.idx)
-                       - {_TS_SHIFT} AS BIGINT) AS slope_micros
+                       - (CASE WHEN (CAST(b.v - a.v AS HUGEINT) * 1000000)
+                                    % (b.idx - a.idx) <> 0
+                               AND b.v < a.v THEN 1 ELSE 0 END)
+                       AS BIGINT) AS slope_micros
             FROM daily a JOIN daily b ON a.idx < b.idx
         ),
         r AS (
@@ -413,12 +432,14 @@ def theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     dragged by (29.3% breakdown point vs zero). Emitted in integer
     micro-cents/day.
 
-    Exactness: each slope is quantized ONCE by exact integer floor
-    division — and because Spark's ``DIV`` truncates toward zero while
-    DuckDB's ``//`` floors, negative slopes would round apart; the
-    positivity shift (+SHIFT·dx inside the division, −SHIFT after)
-    makes every numerator positive so truncation IS floor on both
-    engines. The median is then an exact order statistic over the
+    Exactness: each slope is quantized ONCE by exact integer FLOOR
+    division. Spark's ``DIV`` and DuckDB's HUGEINT ``//`` both truncate
+    toward zero, which differs from floor exactly when the numerator is
+    negative with a nonzero remainder, so the quantizer applies the
+    sign-correct floor correction (``_floor_div_sql``) identically on
+    both engines — no positivity-shift constant that a larger SF's
+    revenue deltas could breach (the r10-advice failure mode of the old
+    1e14 shift). The median is then an exact order statistic over the
     quantized BIGINTs via :func:`operators.rank.inverse_cdf` — the
     range-repartitioned rank plan, never a single-task window (the
     oracle's ROW_NUMBER twin is oracle-scale only).
@@ -433,13 +454,12 @@ def theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _daily_revenue(spark, sf_dir).localCheckpoint(eager=False)
     a = daily.select(F.col("idx").alias("ia"), F.col("v").alias("va"))
     b = daily.select(F.col("idx").alias("ib"), F.col("v").alias("vb"))
+    num = "(CAST(vb - va AS DECIMAL(38,0)) * 1000000)"
     pairs = (
         a.join(b, F.col("ia") < F.col("ib"))
         .select(
             F.expr(
-                f"CAST((CAST(vb - va AS DECIMAL(38,0)) * 1000000"
-                f" + CAST({_TS_SHIFT} AS DECIMAL(38,0)) * (ib - ia))"
-                f" DIV (ib - ia) - {_TS_SHIFT} AS BIGINT)"
+                f"CAST({_floor_div_sql(num, '(ib - ia)')} AS BIGINT)"
             ).alias("slope_micros")
         )
     )

@@ -144,16 +144,23 @@ def test_decayed_leaderboard_matches_python_replica(spark):
 
 def test_theilsen_matches_python_replica(spark):
     daily = sorted(_daily_order_cents(spark).items())
-    SHIFT = 10**14
     slopes = []
+    saw_negative_inexact = False
     for i in range(len(daily)):
         ia, va = daily[i]
         for j in range(i + 1, len(daily)):
             ib, vb = daily[j]
             dx = ib - ia
-            # positive-numerator floor division == Spark DIV truncation
-            q = ((vb - va) * 10**6 + SHIFT * dx) // dx - SHIFT
-            slopes.append(q)
+            num = (vb - va) * 10**6
+            if num < 0 and num % dx != 0:
+                saw_negative_inexact = True
+            # Python // IS floor — the engines replicate it via the
+            # sign-correct correction in _floor_div_sql
+            slopes.append(num // dx)
+    # the data must actually exercise the trunc-vs-floor divergence,
+    # otherwise this replica proves nothing (r10 advice: the old shift
+    # passed only because affected quotients happened to be exact)
+    assert saw_negative_inexact
     slopes.sort()
     n = len(slopes)
     want = slopes[math.ceil(0.5 * n) - 1]
@@ -163,21 +170,32 @@ def test_theilsen_matches_python_replica(spark):
 
 
 def test_theilsen_negative_slope_rounding(spark):
-    """The positivity shift must make Spark's truncating DIV agree with
-    floor for NEGATIVE slopes: -3/2 cents/day quantizes to -1500000
-    floor-style (not -1500000.0 truncated toward zero differently).
-    Craft a 3-day falling series and check the median slope."""
+    """The sign-correct floor must make BOTH engines agree with Python
+    floor for NEGATIVE inexact slopes — the exact case trunc-toward-zero
+    gets wrong (trunc(-7/2) = -3, floor = -4). Replicates the quantizer
+    on both engines for dy in {-3, -7, 7} at dx=2."""
     import duckdb
 
-    # replica of both engines' quantizer on a falling pair: dy=-3, dx=2
-    SHIFT = 10**14
-    spark_style = (-3 * 10**6 + SHIFT * 2) // 2 - SHIFT  # positive num
-    con = duckdb.connect()
-    duck = con.sql(
-        f"SELECT CAST((CAST(-3 AS HUGEINT) * 1000000"
-        f" + CAST({SHIFT} AS HUGEINT) * 2) // 2 - {SHIFT} AS BIGINT)"
-    ).fetchone()[0]
-    assert spark_style == duck == -1500000
+    from crawlingbigdatavisionaid_spark.plans.timeseries import (
+        _floor_div_sql,
+    )
+
+    for dy in (-3, -7, 7):
+        num = dy * 10**6
+        want = num // 2  # Python floor
+        expr = _floor_div_sql(f"(CAST({dy} AS DECIMAL(38,0)) * 1000000)", "2")
+        got_spark = spark.sql(f"SELECT CAST({expr} AS BIGINT) AS q").collect()[
+            0
+        ]["q"]
+        duck_expr = (
+            f"(CAST({dy} AS HUGEINT) * 1000000) // 2"
+            f" - (CASE WHEN (CAST({dy} AS HUGEINT) * 1000000) % 2 <> 0"
+            f" AND {dy} < 0 THEN 1 ELSE 0 END)"
+        )
+        got_duck = duckdb.sql(
+            f"SELECT CAST({duck_expr} AS BIGINT)"
+        ).fetchone()[0]
+        assert got_spark == got_duck == want, (dy, got_spark, got_duck, want)
 
 
 def test_bootstrap_ci_matches_python_replica(spark):
