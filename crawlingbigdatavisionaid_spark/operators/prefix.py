@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from ..functions.bounded import bounded_single_partition
+
 # default chunk width in ORDER-COLUMN UNITS (not rows): with dense ids
 # this bounds each inner-window task to ~1M rows while keeping the
 # totals table tiny even at 10^12 ids
@@ -67,8 +69,19 @@ def chunked_cumsum(
     with_sub = with_sub.withColumn("_v", value).withColumn(
         "_cum_in", F.sum("_v").over(w_in)
     )
+    # the offsets window runs over the |partitions| x |chunks|-row totals
+    # table — bounded by construction. With no part_cols it would be an
+    # UNPARTITIONED window, spamming `WindowExec: No Partition Defined`
+    # on a table where that warning is noise; partition by a non-foldable
+    # constant instead (functions/bounded.py) so real unpartitioned-window
+    # regressions stay visible in logs (same execution either way).
+    off_parts = (
+        [F.col(c) for c in part_cols]
+        if part_cols
+        else [bounded_single_partition("_sub")]
+    )
     w_off = (
-        Window.partitionBy(*part_cols)
+        Window.partitionBy(*off_parts)
         .orderBy("_sub")
         .rowsBetween(Window.unboundedPreceding, -1)
     )

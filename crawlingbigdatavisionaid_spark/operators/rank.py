@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from ..functions.bounded import bounded_single_partition
+
 
 def global_rank(
     df: DataFrame,
@@ -199,8 +201,19 @@ def grouped_rank(
     cnts = local.groupBy(*group_cols, "_pid").agg(
         F.count(F.lit(1)).alias("_cnt")
     )
+    # offsets window runs over the |groups| x |partitions|-row counts
+    # table — bounded by construction. An empty group_cols would make
+    # it an UNPARTITIONED window and spam `WindowExec: No Partition
+    # Defined` where it is noise; partition by a non-foldable constant
+    # (functions/bounded.py) so the warning keeps signaling real
+    # regressions (same execution either way: one tiny partition).
+    off_parts = (
+        [F.col(c) for c in group_cols]
+        if group_cols
+        else [bounded_single_partition("_pid")]
+    )
     w_off = (
-        Window.partitionBy(*group_cols)
+        Window.partitionBy(*off_parts)
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from ..functions.bounded import bounded_single_partition
+
 
 def local_skyline_superset(df: DataFrame, x: str, y: str, key: str) -> DataFrame:
     """Per-Arrow-batch superset pass: sort by (x desc, y desc, key),
@@ -73,7 +75,15 @@ def exact_skyline(df: DataFrame, x: str, y: str, key: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     with_in = ranged.withColumn("_excl_in", F.max("_ymax").over(w_in))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    # |partitions|-row offsets table, bounded by construction — see
+    # functions/bounded.py for why the constant partition key keeps the
+    # `No Partition Defined` warning meaningful without changing the
+    # (already single-partition) execution
+    w_off = (
+        Window.partitionBy(bounded_single_partition("_pid"))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offs = (
         ranged.groupBy("_pid")
         .agg(F.max("_ymax").alias("_pmax"))

@@ -1659,7 +1659,14 @@ def vocab_growth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    cum = Window.orderBy("decile")  # 10 rows: bounded by construction
+    # 10 rows, bounded by construction; non-foldable constant partition
+    # (functions/bounded.py) keeps the `No Partition Defined` warning
+    # meaningful elsewhere
+    from ..functions.bounded import bounded_single_partition
+
+    cum = Window.partitionBy(bounded_single_partition("decile")).orderBy(
+        "decile"
+    )
     return joined.select(
         "decile",
         "n_tokens",

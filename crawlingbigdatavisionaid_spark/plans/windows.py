@@ -279,7 +279,16 @@ def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day_num", F.datediff(F.col("day"), F.lit("1992-01-01"))
         )
     )
-    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    # |days|-row table, bounded by calendar time; non-foldable constant
+    # partition (functions/bounded.py) suppresses the `No Partition
+    # Defined` noise without changing the single-partition execution
+    from ..functions.bounded import bounded_single_partition
+
+    w = (
+        Window.partitionBy(bounded_single_partition("day_num"))
+        .orderBy("day_num")
+        .rangeBetween(-6, 0)
+    )
     return daily.select(
         "day",
         F.col("rev").cast("double").alias("revenue"),
