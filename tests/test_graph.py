@@ -174,3 +174,43 @@ def test_hits_matches_integer_replica(spark):
     assert got == sorted(exp, key=lambda t: (t[0], -t[2], t[1]))
     # max-normalization: every round's best node sits at exactly SCALE
     assert got[0][2] == s and [g for g in got if g[0] == "hub"][0][2] == s
+
+
+def test_lsh_eps_join_verdict_and_operator(spark):
+    """The LSH-fronted ε-join (high-threshold path): the registered
+    verdict must self-report SET equality vs the exact block join, and
+    the operator must find exactly the planted twin pairs."""
+    from pyspark.sql import functions as F
+
+    row = G.lsh_eps_join_recall(spark, SF).first()
+    assert row["sets_equal"]
+    assert row["n_only_exact"] == 0 and row["n_only_lsh"] == 0
+    assert row["n_pairs_exact"] == row["n_pairs_lsh"] > 0
+
+    # direct operator check on a crafted corpus: two exact-duplicate
+    # groups and orthogonal noise — pairs are exactly the in-group ones
+    from crawlingbigdatavisionaid_spark.operators.similarity import (
+        lsh_cosine_pairs,
+    )
+
+    def unit(i):
+        v = [0.0] * 64
+        v[i] = 1.0
+        return v
+
+    rows = [
+        (0, unit(0)),
+        (1, unit(0)),
+        (2, unit(1)),
+        (3, unit(1)),
+        (4, unit(1)),
+        (5, unit(2)),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(
+        (r["u"], r["v"])
+        for r in lsh_cosine_pairs(
+            emb, 0.9, n_tables=8, n_planes=4, dim=64
+        ).collect()
+    )
+    assert got == [(0, 1), (2, 3), (2, 4), (3, 4)]
