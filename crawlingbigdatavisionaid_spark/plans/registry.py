@@ -52,18 +52,23 @@ QUERIES: dict[str, QuerySpec] = {}
 #       nation share, decayed leaderboard), KS shift, CMS join-size,
 #       first-touch attribution, negative sampling, prefix-dim ANN,
 #       the merge-min streaming fold, and PIT-over-streamed-SCD2;
-#   (b) greedy OP-ID coverage repair, stalest first: repetition_signals,
+#   (b) the 4 net-new r11 registrations (lsh_eps_join_recall and the
+#       perceptual dedup trio) — never-checked first-serve, and the
+#       <=10-per-round net-new cap (tools/rotation.py policy) keeps
+#       them from starving the fill;
+#   (c) greedy OP-ID coverage repair, stalest first: repetition_signals,
 #       stream_incremental_neardup, value_stats_by_type (r5-stale),
-#       curated_corpus, multimodal_frame_sample, token_stats,
-#       bpe_trainer_round1_verdict, json_extract_props,
-#       project_with_default, timeline_gapfill, latest_ingested,
-#       word_topk (r6-stale), html_extraction + ingest_observed_metrics
-#       (sole EXT/SRC/STR representatives after the stalest picks);
-#   (c) stalest-first fill to 50: the remaining r5 block
-#       (embedding_quantize_int8, semdedup_greedy_audit, span_dedup_stats,
-#       stream_neardup_recall, top_customers, total_count,
-#       users_without_orders_except, value_dispersion_by_type).
-# 28 + 14 + 8 = 50 exactly; every seat is oracle-backed.
+#       curated_corpus, token_stats, bpe_trainer_round1_verdict,
+#       json_extract_props, project_with_default, timeline_gapfill,
+#       latest_ingested, word_topk (r6-stale), html_extraction +
+#       ingest_observed_metrics (sole EXT/SRC/STR representatives after
+#       the stalest picks);
+#   (d) stalest-first fill to 50: the r5 block (embedding_quantize_int8,
+#       semdedup_greedy_audit, span_dedup_stats, stream_neardup_recall,
+#       top_customers).
+# 28 + 4 + 13 + 5 = 50 exactly; every seat is oracle-backed. Drain
+# scoreboard: the r5 tail goes 12 -> 4 and the r<=6 tail 58 -> 43 once
+# this window lands (tools/rotation.py prints the histogram).
 #
 # Rows-only disposition (unchanged): the six rows-only registrations
 # (dedup_minhash_lsh, dedup_simhash, ann_lsh_topk, ann_ivf_topk,
@@ -101,12 +106,17 @@ _PRIORITY: tuple[str, ...] = (
     "user_survival_curve",
     "cohort_ltv_curve",
     "attribution_first_touch",
+    # --- the 4 net-new r11 registrations (never-checked first-serve;
+    #     the <=10 net-new cap keeps the fill seats below intact)
+    "lsh_eps_join_recall",
+    "dedup_image_phash",
+    "dedup_image_phash_recall",
+    "dedup_audio_fingerprint",
     # --- OP-ID coverage repair (stalest eligible representative per op)
     "repetition_signals",
     "stream_incremental_neardup",
     "value_stats_by_type",
     "curated_corpus",
-    "multimodal_frame_sample",
     "token_stats",
     "bpe_trainer_round1_verdict",
     "json_extract_props",
@@ -122,9 +132,6 @@ _PRIORITY: tuple[str, ...] = (
     "span_dedup_stats",
     "stream_neardup_recall",
     "top_customers",
-    "total_count",
-    "users_without_orders_except",
-    "value_dispersion_by_type",
 )
 
 

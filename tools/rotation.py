@@ -15,6 +15,16 @@ queries are stalest of all).  The window is composed as:
 The six twin-carried rows-only registrations are excluded from staleness
 bookkeeping per the recorded disposition in ``plans/registry.py``.
 
+STALENESS-DRAIN POLICY (judge r10 next-round #3): because every
+never-checked registration consumes a seat, net-NEW registrations per
+round are CAPPED at ~10 so that >= 10 seats always remain for the
+stalest-first fill — the brief now rewards depth over breadth, and an
+uncapped registration burst would starve the tail (268 queries / 50
+seats is already a >= 5-round cycle). r11 context: 4 net-new; the r11
+window drains the r5 block to 1 remaining query and the r<=6 tail from
+58 to 43. Max staleness must DECREASE round over round — check with the
+histogram this tool can print.
+
 Usage: python tools/rotation.py   # prints the derived window and diffs
 it against the committed ``_PRIORITY`` tuple.
 """
@@ -93,6 +103,28 @@ def main() -> None:
     derived = derive()
     committed = list(registry._PRIORITY)
     print(json.dumps({"derived": derived}, indent=2))
+    # staleness histogram (0 = never driver-checked), before and after
+    # the derived window runs — the drain-policy scoreboard
+    registry._load_all()
+    q = registry.QUERIES
+    hist: dict[str, int] = {}
+    rounds = []
+    for f in sorted(glob.glob(os.path.join(
+            os.path.dirname(__file__), "..", "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        rounds.append(rnd)
+        for name in json.load(open(f)):
+            hist[name] = max(hist.get(name, 0), rnd)
+    nxt = (max(rounds) if rounds else 0) + 1
+    eligible = [n for n in q if n not in TWIN_CARRIED and q[n].oracle is not None]
+    from collections import Counter
+
+    before = Counter(hist.get(n, 0) for n in eligible)
+    after = Counter(
+        nxt if n in set(derived) else hist.get(n, 0) for n in eligible
+    )
+    print("STALENESS before:", dict(sorted(before.items())))
+    print(f"STALENESS after r{nxt} window:", dict(sorted(after.items())))
     d, c = set(derived), set(committed)
     if d == c:
         print("MATCH: derived window == committed _PRIORITY (as sets)")
