@@ -138,6 +138,10 @@ FAMILIES: dict[str, list[str]] = {
         # round 9 additions
         "setsim_prefix_join",
         "sorted_neighborhood_pairs",
+        # round 11 additions: the perceptual media near-dup tier
+        "dedup_image_phash",
+        "dedup_audio_fingerprint",
+        "dedup_phash_clusters",
     ],
     # embedding similarity + multimodal decode
     "ann": [
@@ -158,6 +162,8 @@ FAMILIES: dict[str, list[str]] = {
         "simgraph_triangle_stats",
         # round 10 additions
         "ann_prefix_dim_recall",
+        # round 11 additions: LSH-fronted high-threshold ε-join verdict
+        "lsh_eps_join_recall",
     ],
     # text quality / language statistics / selection / BPE
     "text": [

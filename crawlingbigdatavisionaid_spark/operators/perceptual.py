@@ -246,35 +246,25 @@ def _bands(n_bits: int, n_bands: int) -> list[tuple[int, int]]:
     return out
 
 
-def hamming_pair_histogram(
-    hashed: DataFrame,
-    hash_col: str,
-    n_bits: int,
-    radius: int,
-) -> DataFrame:
-    """Weighted pair counts per Hamming distance 0..``radius`` over a
-    hash column — EXACT via multi-index banding (module docstring): a
-    pair within ``radius`` differs in at most ``radius`` of the
-    ``radius + 1`` disjoint bands, so it collides on >= 1 band.
-
-    Plan shape: one corpus-sized map-side-combinable groupBy down to
-    the distinct-hash table (<= 2^n_bits rows — corpus-size-capped),
-    one lazy checkpoint, ``radius + 1`` band self-joins UNIONed and
-    deduped, one bit_count filter, one aggregate; identical-hash pairs
-    enter combinatorially as C(cnt, 2). Returns (hamming_distance,
-    n_pairs) with a zero-filled 0..radius spine."""
-    spark = hashed.sparkSession
-    h = (
+def distinct_hashes(hashed: DataFrame, hash_col: str) -> DataFrame:
+    """(h, cnt): the corpus-size-capped distinct-hash table every pair
+    enumeration here runs on (one map-side-combinable groupBy)."""
+    return (
         hashed.groupBy(F.col(hash_col).alias("h"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=False)
     )
-    d0 = h.agg(
-        F.coalesce(
-            F.sum(F.expr("cnt * (cnt - 1) DIV 2")), F.lit(0)
-        ).alias("n_pairs")
-    ).select(F.lit(0).alias("hamming_distance"), F.col("n_pairs"))
 
+
+def hamming_hash_pairs(
+    h: DataFrame, n_bits: int, radius: int
+) -> DataFrame:
+    """EXACT distinct-hash pairs within Hamming ``radius`` via
+    pigeonhole multi-index banding (module docstring): a pair within
+    ``radius`` differs in at most ``radius`` of the ``radius + 1``
+    disjoint bands, so it collides on >= 1 band. Input is the
+    :func:`distinct_hashes` table; output (hu < hv, cu, cv,
+    hamming_distance), deduped across bands."""
     cand = None
     for off, width in _bands(n_bits, radius + 1):
         mask = (1 << width) - 1
@@ -292,10 +282,33 @@ def hamming_pair_histogram(
             "hu", "cu", "hv", "cv"
         )
         cand = part if cand is None else cand.unionByName(part)
-    cross = (
+    return (
         cand.distinct()  # a pair can collide on several bands
         .withColumn("hamming_distance", F.expr("bit_count(hu ^ hv)"))
         .where(F.col("hamming_distance") <= radius)
+    )
+
+
+def hamming_pair_histogram(
+    hashed: DataFrame,
+    hash_col: str,
+    n_bits: int,
+    radius: int,
+) -> DataFrame:
+    """Weighted pair counts per Hamming distance 0..``radius`` over a
+    hash column — :func:`hamming_hash_pairs` aggregated per distance,
+    identical-hash pairs entering combinatorially as C(cnt, 2).
+    Returns (hamming_distance, n_pairs) with a zero-filled 0..radius
+    spine."""
+    spark = hashed.sparkSession
+    h = distinct_hashes(hashed, hash_col)
+    d0 = h.agg(
+        F.coalesce(
+            F.sum(F.expr("cnt * (cnt - 1) DIV 2")), F.lit(0)
+        ).alias("n_pairs")
+    ).select(F.lit(0).alias("hamming_distance"), F.col("n_pairs"))
+    cross = (
+        hamming_hash_pairs(h, n_bits, radius)
         .groupBy("hamming_distance")
         .agg(F.sum(F.expr("cu * cv")).alias("n_pairs"))
     )

@@ -441,6 +441,77 @@ def dedup_image_phash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_phash_clusters",
+    ops=("OP-X-MM-01", "OP-X-DEDUP-02"),
+    # recursive-CTE connected components over the brute-force hash-pair
+    # graph (the dedup_components oracle pattern, lifted to the
+    # perceptual grain), then the doc-weighted cluster-size histogram
+    oracle="WITH RECURSIVE " + _PHASH_SQL.lstrip() + """,
+        hh AS (SELECT phash, COUNT(*) AS cnt FROM hashes GROUP BY 1),
+        ep AS (
+            SELECT a.phash AS hu, b.phash AS hv
+            FROM hh a JOIN hh b ON a.phash < b.phash
+            WHERE bit_count(xor(a.phash, b.phash)) <= 2
+        ),
+        edges AS (
+            SELECT hu AS src, hv AS dst FROM ep
+            UNION SELECT hv, hu FROM ep
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        cc AS (
+            SELECT src AS node, LEAST(src, MIN(dst)) AS component
+            FROM reach GROUP BY src
+        ),
+        dc AS (
+            SELECT COALESCE(cc.component, hh.phash) AS comp, hh.cnt
+            FROM hh LEFT JOIN cc ON hh.phash = cc.node
+        ),
+        cl AS (SELECT comp, SUM(cnt) AS sz FROM dc GROUP BY 1)
+        SELECT CAST(sz AS BIGINT) AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters
+        FROM cl GROUP BY 1 ORDER BY 1
+    """,
+)
+def dedup_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perceptual dedup DECISION, composed end-to-end: decode ->
+    dHash -> banded Hamming-<=2 pairs -> connected components ->
+    doc-weighted cluster-size histogram (how many dedup groups of each
+    size the image corpus contains — the number a curation run reports
+    before keeping one canonical image per cluster).
+
+    The scale composition is the point (and mirrors the text funnel
+    ``dedup_components``): components run over the DISTINCT-HASH graph
+    (<= 2^17 nodes regardless of corpus size — min-label propagation
+    with path-halving, O(log diameter) rounds), and the corpus-sized
+    tables only ever see one groupBy (hash multiplicities) and one
+    broadcast-sized join back. The DuckDB oracle recomputes the same
+    clusters with a recursive CTE over the brute-force pair graph."""
+    from ..operators import perceptual as P
+    from ..operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = P.image_dhash(MM.attach_ppm(docs))
+    h = P.distinct_hashes(hashed, "phash")
+    pairs = P.hamming_hash_pairs(h, P.PHASH_BITS, 2).select("hu", "hv")
+    cc = connected_components(pairs, "hu", "hv")
+    dc = h.join(cc, h["h"] == cc["node"], "left").select(
+        F.coalesce(F.col("component"), F.col("h")).alias("comp"),
+        F.col("cnt"),
+    )
+    return (
+        dc.groupBy("comp")
+        .agg(F.sum("cnt").alias("sz"))
+        .groupBy(F.col("sz").cast("bigint").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 # 9-bit adjacent-frame-energy fingerprint of the decoded WAV clip:
 # 10 frames of 20 samples, bit k set iff energy(k+1) > energy(k).
 _AHASH_SQL = f"""
