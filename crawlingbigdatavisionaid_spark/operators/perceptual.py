@@ -300,8 +300,20 @@ def hamming_pair_histogram(
     identical-hash pairs entering combinatorially as C(cnt, 2).
     Returns (hamming_distance, n_pairs) with a zero-filled 0..radius
     spine."""
-    spark = hashed.sparkSession
-    h = distinct_hashes(hashed, hash_col)
+    return hamming_histogram_from_counts(
+        distinct_hashes(hashed, hash_col), n_bits, radius
+    )
+
+
+def hamming_histogram_from_counts(
+    h: DataFrame, n_bits: int, radius: int
+) -> DataFrame:
+    """:func:`hamming_pair_histogram` from an ALREADY-COUNTED distinct-
+    hash table (h, cnt) — the entry point for state that is maintained
+    incrementally (``streaming/ingest.phash_merge_ingest`` folds counts
+    per micro-batch; the distinct-hash table is a mergeable summary, so
+    the streamed state feeds the same histogram as a one-shot pass)."""
+    spark = h.sparkSession
     d0 = h.agg(
         F.coalesce(
             F.sum(F.expr("cnt * (cnt - 1) DIV 2")), F.lit(0)

@@ -442,6 +442,70 @@ def dedup_image_phash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_phash_merge",
+    ops=("OP-STR-01", "OP-X-MM-01", "OP-X-DEDUP-02"),
+    # streamed fold state == batch distinct-hash table, so the
+    # histogram read off it is graded by the SAME brute-force oracle
+    # as the batch dedup_image_phash — streamed index vs DuckDB, not
+    # vs our own batch code
+    oracle=_hamming_hist_sql(_PHASH_SQL, "phash", 2).replace(
+        "SELECT CAST(d.hamming_distance AS INTEGER) AS hamming_distance",
+        "SELECT TRUE AS multi_batch,"
+        " CAST(d.hamming_distance AS INTEGER) AS hamming_distance",
+    ),
+)
+def stream_phash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming perceptual-dedup index maintenance, end-to-end: the
+    document corpus drains as a multi-file delta; each micro-batch
+    runs the real encode→PNM-decode→dHash path and folds its
+    (phash, cnt) partial into the versioned state
+    (``streaming/ingest.phash_merge_ingest`` — the eighth fold shape:
+    additive counts, order-free, replay-safe); the final state — the
+    corpus-size-capped distinct-hash table, i.e. THE near-dup index —
+    yields the Hamming pair histogram exactly as the batch
+    ``dedup_image_phash`` computes it. The oracle recomputes the
+    histogram from scratch, so micro-batch merge = one-shot is proven
+    against DuckDB."""
+    import shutil
+    import tempfile
+
+    from ..operators import perceptual as P
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="phash_merge_")
+    try:
+        delta_dir = f"{root}/delta"
+        docs.repartition(3).write.parquet(delta_dir)
+        from ..streaming.ingest import phash_merge_ingest
+
+        n_batches, final_dir = phash_merge_ingest(
+            spark,
+            delta_dir,
+            f"{root}/state",
+            f"{root}/ckpt",
+            "doc_id long, text string",
+        )
+        state = spark.read.parquet(final_dir).select(
+            F.col("phash").alias("h"), "cnt"
+        )
+        rows = (
+            P.hamming_histogram_from_counts(state, P.PHASH_BITS, 2)
+            .select(
+                F.lit(n_batches > 1).alias("multi_batch"),
+                "hamming_distance",
+                "n_pairs",
+            )
+            .orderBy("hamming_distance")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "multi_batch boolean, hamming_distance int, n_pairs bigint"
+    )
+
+
+@register(
     "dedup_phash_clusters",
     ops=("OP-X-MM-01", "OP-X-DEDUP-02"),
     # recursive-CTE connected components over the brute-force hash-pair

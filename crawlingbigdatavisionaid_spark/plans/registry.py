@@ -52,7 +52,7 @@ QUERIES: dict[str, QuerySpec] = {}
 #       nation share, decayed leaderboard), KS shift, CMS join-size,
 #       first-touch attribution, negative sampling, prefix-dim ANN,
 #       the merge-min streaming fold, and PIT-over-streamed-SCD2;
-#   (b) the 5 net-new r11 registrations (lsh_eps_join_recall and the
+#   (b) the 6 net-new r11 registrations (lsh_eps_join_recall and the
 #       perceptual dedup tier) — never-checked first-serve, and the
 #       <=10-per-round net-new cap (tools/rotation.py policy) keeps
 #       them from starving the fill;
@@ -64,9 +64,9 @@ QUERIES: dict[str, QuerySpec] = {}
 #       ingest_observed_metrics (sole EXT/SRC/STR representatives after
 #       the stalest picks);
 #   (d) stalest-first fill to 50: the r5 block (embedding_quantize_int8,
-#       semdedup_greedy_audit, span_dedup_stats, stream_neardup_recall).
-# 28 + 5 + 13 + 4 = 50 exactly; every seat is oracle-backed. Drain
-# scoreboard: the r5 tail goes 12 -> 5 and the r<=6 tail 58 -> 44 once
+#       semdedup_greedy_audit, span_dedup_stats).
+# 28 + 6 + 13 + 3 = 50 exactly; every seat is oracle-backed. Drain
+# scoreboard: the r5 tail goes 12 -> 6 and the r<=6 tail 58 -> 45 once
 # this window lands (tools/rotation.py prints the histogram).
 #
 # Rows-only disposition (unchanged): the six rows-only registrations
@@ -105,13 +105,14 @@ _PRIORITY: tuple[str, ...] = (
     "user_survival_curve",
     "cohort_ltv_curve",
     "attribution_first_touch",
-    # --- the 5 net-new r11 registrations (never-checked first-serve;
+    # --- the 6 net-new r11 registrations (never-checked first-serve;
     #     the <=10 net-new cap keeps the fill seats below intact)
     "lsh_eps_join_recall",
     "dedup_image_phash",
     "dedup_image_phash_recall",
     "dedup_audio_fingerprint",
     "dedup_phash_clusters",
+    "stream_phash_merge",
     # --- OP-ID coverage repair (stalest eligible representative per op)
     "repetition_signals",
     "stream_incremental_neardup",
@@ -130,7 +131,6 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_quantize_int8",
     "semdedup_greedy_audit",
     "span_dedup_stats",
-    "stream_neardup_recall",
 )
 
 

@@ -958,3 +958,56 @@ def first_seen_merge_ingest(
         spark, delta_path, state_root, checkpoint, schema,
         partial, fold, max_files_per_trigger,
     )
+
+
+def phash_merge_ingest(
+    spark: SparkSession,
+    delta_path: str,
+    state_root: str,
+    checkpoint: str,
+    schema,
+    max_files_per_trigger: int | None = 1,
+) -> tuple[int, str | None]:
+    """Streaming PERCEPTUAL-DEDUP INDEX maintenance — the eighth fold
+    shape: each micro-batch of documents is encoded and decoded through
+    the real PNM path (``multimodal/binary.attach_ppm`` →
+    ``operators/perceptual.image_dhash``), reduced to its own
+    (phash, cnt) partial, and the fold re-sums the union. Counts are
+    additive (commutative + associative), and the versioned-state
+    replay contract makes duplicate batch delivery overwrite rather
+    than double-count, so the drained state is BIT-IDENTICAL to the
+    batch distinct-hash table under any batch slicing.
+
+    The state IS the near-dup index: it is exactly the
+    corpus-size-capped (<= 2^17 rows) distinct-hash table every
+    Hamming pair enumeration runs on, so incremental ingest keeps the
+    dedup index current WITHOUT ever rescanning history — the
+    ``stream_phash_merge`` verdict feeds it straight into
+    ``hamming_histogram_from_counts`` and grades the result against
+    the same DuckDB brute-force oracle as the batch
+    ``dedup_image_phash``.
+
+    Returns (n_batches, final_state_dir)."""
+    from pyspark.sql import functions as F
+
+    from ..multimodal.binary import attach_ppm
+    from ..operators.perceptual import image_dhash
+
+    def partial(batch_df: DataFrame) -> DataFrame:
+        return (
+            image_dhash(attach_ppm(batch_df))
+            .groupBy("phash")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    def fold(prev: DataFrame, part: DataFrame) -> DataFrame:
+        return (
+            prev.unionByName(part)
+            .groupBy("phash")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+
+    return versioned_fold_ingest(
+        spark, delta_path, state_root, checkpoint, schema,
+        partial, fold, max_files_per_trigger,
+    )

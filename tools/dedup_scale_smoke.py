@@ -1404,6 +1404,7 @@ def _streamstate_mode(spark, base: str, k: int, out: str) -> None:
         first_seen_merge_ingest,
         journey_merge_ingest,
         ohlc_merge_ingest,
+        phash_merge_ingest,
         scd2_merge_ingest,
         skyline_merge_ingest,
         theta_merge_ingest,
@@ -1522,6 +1523,16 @@ def _streamstate_mode(spark, base: str, k: int, out: str) -> None:
             first_seen_merge_ingest,
             ev.where(F.col("ts").isNotNull()).select("user_id", "ts"),
             "user_id long, ts timestamp",
+            False,
+        ),
+        # r11: the eighth fold — the perceptual-dedup index (additive
+        # (phash, cnt) counts through the real encode->decode->dHash
+        # path). Order-free, arbitrary slices; state is the
+        # corpus-size-capped distinct-hash table
+        "phash": (
+            phash_merge_ingest,
+            docs,
+            "doc_id long, text string",
             False,
         ),
     }
