@@ -555,3 +555,47 @@ def test_first_seen_fold_is_order_free_and_idempotent(spark, tmp_path):
         .collect()
     }
     assert states[0] == batch
+
+
+def test_phash_fold_is_order_free_and_batch_equal(spark, tmp_path):
+    """The eighth fold (perceptual-dedup index): draining the same
+    document corpus in 1 vs 5 arbitrary slices must produce the
+    identical (phash, cnt) state (counts are additive — commutative +
+    associative), and the state must equal the one-shot batch
+    distinct-hash table."""
+    from pyspark.sql import functions as F
+
+    from crawlingbigdatavisionaid_spark.multimodal.binary import attach_ppm
+    from crawlingbigdatavisionaid_spark.operators.perceptual import (
+        image_dhash,
+    )
+    from crawlingbigdatavisionaid_spark.sources import load_table
+    from crawlingbigdatavisionaid_spark.streaming.ingest import (
+        phash_merge_ingest,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    schema = "doc_id long, text string"
+    states = []
+    for tag, nf in [("one", 1), ("many", 5)]:
+        root = tmp_path / tag
+        docs.repartition(nf).write.parquet(str(root / "delta"))
+        n_batches, final_dir = phash_merge_ingest(
+            spark, str(root / "delta"), str(root / "state"),
+            str(root / "ckpt"), schema,
+        )
+        states.append(
+            {tuple(r) for r in spark.read.parquet(final_dir).collect()}
+        )
+        assert n_batches == nf
+    assert states[0] == states[1]
+    batch = {
+        tuple(r)
+        for r in image_dhash(attach_ppm(docs))
+        .groupBy("phash")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert states[0] == batch
