@@ -90,6 +90,10 @@ def decode_image(payload: bytes) -> dict:
         "n_pixels": width * height,
         # channel-interleaved layout: channel c is every channels-th byte
         "channel_sums": [sum(pixels[c::channels]) for c in range(channels)],
+        # the raw interleaved pixel array, so downstream feature passes
+        # (operators/perceptual.image_dhash's grid) reuse THIS decode
+        # instead of walking the header a second time
+        "pixels": pixels,
     }
 
 
@@ -244,6 +248,10 @@ def decode_audio(payload: bytes) -> dict:
         "sum_samples": sum(samples),
         "min_sample": min(samples) if samples else None,
         "max_sample": max(samples) if samples else None,
+        # the raw sample list, so downstream feature passes
+        # (operators/perceptual.audio_fingerprint's frame energies)
+        # reuse THIS decode instead of re-walking the container
+        "samples": samples,
     }
 
 

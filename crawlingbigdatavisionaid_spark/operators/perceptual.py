@@ -121,14 +121,9 @@ def image_dhash(with_payload: DataFrame) -> DataFrame:
                     d = decode_image(bytes(payload))
                 except ValueError:
                     continue
-                # re-slice the raw pixel array exactly as decode_image
-                # located it (it returns sums, not bytes; the grid needs
-                # the bytes) — same header walk, shared helper below
-                pix = _pnm_pixels(bytes(payload))
-                sums, counts = _grid_cells(
-                    d["width"], d["height"], d["channels"], pix
-                )
-                sig = f"{d['width']}x{d['height']}:" + "/".join(
+                w, h, c = d["width"], d["height"], d["channels"]
+                sums, counts = _grid_cells(w, h, c, d["pixels"])
+                sig = f"{w}x{h}:" + "/".join(
                     str(sums[cy][cx])
                     for cy in range(GRID_H)
                     for cx in range(GRID_W)
@@ -149,48 +144,6 @@ def image_dhash(with_payload: DataFrame) -> DataFrame:
     )
 
 
-def _pnm_pixels(payload: bytes) -> bytes:
-    """The pixel array of a binary PNM payload — the same
-    whitespace/comment-tolerant header walk as ``decode_image``."""
-    channels = 3 if payload[1:2] == b"6" else 1
-    pos, fields = 2, []
-    while len(fields) < 3:
-        while payload[pos : pos + 1].isspace():
-            pos += 1
-        if payload[pos : pos + 1] == b"#":
-            while payload[pos : pos + 1] != b"\n":
-                pos += 1
-            continue
-        start = pos
-        while pos < len(payload) and not payload[pos : pos + 1].isspace():
-            pos += 1
-        fields.append(int(payload[start:pos]))
-    width, height, _ = fields
-    pos += 1
-    return payload[pos : pos + width * height * channels]
-
-
-def _wav_samples(payload: bytes) -> list[int]:
-    """The raw sample list of a PCM WAV payload — the same RIFF chunk
-    walk as ``decode_audio`` (which returns statistics, not samples),
-    restricted to the 8/16-bit PCM forms it accepts."""
-    import struct
-
-    pos, fmt, data = 12, None, None
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
-        body = payload[pos + 8 : pos + 8 + size]
-        if cid == b"fmt ":
-            fmt = struct.unpack("<HHIIHH", body[:16])
-        elif cid == b"data":
-            data = body
-        pos += 8 + size + (size % 2)
-    if fmt[5] == 8:
-        return list(data)
-    return [s[0] for s in struct.iter_unpack("<h", data[: len(data) // 2 * 2])]
-
-
 _AHASH_SCHEMA = StructType(
     [StructField("doc_id", LongType()), StructField("fhash", LongType())]
 )
@@ -199,7 +152,8 @@ _AHASH_SCHEMA = StructType(
 def audio_fingerprint(with_payload: DataFrame) -> DataFrame:
     """(doc_id, payload) -> (doc_id, fhash): REAL RIFF/WAV decode, then
     a 9-bit adjacent-frame-energy fingerprint over 10 fixed frames of
-    the clip (frame k = samples [k*len/10, (k+1)*len/10); bit k set iff
+    the clip (sample i belongs to frame (i*10) // n — the per-sample
+    integer map shared with the DuckDB oracle; bit k set iff
     energy(k+1) > energy(k), exact integer sums)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -207,19 +161,21 @@ def audio_fingerprint(with_payload: DataFrame) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    decode_audio(bytes(payload))  # validates the container
-                    s = _wav_samples(bytes(payload))
+                    s = decode_audio(bytes(payload))["samples"]
                 except ValueError:
                     continue
                 n = len(s)
                 if n < AUDIO_FRAMES:
                     continue
-                energy = [
-                    sum(
-                        s[(k * n) // AUDIO_FRAMES : ((k + 1) * n) // AUDIO_FRAMES]
-                    )
-                    for k in range(AUDIO_FRAMES)
-                ]
+                # per-sample frame map (i * FRAMES) // n — the SAME
+                # integer mapping the image grid and the DuckDB oracle
+                # use, so frame boundaries cannot diverge cross-engine
+                # for any clip length (the old slice boundaries
+                # (k*n)//FRAMES disagree with the per-sample map when
+                # n % FRAMES != 0 — r11 review finding)
+                energy = [0] * AUDIO_FRAMES
+                for i, v in enumerate(s):
+                    energy[(i * AUDIO_FRAMES) // n] += v
                 h = 0
                 for k in range(AUDIO_FRAMES - 1):
                     if energy[k + 1] > energy[k]:
@@ -313,16 +269,25 @@ def hamming_histogram_from_counts(
     incrementally (``streaming/ingest.phash_merge_ingest`` folds counts
     per micro-batch; the distinct-hash table is a mergeable summary, so
     the streamed state feeds the same histogram as a one-shot pass)."""
+    return _assemble_histogram(h, hamming_hash_pairs(h, n_bits, radius), radius)
+
+
+def _assemble_histogram(
+    h: DataFrame, pairs: DataFrame, radius: int
+) -> DataFrame:
+    """Shared histogram assembly (one place for the output contract —
+    d=0 C(cnt, 2) aggregate, weighted cross counts, zero-filled spine):
+    ``pairs`` supplies (cu, cv, hamming_distance) from EITHER the banded
+    enumeration or the brute-force twin, so the twin can never silently
+    stop being a twin of the registered path (r11 review finding)."""
     spark = h.sparkSession
     d0 = h.agg(
         F.coalesce(
             F.sum(F.expr("cnt * (cnt - 1) DIV 2")), F.lit(0)
         ).alias("n_pairs")
     ).select(F.lit(0).alias("hamming_distance"), F.col("n_pairs"))
-    cross = (
-        hamming_hash_pairs(h, n_bits, radius)
-        .groupBy("hamming_distance")
-        .agg(F.sum(F.expr("cu * cv")).alias("n_pairs"))
+    cross = pairs.groupBy("hamming_distance").agg(
+        F.sum(F.expr("cu * cv")).alias("n_pairs")
     )
     spine = spark.range(radius + 1).select(
         F.col("id").cast("int").alias("hamming_distance")
@@ -348,41 +313,16 @@ def hamming_pairs_brute(
 ) -> DataFrame:
     """Parity twin of :func:`hamming_pair_histogram`: brute-force
     distinct-hash cross join (|H|^2 comparisons — oracle/test scale
-    only; the banded form is the registered path). Same output shape,
-    pinned equal in ``tests/test_perceptual.py``."""
-    spark = hashed.sparkSession
-    h = hashed.groupBy(F.col(hash_col).alias("h")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    d0 = h.agg(
-        F.coalesce(F.sum(F.expr("cnt * (cnt - 1) DIV 2")), F.lit(0)).alias(
-            "n_pairs"
-        )
-    ).select(F.lit(0).alias("hamming_distance"), F.col("n_pairs"))
+    only; the banded form is the registered path). Pair SOURCE is the
+    only difference — assembly is the shared :func:`_assemble_histogram`
+    — and the twin equality is pinned in ``tests/test_perceptual.py``."""
+    h = distinct_hashes(hashed, hash_col)
     a = h.select(F.col("h").alias("hu"), F.col("cnt").alias("cu"))
     b = h.select(F.col("h").alias("hv"), F.col("cnt").alias("cv"))
-    cross = (
+    pairs = (
         a.crossJoin(b)
         .where(F.col("hu") < F.col("hv"))
         .withColumn("hamming_distance", F.expr("bit_count(hu ^ hv)"))
         .where(F.col("hamming_distance") <= radius)
-        .groupBy("hamming_distance")
-        .agg(F.sum(F.expr("cu * cv")).alias("n_pairs"))
     )
-    spine = spark.range(radius + 1).select(
-        F.col("id").cast("int").alias("hamming_distance")
-    )
-    return (
-        spine.join(
-            d0.unionByName(cross).withColumn(
-                "hamming_distance", F.col("hamming_distance").cast("int")
-            ),
-            "hamming_distance",
-            "left",
-        )
-        .select(
-            "hamming_distance",
-            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("bigint").alias("n_pairs"),
-        )
-        .orderBy("hamming_distance")
-    )
+    return _assemble_histogram(h, pairs, radius)

@@ -1390,19 +1390,24 @@ def prefix_dim_topk(
     for r in cands.collect():
         allowed[int(r["query_id"])].add(int(r["neighbor_id"]))
     short_ids = sorted({n for s in allowed.values() for n in s})
+    # sorted per-query id arrays so the batch mask is one vectorized
+    # np.isin per query, not B x |Q| interpreted set-membership checks
+    # (r11 review finding)
+    allowed_arr = [
+        np.fromiter(sorted(allowed[int(q)]), dtype=np.int64) for q in qids
+    ]
     keep = k + 1
 
     def part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            nids = pdf[id_col].to_numpy()
+            nids = pdf[id_col].to_numpy().astype(np.int64)
             c = _normalize_rows(_stack(pdf[vec_col]))
             sims = c @ qm.T  # identical op to brute_force_topk_np
             mask = np.empty(sims.shape, dtype=bool)
-            for j, qid in enumerate(qids):
-                aj = allowed[int(qid)]
-                mask[:, j] = [int(n) in aj for n in nids]
+            for j, arr in enumerate(allowed_arr):
+                mask[:, j] = np.isin(nids, arr, assume_unique=False)
             sims = np.where(mask, sims, _IVFPQ_MASKED)
             yield _partial_topk_rows(sims, qids, nids, keep)
 

@@ -577,7 +577,10 @@ def dedup_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # 9-bit adjacent-frame-energy fingerprint of the decoded WAV clip:
-# 10 frames of 20 samples, bit k set iff energy(k+1) > energy(k).
+# AUDIO_FRAMES frames over the clip via the per-sample map, bit k set
+# iff energy(k+1) > energy(k).
+from ..operators.perceptual import AUDIO_FRAMES as P_AUDIO_FRAMES  # noqa: E402
+
 _AHASH_SQL = f"""
         s AS (
             SELECT doc_id,
@@ -588,7 +591,13 @@ _AHASH_SQL = f"""
                    unnest(generate_series(0, {MM.WAV_SAMPLES} - 1)) AS i
             FROM s
         ), en AS (
-            SELECT doc_id, CAST(i // 20 AS INTEGER) AS k,
+            -- per-sample frame map (i * FRAMES) // n, the exact twin of
+            -- audio_fingerprint's mapping — never a hard-coded frame
+            -- width, which silently diverges when WAV_SAMPLES or
+            -- AUDIO_FRAMES changes (r11 review finding)
+            SELECT doc_id,
+                   CAST((i * {P_AUDIO_FRAMES}) // {MM.WAV_SAMPLES}
+                        AS INTEGER) AS k,
                    SUM(CAST(ascii(substr(p, i + 1, 1)) AS BIGINT)) AS e
             FROM smp GROUP BY 1, 2
         ), hashes AS (

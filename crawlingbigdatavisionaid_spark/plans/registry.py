@@ -66,7 +66,7 @@ QUERIES: dict[str, QuerySpec] = {}
 #   (d) stalest-first fill to 50: the r5 block (embedding_quantize_int8,
 #       semdedup_greedy_audit, span_dedup_stats).
 # 28 + 6 + 13 + 3 = 50 exactly; every seat is oracle-backed. Drain
-# scoreboard: the r5 tail goes 12 -> 6 and the r<=6 tail 58 -> 45 once
+# scoreboard: the r5 tail goes 12 -> 6 and the r<=6 tail 53 -> 45 once
 # this window lands (tools/rotation.py prints the histogram).
 #
 # Rows-only disposition (unchanged): the six rows-only registrations

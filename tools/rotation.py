@@ -19,11 +19,12 @@ STALENESS-DRAIN POLICY (judge r10 next-round #3): because every
 never-checked registration consumes a seat, net-NEW registrations per
 round are CAPPED at ~10 so that >= 10 seats always remain for the
 stalest-first fill — the brief now rewards depth over breadth, and an
-uncapped registration burst would starve the tail (268 queries / 50
-seats is already a >= 5-round cycle). r11 context: 4 net-new; the r11
-window drains the r5 block to 1 remaining query and the r<=6 tail from
-58 to 43. Max staleness must DECREASE round over round — check with the
-histogram this tool can print.
+uncapped registration burst would starve the tail (274 queries / 50
+seats is already a >= 5-round cycle). ``main()`` warns when the
+never-checked count exceeds the cap. r11 context: 6 net-new; per the
+histogram this tool prints, the r11 window drains the r5 tail 12 -> 6
+and the r<=6 tail 53 -> 45. Max staleness must DECREASE round over
+round — check with the printed histogram.
 
 Usage: python tools/rotation.py   # prints the derived window and diffs
 it against the committed ``_PRIORITY`` tuple.
@@ -125,6 +126,18 @@ def main() -> None:
     )
     print("STALENESS before:", dict(sorted(before.items())))
     print(f"STALENESS after r{nxt} window:", dict(sorted(after.items())))
+    if after.get(0, 0) > 0:
+        print(
+            f"WARNING: {after[0]} never-checked registrations do not even"
+            " fit the window — registration volume has far outrun the"
+            " ~10 net-new-per-round cap (drain policy in this docstring)"
+        )
+    elif before.get(0, 0) > 40:
+        print(
+            f"WARNING: {before[0]} never-checked seats leave fewer than 10"
+            " for the stalest-first fill — slow down net-new registrations"
+            " (drain policy in this docstring)"
+        )
     d, c = set(derived), set(committed)
     if d == c:
         print("MATCH: derived window == committed _PRIORITY (as sets)")
