@@ -238,7 +238,21 @@ def blocked_cosine_pairs(
         .select(F.col("sr.ba").alias("ba"), F.col("sr.bb").alias("bb"),
                 F.col("er.id").alias("id"), F.col("er.v").alias("v"))
     )
-    t = float(threshold)
+    cross = _block_pair_cross(float(threshold), lambda key: key[0] == key[1])
+    return (
+        left.groupBy("ba", "bb")
+        .cogroup(right.groupBy("ba", "bb"))
+        .applyInPandas(cross, "u long, v long")
+    )
+
+
+def _block_pair_cross(t: float, diag_of):
+    """The shared sub-block-pair verify closure of the ε-joins: one
+    (|ba|, d) @ (d, |bb|) BLAS matmul per cogroup, tiled so the
+    similarity buffer stays bounded, emitting the over-threshold pairs
+    canonicalized as u < v. ``diag_of(key)`` says whether the cogroup
+    key addresses a DIAGONAL block pair (left set == right set), where
+    every pair appears both ways and as a self-pair."""
 
     def cross(key, l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -250,7 +264,7 @@ def blocked_cosine_pairs(
         rm = _normalize_rows(_stack(r["v"]))
         lids = l["id"].to_numpy().astype(np.int64)
         rids = r["id"].to_numpy().astype(np.int64)
-        diagonal = key[0] == key[1]
+        diagonal = diag_of(key)
         # tile the left side so the similarity buffer stays bounded
         # (~512 MB of float64) however large the block pair is — block
         # COUNT controls parallelism, the tile controls task memory
@@ -275,11 +289,52 @@ def blocked_cosine_pairs(
             {"u": np.concatenate(us), "v": np.concatenate(vs)}
         )
 
-    return (
-        left.groupBy("ba", "bb")
-        .cogroup(right.groupBy("ba", "bb"))
-        .applyInPandas(cross, "u long, v long")
+    return cross
+
+
+def _lsh_blocked(bk: DataFrame, bucket_cap: int) -> tuple[DataFrame, DataFrame]:
+    """Per-bucket sub-splitting of an LSH band table: every ``(t, sig)``
+    bucket of n rows is hash-split into ``nb = ceil(n / bucket_cap)``
+    disjoint sub-blocks, and an upper-triangular skeleton of
+    nb(nb+1)/2 sub-block pairs is emitted per bucket, so NO verify
+    task ever materializes more than ~2·bucket_cap vectors — however
+    concentrated the corpus (the all-vectors-in-one-cone adversary
+    funnels everything into one bucket; the split turns that bucket
+    into the :func:`blocked_cosine_pairs` decomposition instead of one
+    task).
+
+    Returns ``(blocked, skeleton)``: blocked = (t, sig, blk, id, v)
+    with blk = xxhash64(id) mod nb; skeleton = (t, sig, ba, bb) with
+    ba <= bb < nb. The sizes aggregate is bounded by T·2^P rows (the
+    hash-family's signature space), so its join back to the corpus is
+    a safe broadcast; the skeleton is Σ nb(nb+1)/2 rows — NOT bounded
+    by the family parameters (a fully-concentrated corpus makes it
+    (N/cap)²/2) — so that join is left to the planner/AQE."""
+    sizes = bk.groupBy("t", "sig").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(int(bucket_cap)))
+        .cast("int")
+        .alias("nb")
     )
+    skeleton = (
+        sizes.select(
+            "t", "sig", "nb",
+            F.explode(F.sequence(F.lit(0), F.col("nb") - 1)).alias("ba"),
+        )
+        .select(
+            "t", "sig", "ba",
+            F.explode(F.sequence(F.col("ba"), F.col("nb") - 1)).alias("bb"),
+        )
+    )
+    blocked = bk.join(F.broadcast(sizes), ["t", "sig"]).select(
+        "t",
+        "sig",
+        F.pmod(F.xxhash64(F.col("neighbor_id")), F.col("nb").cast("long"))
+        .cast("int")
+        .alias("blk"),
+        F.col("neighbor_id").alias("id"),
+        F.col("nv").alias("v"),
+    )
+    return blocked, skeleton
 
 
 def lsh_cosine_pairs(
@@ -291,6 +346,7 @@ def lsh_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    bucket_cap: int = 8192,
 ) -> DataFrame:
     """LSH-FRONTED cosine ε-join — the near-linear high-threshold path
     the :func:`blocked_cosine_pairs` docstring promises (judge r10
@@ -315,15 +371,21 @@ def lsh_cosine_pairs(
     ``--mode epslsh`` scale smoke, both of which hard-compare the pair
     SETS, not counts.
 
-    Scale shape: one corpus pass to sign (batched matmul), one shuffle
-    to (table, signature) buckets, per-bucket tiled matmuls, one
-    distinct. Per-task memory is bounded by the tile regardless of
-    bucket size; concentrated corpora (everything in one cone) send
-    most vectors to the same bucket and degrade toward the exact join's
-    cost — the operator never silently drops them (no bucket cap: the
-    contract here is exactness-given-candidates, and the smoke measures
-    the candidate volume so a degenerate family is visible)."""
-    t = float(threshold)
+    Scale shape: one corpus pass to sign (batched matmul), one bounded
+    aggregate for bucket sizes, one shuffle to (table, signature,
+    sub-block) groups, per-sub-block-pair tiled matmuls, one distinct.
+    Oversized buckets are hash-split by :func:`_lsh_blocked` into
+    ``ceil(n / bucket_cap)`` disjoint sub-blocks verified as an
+    upper-triangular skeleton of sub-block pairs (the
+    :func:`blocked_cosine_pairs` decomposition applied WITHIN a
+    bucket), so per-task memory is bounded by ~2·bucket_cap vectors
+    plus the matmul tile — a concentrated corpus (everything in one
+    cone funnels into one bucket per table) degrades toward the exact
+    join's FLOP cost across MANY bounded tasks, never one
+    executor-OOM task. The operator never silently drops candidates
+    (no bucket cap on membership: the contract is
+    exactness-given-candidates, and the smoke measures candidate
+    volume so a degenerate family is visible)."""
     _, bk = lsh_index(
         emb,
         n_tables=n_tables,
@@ -333,28 +395,41 @@ def lsh_cosine_pairs(
         vec_col=vec_col,
         seed=seed,
     )
-
-    def bucket(key, pdf):
-        empty = pd.DataFrame(
-            {"u": np.array([], dtype=np.int64), "v": np.array([], dtype=np.int64)}
+    blocked, skeleton = _lsh_blocked(bk, bucket_cap)
+    left = (
+        blocked.alias("el")
+        .join(
+            skeleton.alias("sl"),
+            (F.col("el.t") == F.col("sl.t"))
+            & (F.col("el.sig") == F.col("sl.sig"))
+            & (F.col("el.blk") == F.col("sl.ba")),
         )
-        if len(pdf) < 2:
-            return empty
-        m = _normalize_rows(_stack(pdf["nv"]))
-        ids = pdf["neighbor_id"].to_numpy().astype(np.int64)
-        tile = max(1, (1 << 26) // max(1, len(ids)))
-        us, vs = [], []
-        for s in range(0, len(ids), tile):
-            bi, bj = np.nonzero(m[s : s + tile] @ m.T >= t)
-            uu, vv = ids[s : s + tile][bi], ids[bj]
-            keep = uu < vv
-            us.append(uu[keep])
-            vs.append(vv[keep])
-        return pd.DataFrame({"u": np.concatenate(us), "v": np.concatenate(vs)})
-
+        .select(
+            F.col("el.t").alias("t"), F.col("el.sig").alias("sig"),
+            F.col("sl.ba").alias("ba"), F.col("sl.bb").alias("bb"),
+            F.col("el.id").alias("id"), F.col("el.v").alias("v"),
+        )
+    )
+    right = (
+        blocked.alias("er")
+        .join(
+            skeleton.alias("sr"),
+            (F.col("er.t") == F.col("sr.t"))
+            & (F.col("er.sig") == F.col("sr.sig"))
+            & (F.col("er.blk") == F.col("sr.bb")),
+        )
+        .select(
+            F.col("er.t").alias("t"), F.col("er.sig").alias("sig"),
+            F.col("sr.ba").alias("ba"), F.col("sr.bb").alias("bb"),
+            F.col("er.id").alias("id"), F.col("er.v").alias("v"),
+        )
+    )
+    # key = (t, sig, ba, bb); the block pair is diagonal when ba == bb
+    cross = _block_pair_cross(float(threshold), lambda key: key[2] == key[3])
     return (
-        bk.groupBy("t", "sig")
-        .applyInPandas(bucket, "u long, v long")
+        left.groupBy("t", "sig", "ba", "bb")
+        .cogroup(right.groupBy("t", "sig", "ba", "bb"))
+        .applyInPandas(cross, "u long, v long")
         .distinct()
     )
 

@@ -181,6 +181,15 @@ _EPS_LSH_OFFSET = 100_000
     # LSH front missed NOTHING: only-exact/only-lsh are 0 and the
     # checksum pins pair CONTENT, not just count. A Spark-side miss
     # surfaces as n_only_exact > 0 -> driver hash mismatch.
+    #
+    # NOTE (advice r11 #4): the literal zeros assert recall EXACTLY 1
+    # for a property that is only probabilistically argued (~5e-8 per
+    # planted pair). That holds deterministically for the SHIPPED
+    # seed + fixtures; if the test fixtures are ever REGENERATED at a
+    # new SF and this query fails as an opaque hash mismatch, first
+    # suspect a legitimately-missed pair within the probabilistic
+    # bound — relax the zeros to the measured anti-join counts (a
+    # recall report) rather than debugging it as an engine bug.
     oracle=f"""
         WITH base AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

@@ -305,11 +305,16 @@ _PHASH_SQL = f"""
         )""".format(ascii=MM.ASCII_TEXT_ORACLE)
 
 
-def _hamming_hist_sql(hash_cte: str, hash_col: str, radius: int) -> str:
+def _hamming_hist_sql(
+    hash_cte: str, hash_col: str, radius: int, extra_select: str = ""
+) -> str:
     """Brute-force per-distance weighted pair counts over a hash CTE —
     the oracle twin of ``operators/perceptual.hamming_pair_histogram``
     (the Spark side enumerates via exact pigeonhole banding; a hash
-    match here IS the recall-1.0 proof)."""
+    match here IS the recall-1.0 proof). ``extra_select`` prepends
+    literal columns to the final projection (advice r11 #2: callers
+    previously str.replace'd the SELECT line, which silently no-ops if
+    this template's wording drifts)."""
     return f"""
         WITH {hash_cte},
         hh AS (SELECT {hash_col} AS h, COUNT(*) AS cnt FROM hashes GROUP BY 1),
@@ -326,7 +331,8 @@ def _hamming_hist_sql(hash_cte: str, hash_col: str, radius: int) -> str:
             WHERE bit_count(xor(a.h, b.h)) <= {radius}
             GROUP BY 1
         )
-        SELECT CAST(d.hamming_distance AS INTEGER) AS hamming_distance,
+        SELECT {extra_select}
+               CAST(d.hamming_distance AS INTEGER) AS hamming_distance,
                CAST(COALESCE(x.n_pairs, 0) AS BIGINT) AS n_pairs
         FROM (SELECT unnest(generate_series(0, {radius}))
                   AS hamming_distance) d
@@ -448,10 +454,8 @@ def dedup_image_phash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # histogram read off it is graded by the SAME brute-force oracle
     # as the batch dedup_image_phash — streamed index vs DuckDB, not
     # vs our own batch code
-    oracle=_hamming_hist_sql(_PHASH_SQL, "phash", 2).replace(
-        "SELECT CAST(d.hamming_distance AS INTEGER) AS hamming_distance",
-        "SELECT TRUE AS multi_batch,"
-        " CAST(d.hamming_distance AS INTEGER) AS hamming_distance",
+    oracle=_hamming_hist_sql(
+        _PHASH_SQL, "phash", 2, extra_select="TRUE AS multi_batch,"
     ),
 )
 def stream_phash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -75,62 +75,60 @@ QUERIES: dict[str, QuerySpec] = {}
 # by their oracle-pinned exact twins and excluded from staleness
 # bookkeeping.
 _PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked r10: statistics / storage / graph tiers
-    "ks_value_shift",
-    "ewma_spike_days",
-    "label_propagation_communities",
-    "kcore_membership",
-    "link_prediction_jaccard",
-    "temporal_reachability",
-    "partitioned_write_prune",
-    "zorder_bucket_profile",
-    "bucketed_join_no_shuffle",
-    "revenue_gini",
-    "market_concentration_hhi",
-    "nation_share_of_region",
-    "deterministic_negative_samples",
-    "ann_prefix_dim_recall",
-    "join_size_cms_estimate",
-    "pit_over_streamed_scd2",
-    "stream_first_seen_merge",
-    # --- never driver-checked r10: time-series / retention tiers
-    "daily_revenue_acf",
-    "cusum_changepoint_day",
-    "dow_seasonal_profile",
-    "decayed_user_leaderboard",
-    "theilsen_trend",
-    "bootstrap_mean_ci",
-    "cumulative_unique_users",
-    "purchase_click_ccf",
-    "user_survival_curve",
-    "cohort_ltv_curve",
-    "attribution_first_touch",
-    # --- the 6 net-new r11 registrations (never-checked first-serve;
-    #     the <=10 net-new cap keeps the fill seats below intact)
-    "lsh_eps_join_recall",
-    "dedup_image_phash",
-    "dedup_image_phash_recall",
-    "dedup_audio_fingerprint",
-    "dedup_phash_clusters",
-    "stream_phash_merge",
-    # --- OP-ID coverage repair (stalest eligible representative per op)
-    "repetition_signals",
-    "stream_incremental_neardup",
-    "value_stats_by_type",
-    "curated_corpus",
-    "token_stats",
-    "bpe_trainer_round1_verdict",
-    "json_extract_props",
-    "project_with_default",
-    "timeline_gapfill",
-    "latest_ingested",
-    "word_topk",
+    # --- r12 window, derived by tools/rotation.py (47 swaps vs r11):
+    #     stalest-first fill draining the r6 tail 39 -> 10 alongside the
+    #     OP-coverage repair seats.  Net-new r12 registrations are seated
+    #     when they land (<=10 cap), re-deriving via the same tool.
+    "stream_neardup_recall",
+    "top_customers",
+    "total_count",
+    "users_without_orders_except",
+    "value_dispersion_by_type",
+    "window_sliding_1h_30m",
+    "ann_ivf_persisted_recall",
+    "approx_value_percentiles",
+    "daily_counts",
+    "date_range",
+    "event_type_distribution",
+    "lang_breakdown",
+    "multimodal_frame_sample",
+    "nonempty_content_count",
+    "pack_sequences",
+    "quality_score",
+    "incremental_mv_daily",
+    "bigram_pmi_topk",
+    "json_k_stats_by_type",
+    "customer_order_counts",
+    "crawl_pysource_ingest",
+    "source_distribution",
+    "html_extraction_parsed_ts",
+    "bigram_topk",
+    "crawl_frontier_schedule",
+    "text_normalize",
+    "url_canonical_dedup",
     "html_extraction",
     "ingest_observed_metrics",
-    # --- stalest-fill (r5 block)
-    "embedding_quantize_int8",
-    "semdedup_greedy_audit",
-    "span_dedup_stats",
+    "asof_click_purchase",
+    "containment_minhash_recall",
+    "daily_event_type_pivot",
+    "dedup_anti_join",
+    "dedup_canonical_docs",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "distinct_users_by_type",
+    "event_buyer_intersect",
+    "events_calendar_profile",
+    "latest_event_per_user",
+    "multimodal_metadata",
+    "orders_with_returns_semi",
+    "party_union_all",
+    "priority_year_cube",
+    "profile_documents",
+    "range_join_clicks_before_purchase",
+    "recent_events",
+    "running_revenue_by_customer",
+    "salted_segment_event_counts",
+    "segment_nation_grouping_sets",
 )
 
 

@@ -173,29 +173,43 @@ def test_theilsen_negative_slope_rounding(spark):
     """The sign-correct floor must make BOTH engines agree with Python
     floor for NEGATIVE inexact slopes — the exact case trunc-toward-zero
     gets wrong (trunc(-7/2) = -3, floor = -4). Replicates the quantizer
-    on both engines for dy in {-3, -7, 7} at dx=2."""
+    on both engines. dx=2 cases always divide dy*10^6 exactly (10^6 is
+    even), so they alone are VACUOUS for the floor correction (r11
+    advice #1: trunc == floor whenever the remainder is zero); the
+    dx=3 and dx=7 cases have non-zero remainders and fire the
+    correction branch on negative quotients (e.g. -10^6 // 3 =
+    -333334 floor vs -333333 trunc)."""
     import duckdb
 
     from crawlingbigdatavisionaid_spark.plans.timeseries import (
         _floor_div_sql,
     )
 
-    for dy in (-3, -7, 7):
+    saw_inexact_negative = False
+    for dy, dx in ((-3, 2), (-7, 2), (7, 2), (-1, 3), (1, 3), (-5, 7)):
         num = dy * 10**6
-        want = num // 2  # Python floor
-        expr = _floor_div_sql(f"(CAST({dy} AS DECIMAL(38,0)) * 1000000)", "2")
+        want = num // dx  # Python floor
+        if num < 0 and num % dx != 0:
+            saw_inexact_negative = True
+        expr = _floor_div_sql(
+            f"(CAST({dy} AS DECIMAL(38,0)) * 1000000)", str(dx)
+        )
         got_spark = spark.sql(f"SELECT CAST({expr} AS BIGINT) AS q").collect()[
             0
         ]["q"]
         duck_expr = (
-            f"(CAST({dy} AS HUGEINT) * 1000000) // 2"
-            f" - (CASE WHEN (CAST({dy} AS HUGEINT) * 1000000) % 2 <> 0"
+            f"(CAST({dy} AS HUGEINT) * 1000000) // {dx}"
+            f" - (CASE WHEN (CAST({dy} AS HUGEINT) * 1000000) % {dx} <> 0"
             f" AND {dy} < 0 THEN 1 ELSE 0 END)"
         )
         got_duck = duckdb.sql(
             f"SELECT CAST({duck_expr} AS BIGINT)"
         ).fetchone()[0]
-        assert got_spark == got_duck == want, (dy, got_spark, got_duck, want)
+        assert got_spark == got_duck == want, (
+            dy, dx, got_spark, got_duck, want,
+        )
+    # the case list must keep exercising the branch this test exists for
+    assert saw_inexact_negative
 
 
 def test_bootstrap_ci_matches_python_replica(spark):

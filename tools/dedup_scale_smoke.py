@@ -815,15 +815,21 @@ def _epslsh_mode(spark, base: str, k: int, out: str) -> None:
     emb = load_table(spark, base, "embeddings").select(
         "vec_id", F.expr("CAST(embedding AS array<double>)").alias("embedding")
     )
+    # id spaces derived from the data (advice r11 #3): hard-coded
+    # offsets collide at a large-enough SF and silently corrupt the
+    # K-linearity / set-equality asserts instead of failing cleanly
+    max_id = int(emb.agg(F.max("vec_id")).first()[0] or 0)
+    pert_off = max_id + 1
     pert = emb.select(
-        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        (F.col("vec_id") + F.lit(pert_off)).alias("vec_id"),
         F.expr(
             "transform(embedding, (x, i) ->"
             " x + 0.05D * element_at(embedding, CAST((i + 32) % 64 AS INT) + 1))"
         ).alias("embedding"),
     )
     base_corpus = emb.unionByName(pert)
-    span = 100_000_000
+    # base + pert ids occupy [0, 2 * pert_off); replicas stack above
+    span = 2 * pert_off
     parts = []
     import hashlib
 
