@@ -142,6 +142,9 @@ FAMILIES: dict[str, list[str]] = {
         "dedup_image_phash",
         "dedup_audio_fingerprint",
         "dedup_phash_clusters",
+        # round 12 additions: the standard 64-bit dHash grain
+        "dedup_image_phash64",
+        "dedup_phash64_clusters",
     ],
     # embedding similarity + multimodal decode
     "ann": [

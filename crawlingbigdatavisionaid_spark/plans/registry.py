@@ -75,10 +75,13 @@ QUERIES: dict[str, QuerySpec] = {}
 # by their oracle-pinned exact twins and excluded from staleness
 # bookkeeping.
 _PRIORITY: tuple[str, ...] = (
-    # --- r12 window, derived by tools/rotation.py (47 swaps vs r11):
-    #     stalest-first fill draining the r6 tail 39 -> 10 alongside the
-    #     OP-coverage repair seats.  Net-new r12 registrations are seated
-    #     when they land (<=10 cap), re-deriving via the same tool.
+    # --- r12 window, derived by tools/rotation.py: the 3 net-new r12
+    #     registrations (64-bit dHash tier) seat first-serve, then the
+    #     stalest-first fill drains the r6 tail 39 -> 13 alongside the
+    #     OP-coverage repair seats (<=10 net-new cap held: 3 this round).
+    "dedup_image_phash64",
+    "dedup_image_phash64_recall",
+    "dedup_phash64_clusters",
     "stream_neardup_recall",
     "top_customers",
     "total_count",
@@ -91,7 +94,6 @@ _PRIORITY: tuple[str, ...] = (
     "date_range",
     "event_type_distribution",
     "lang_breakdown",
-    "multimodal_frame_sample",
     "nonempty_content_count",
     "pack_sequences",
     "quality_score",
@@ -119,6 +121,7 @@ _PRIORITY: tuple[str, ...] = (
     "event_buyer_intersect",
     "events_calendar_profile",
     "latest_event_per_user",
+    "multimodal_frame_sample",
     "multimodal_metadata",
     "orders_with_returns_semi",
     "party_union_all",
@@ -126,9 +129,6 @@ _PRIORITY: tuple[str, ...] = (
     "profile_documents",
     "range_join_clicks_before_purchase",
     "recent_events",
-    "running_revenue_by_customer",
-    "salted_segment_event_counts",
-    "segment_nation_grouping_sets",
 )
 
 

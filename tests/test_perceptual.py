@@ -112,3 +112,80 @@ def test_bands_disjoint_and_cover():
             assert not bits & seen
             seen |= bits
         assert seen == set(range(n_bits))
+
+
+def _hash64_of(spark, payload: bytes) -> int:
+    df = spark.createDataFrame(
+        [(0, bytearray(payload))], "doc_id long, payload binary"
+    )
+    [row] = P.image_dhash64(df).collect()
+    return row["phash64"]
+
+
+def test_dhash64_known_gradient_and_invariance(spark):
+    # 9x8 strictly-increasing horizontal gradient, one pixel per grid
+    # cell: all 64 horizontal comparisons fire -> the all-ones pattern,
+    # which in signed two's complement is -1
+    pixels = bytes(
+        b for y in range(8) for x in range(9) for b in (x * 10,) * 3
+    )
+    assert _hash64_of(spark, _p6(9, 8, pixels)) == -1
+    # brightness invariance carries over
+    base = bytes(range(72))
+    shifted = bytes(v + 100 for v in base)
+    assert _hash64_of(spark, _p5(9, 8, base)) == _hash64_of(
+        spark, _p5(9, 8, shifted)
+    )
+    # uniform image -> zero
+    assert _hash64_of(spark, _p5(9, 8, bytes([50]) * 72)) == 0
+
+
+def test_dhash64_signed_representation_matches_duckdb():
+    """The sign branch (bit 63 set) never fires on the tiny shipped
+    fixtures (their images are narrower than the 9x8 grid), so pin the
+    two's-complement packing directly: the Python packer and the
+    oracle's hi/lo recombination must agree for patterns with and
+    without bit 63."""
+    import duckdb
+
+    # grid where EVERY horizontal comparison fires (bit 63 included):
+    # cell sums strictly increase along x, counts all 1
+    inc = [[x + 1 for x in range(9)] for _ in range(8)]
+    ones = [[1] * 9 for _ in range(8)]
+    assert P._dhash64_bits(inc, ones) == -1  # all 64 bits set
+    # only bit 63: last row's last comparison fires
+    sums = [[1] * 9 for _ in range(8)]
+    sums[7][8] = 2
+    h = P._dhash64_bits(sums, ones)
+    assert h == (1 << 63) - (1 << 64) == -(1 << 63)
+    # DuckDB twin of the hi/lo signed recombination for bit 63 + bit 0
+    for bits in ([63], [0], [0, 63], list(range(64))):
+        lo = sum(1 << k for k in bits if k < 32)
+        hi = sum(1 << (k - 32) for k in bits if k >= 32)
+        u = sum(1 << k for k in bits)
+        want = u - (1 << 64) if u >= 1 << 63 else u
+        got = duckdb.sql(
+            f"SELECT CAST((CASE WHEN {hi} >= 2147483648"
+            f" THEN {hi} - 4294967296 ELSE {hi} END) * 4294967296"
+            f" + {lo} AS BIGINT)"
+        ).fetchone()[0]
+        assert got == want, (bits, got, want)
+
+
+def test_dhash64_banded_equals_brute_and_recall(spark):
+    from crawlingbigdatavisionaid_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    img = P.image_dhash64(attach_ppm(docs)).localCheckpoint()
+    b1 = P.hamming_pair_histogram(img, "phash64", P.PHASH64_BITS, 3).collect()
+    b2 = P.hamming_pairs_brute(img, "phash64", 3).collect()
+    assert [tuple(r) for r in b1] == [tuple(r) for r in b2]
+    assert sum(r["n_pairs"] for r in b1) > 0
+    # identical decoded 9x8 grid => one phash64
+    mx = (
+        img.groupBy("grid_sig")
+        .agg(F.countDistinct("phash64").alias("nh"))
+        .agg(F.max("nh").alias("m"))
+        .first()["m"]
+    )
+    assert mx == 1

@@ -737,6 +737,14 @@ def _phash_mode(spark, base: str, k: int, out: str) -> None:
     for tag, hasher, attach, col, bits, radius in (
         ("image", P.image_dhash, MM.attach_ppm, "phash", P.PHASH_BITS, 2),
         (
+            "image64",
+            P.image_dhash64,
+            MM.attach_ppm,
+            "phash64",
+            P.PHASH64_BITS,
+            3,
+        ),
+        (
             "audio",
             P.audio_fingerprint,
             MM.attach_wav,
