@@ -198,6 +198,8 @@ FAMILIES: dict[str, list[str]] = {
         "phrase_search_positions",
         # round 10 additions
         "deterministic_negative_samples",
+        # round 12 additions: balanced shard manifest + epoch shuffle
+        "training_shard_manifest",
     ],
     # sketches, incremental maintenance, event analytics
     "sketch": [

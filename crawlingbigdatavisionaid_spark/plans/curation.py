@@ -284,3 +284,115 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(mixed, "mix_capped"))
         .unionByName(stage(seqs, "packed", tok_col="toks"))
     )
+
+
+_SHARDS = 16
+
+
+@register(
+    "training_shard_manifest",
+    ops=("OP-X-TXT-04", "OP-AGG-01", "OP-AGG-05"),
+    # ROW_NUMBER over the total (n_tokens DESC, doc_id) order -> striped
+    # shard, then per-shard manifest + the provable balance bound and
+    # the keyed-shuffle order pins (arg_min/arg_max on the md5 epoch key)
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, len({_SQL_TOKENS}) AS n_tokens,
+                   md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS ek
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, n_tokens, ek,
+                   ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rk
+            FROM t
+        ),
+        s AS (
+            SELECT doc_id, n_tokens, ek,
+                   CAST((rk - 1) % {_SHARDS} AS INTEGER) AS shard
+            FROM r
+        ),
+        m AS (
+            SELECT shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+                   CAST(arg_min(doc_id, ek) AS BIGINT) AS first_epoch_doc,
+                   CAST(arg_max(doc_id, ek) AS BIGINT) AS last_epoch_doc
+            FROM s GROUP BY 1
+        ),
+        b AS (SELECT MAX(sum_tokens) - MIN(sum_tokens) AS spread FROM m),
+        mx AS (SELECT MAX(n_tokens) AS max_doc FROM t)
+        SELECT m.shard, m.n_docs, m.sum_tokens,
+               m.first_epoch_doc, m.last_epoch_doc,
+               (b.spread <= mx.max_doc) AS balance_ok
+        FROM m, b, mx ORDER BY m.shard
+    """,
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced training-shard assignment + deterministic epoch
+    shuffle — the two bookkeeping operators a training run needs
+    between curation and the data loader.
+
+    SHARDING is striped LPT: documents rank by (token count DESC,
+    doc_id) — the exact scalable :func:`..operators.rank.global_rank`
+    (range-repartitioned sort + broadcast per-partition offsets),
+    never an unpartitioned window — and shard = (rank-1) mod S. For
+    sizes a1 >= a2 >= ... striped allocation telescopes: the load gap
+    between ANY two shards is at most a1 (the largest document), so
+    the manifest carries the machine-checked verdict
+    ``balance_ok = (max shard - min shard) <= max_doc_tokens`` —
+    a bound that holds at ANY corpus size by construction, not a
+    tuned heuristic.
+
+    EPOCH SHUFFLE is the keyed-hash permutation (order by
+    md5('epoch0:' || doc_id)): deterministic, seedable per epoch,
+    cluster-order-independent, and requiring NO materialized
+    permutation table — any reader reproduces the order by sorting
+    its own shard slice. The manifest pins it cross-engine with the
+    first/last doc in epoch order per shard (min_by/max_by on the md5
+    key; both engines emit lowercase hex).
+
+    Scale shape: one corpus pass for token counts, one range-
+    partitioned sort for the exact rank, one groupBy(shard) — the
+    per-shard manifest is S rows, and the balance/epoch columns are
+    aggregates of it plus two broadcast 1-row joins."""
+    from ..operators.rank import global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(T.tokens("text")).cast("bigint").alias("n_tokens"),
+        F.md5(
+            F.concat(F.lit("epoch0:"), F.col("doc_id").cast("string"))
+        ).alias("ek"),
+    ).withColumn("_neg", -F.col("n_tokens"))
+    ranked = global_rank(toks, ["_neg", "doc_id"], alias="rk")
+    m = (
+        ranked.withColumn(
+            "shard", ((F.col("rk") - 1) % _SHARDS).cast("int")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.min_by("doc_id", "ek").cast("bigint").alias("first_epoch_doc"),
+            F.max_by("doc_id", "ek").cast("bigint").alias("last_epoch_doc"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    spread = m.agg(
+        (F.max("sum_tokens") - F.min("sum_tokens")).alias("spread")
+    )
+    mx = toks.agg(F.max("n_tokens").alias("max_doc"))
+    return (
+        m.crossJoin(F.broadcast(spread))  # 1-row aggregate
+        .crossJoin(F.broadcast(mx))  # 1-row aggregate
+        .select(
+            "shard",
+            "n_docs",
+            "sum_tokens",
+            "first_epoch_doc",
+            "last_epoch_doc",
+            (F.col("spread") <= F.col("max_doc")).alias("balance_ok"),
+        )
+        .orderBy("shard")
+    )

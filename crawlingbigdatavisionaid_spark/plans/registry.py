@@ -75,25 +75,24 @@ QUERIES: dict[str, QuerySpec] = {}
 # by their oracle-pinned exact twins and excluded from staleness
 # bookkeeping.
 _PRIORITY: tuple[str, ...] = (
-    # --- r12 window, derived by tools/rotation.py: the 3 net-new r12
-    #     registrations (64-bit dHash tier) seat first-serve, then the
-    #     stalest-first fill drains the r6 tail 39 -> 13 alongside the
-    #     OP-coverage repair seats (<=10 net-new cap held: 3 this round).
+    # --- r12 window, derived by tools/rotation.py: the 4 net-new r12
+    #     registrations (64-bit dHash tier + training_shard_manifest)
+    #     seat first-serve, then the stalest-first fill drains the r6
+    #     tail alongside the OP-coverage repair seats (<=10 net-new cap
+    #     held: 4 this round).
     "dedup_image_phash64",
     "dedup_image_phash64_recall",
     "dedup_phash64_clusters",
+    "training_shard_manifest",
     "stream_neardup_recall",
     "top_customers",
-    "total_count",
     "users_without_orders_except",
-    "value_dispersion_by_type",
     "window_sliding_1h_30m",
     "ann_ivf_persisted_recall",
     "approx_value_percentiles",
     "daily_counts",
     "date_range",
     "event_type_distribution",
-    "lang_breakdown",
     "nonempty_content_count",
     "pack_sequences",
     "quality_score",
@@ -110,6 +109,8 @@ _PRIORITY: tuple[str, ...] = (
     "url_canonical_dedup",
     "html_extraction",
     "ingest_observed_metrics",
+    "total_count",
+    "value_dispersion_by_type",
     "asof_click_purchase",
     "containment_minhash_recall",
     "daily_event_type_pivot",
@@ -120,6 +121,7 @@ _PRIORITY: tuple[str, ...] = (
     "distinct_users_by_type",
     "event_buyer_intersect",
     "events_calendar_profile",
+    "lang_breakdown",
     "latest_event_per_user",
     "multimodal_frame_sample",
     "multimodal_metadata",
@@ -128,7 +130,6 @@ _PRIORITY: tuple[str, ...] = (
     "priority_year_cube",
     "profile_documents",
     "range_join_clicks_before_purchase",
-    "recent_events",
 )
 
 

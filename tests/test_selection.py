@@ -549,3 +549,52 @@ def test_negative_samples_deterministic_and_complete(spark):
         assert is_self == (neg == doc_id)
     assert set(per_anchor) == docs
     assert all(js == {1, 2, 3} for js in per_anchor.values())
+
+
+def test_training_shard_manifest_balance_and_order(spark):
+    """The striped-LPT telescoping bound (load gap between any two
+    shards <= the largest document) must hold, the verdict column must
+    report it, shards must partition the corpus exactly, and the epoch
+    order pins must be reproducible from the md5 key."""
+    from crawlingbigdatavisionaid_spark.plans.curation import (
+        training_shard_manifest,
+    )
+    from crawlingbigdatavisionaid_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    SF = "/root/testdata/sf0.001"
+    rows = training_shard_manifest(spark, SF).collect()
+    assert len(rows) == 16
+    assert all(r["balance_ok"] for r in rows)
+    docs = load_table(spark, SF, "documents")
+    n_docs = docs.count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # striping: shard doc counts differ by at most one
+    cnts = [r["n_docs"] for r in rows]
+    assert max(cnts) - min(cnts) <= 1
+    # the bound itself, recomputed independently
+    from crawlingbigdatavisionaid_spark.functions import text as T
+
+    max_doc = docs.select(
+        F.size(T.tokens("text")).alias("n")
+    ).agg(F.max("n")).first()[0]
+    sums = [r["sum_tokens"] for r in rows]
+    assert max(sums) - min(sums) <= max_doc
+    # epoch pin: shard 0's first_epoch_doc really is the md5-min doc
+    # of shard 0's member set (recompute membership by rank)
+    import hashlib
+
+    toks = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(T.tokens("text")).alias("n")
+        ).collect()
+    }
+    order = sorted(toks, key=lambda d: (-toks[d], d))
+    shard0 = [d for i, d in enumerate(order) if i % 16 == 0]
+    ek = lambda d: hashlib.md5(f"epoch0:{d}".encode()).hexdigest()
+    want_first = min(shard0, key=ek)
+    want_last = max(shard0, key=ek)
+    [r0] = [r for r in rows if r["shard"] == 0]
+    assert r0["first_epoch_doc"] == want_first
+    assert r0["last_epoch_doc"] == want_last
