@@ -90,6 +90,9 @@ FAMILIES: dict[str, list[str]] = {
         "revenue_gini",
         "market_concentration_hhi",
         "nation_share_of_region",
+        # round 12 additions
+        "q4_order_priority",
+        "q12_ship_latency_priority",
     ],
     # event-time windows, as-of/range joins, JSON extraction
     "windows": [

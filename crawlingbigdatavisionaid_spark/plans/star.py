@@ -1700,3 +1700,108 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("node"))
         .limit(20)
     )
+
+
+# --- r12: the two TPC-H shapes the suite still lacked (Q4, Q12). The
+# synthetic lineitem has no commitdate/receiptdate/shipmode columns, so
+# the late-shipment predicates are re-expressed on l_shipdate vs
+# o_orderdate lag — same join shapes (correlated EXISTS, CASE-pivot
+# over a fact-fact join), different literals.
+
+
+@register(
+    "q4_order_priority",
+    ops=("OP-AGG-01",),
+    oracle="""
+        SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+          )
+        GROUP BY 1 ORDER BY 1
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS as a LEFT SEMI join with a
+    compound (equi + range) condition — orders in a quarter that had
+    at least one line shipped >30 days after ordering, counted per
+    priority. The semi-join shuffles on the orderkey only; the date
+    filter pushes to the orders scan."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q12_ship_latency_priority",
+    ops=("OP-AGG-01",),
+    oracle="""
+        SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                    THEN 'SLOW' ELSE 'FAST' END AS ship_latency,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN
+                             ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority NOT IN
+                             ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS low_line_count
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1 ORDER BY 1
+    """,
+)
+def q12_ship_latency_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + CASE-pivot aggregation —
+    lines shipped in 1997 bucketed by ship latency (>60 days = SLOW),
+    counting high- vs low-priority order lines per bucket. One
+    shuffled join on orderkey (AQE re-plannable), one 2-group
+    aggregate; the shipdate filter pushes to the lineitem scan."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.when(
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                F.lit("SLOW"),
+            )
+            .otherwise(F.lit("FAST"))
+            .alias("ship_latency"),
+            hi.cast("int").alias("is_hi"),
+        )
+        .groupBy("ship_latency")
+        .agg(
+            F.sum("is_hi").cast("bigint").alias("high_line_count"),
+            F.sum(1 - F.col("is_hi")).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("ship_latency")
+    )
