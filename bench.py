@@ -91,7 +91,6 @@ FAMILIES: dict[str, list[str]] = {
         "market_concentration_hhi",
         "nation_share_of_region",
         # round 12 additions
-        "q4_order_priority",
         "q12_ship_latency_priority",
     ],
     # event-time windows, as-of/range joins, JSON extraction

@@ -1702,56 +1702,11 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- r12: the two TPC-H shapes the suite still lacked (Q4, Q12). The
-# synthetic lineitem has no commitdate/receiptdate/shipmode columns, so
-# the late-shipment predicates are re-expressed on l_shipdate vs
-# o_orderdate lag — same join shapes (correlated EXISTS, CASE-pivot
-# over a fact-fact join), different literals.
-
-
-@register(
-    "q4_order_priority",
-    ops=("OP-AGG-01",),
-    oracle="""
-        SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
-        FROM orders o
-        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-          AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
-          AND EXISTS (
-              SELECT 1 FROM lineitem l
-              WHERE l.l_orderkey = o.o_orderkey
-                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
-          )
-        GROUP BY 1 ORDER BY 1
-    """,
-)
-def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape: correlated EXISTS as a LEFT SEMI join with a
-    compound (equi + range) condition — orders in a quarter that had
-    at least one line shipped >30 days after ordering, counted per
-    priority. The semi-join shuffles on the orderkey only; the date
-    filter pushes to the orders scan."""
-    o = load_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
-    )
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_shipdate"
-    )
-    late = o.join(
-        li,
-        (F.col("o_orderkey") == F.col("l_orderkey"))
-        & (
-            F.col("l_shipdate")
-            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
-        ),
-        "left_semi",
-    )
-    return (
-        late.groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
-        .orderBy("o_orderpriority")
-    )
+# --- r12: the one TPC-H shape the suite still lacked (Q12). The
+# synthetic lineitem has no shipmode/commitdate/receiptdate columns, so
+# the late-shipment predicate is re-expressed on l_shipdate vs
+# o_orderdate lag (the q4_late_ship_priority convention) — same
+# CASE-pivot-over-fact-fact-join shape, different literals.
 
 
 @register(
