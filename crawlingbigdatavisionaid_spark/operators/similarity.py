@@ -292,7 +292,21 @@ def _block_pair_cross(t: float, diag_of):
     return cross
 
 
-def _lsh_blocked(bk: DataFrame, bucket_cap: int) -> tuple[DataFrame, DataFrame]:
+def _lsh_bucket_sizes(bk: DataFrame, bucket_cap: int) -> DataFrame:
+    """Per-bucket sub-block counts ``nb = ceil(n / bucket_cap)`` —
+    bounded by T·2^P rows (the hash-family's signature space), so both
+    its broadcast join back to the corpus and a scalar aggregate over
+    it are safe at any corpus size."""
+    return bk.groupBy("t", "sig").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(int(bucket_cap)))
+        .cast("int")
+        .alias("nb")
+    )
+
+
+def _lsh_blocked(
+    bk: DataFrame, bucket_cap: int, sizes: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Per-bucket sub-splitting of an LSH band table: every ``(t, sig)``
     bucket of n rows is hash-split into ``nb = ceil(n / bucket_cap)``
     disjoint sub-blocks, and an upper-triangular skeleton of
@@ -310,11 +324,8 @@ def _lsh_blocked(bk: DataFrame, bucket_cap: int) -> tuple[DataFrame, DataFrame]:
     a safe broadcast; the skeleton is Σ nb(nb+1)/2 rows — NOT bounded
     by the family parameters (a fully-concentrated corpus makes it
     (N/cap)²/2) — so that join is left to the planner/AQE."""
-    sizes = bk.groupBy("t", "sig").agg(
-        F.ceil(F.count(F.lit(1)) / F.lit(int(bucket_cap)))
-        .cast("int")
-        .alias("nb")
-    )
+    if sizes is None:
+        sizes = _lsh_bucket_sizes(bk, bucket_cap)
     skeleton = (
         sizes.select(
             "t", "sig", "nb",
@@ -385,7 +396,19 @@ def lsh_cosine_pairs(
     executor-OOM task. The operator never silently drops candidates
     (no bucket cap on membership: the contract is
     exactness-given-candidates, and the smoke measures candidate
-    volume so a degenerate family is visible)."""
+    volume so a degenerate family is visible).
+
+    Fast path: the sizes aggregate is MEASURED first (one scalar over
+    a <= T·2^P-row aggregate — the bounded-scalar legitimacy class,
+    like ``rank.global_rank``'s offset table). When NO bucket exceeds
+    ``bucket_cap`` (nb == 1 everywhere — the common case: expected
+    bucket is N·T/2^P), the direct per-bucket verify is ALREADY
+    memory-bounded by measurement, and the skeleton machinery (two
+    joins + a 4-column cogroup) would cost ~3x wall for nothing
+    (measured 9.0 s vs 3.3 s on the 40k-vector epslsh smoke); only a
+    corpus with an oversized bucket pays for the sub-split. ``bk`` is
+    checkpointed so the sizing pass and the verify pass share one
+    signature computation."""
     _, bk = lsh_index(
         emb,
         n_tables=n_tables,
@@ -395,7 +418,42 @@ def lsh_cosine_pairs(
         vec_col=vec_col,
         seed=seed,
     )
-    blocked, skeleton = _lsh_blocked(bk, bucket_cap)
+    bk = bk.localCheckpoint(eager=False)
+    sizes = _lsh_bucket_sizes(bk, bucket_cap)
+    nmax = sizes.agg(F.max("nb")).first()[0] or 0
+    t = float(threshold)
+    if nmax <= 1:
+        # every (table, sig) bucket measured <= bucket_cap rows: the
+        # whole-bucket pandas group is bounded by construction
+        def bucket(key, pdf):
+            empty = pd.DataFrame(
+                {
+                    "u": np.array([], dtype=np.int64),
+                    "v": np.array([], dtype=np.int64),
+                }
+            )
+            if len(pdf) < 2:
+                return empty
+            m = _normalize_rows(_stack(pdf["nv"]))
+            ids = pdf["neighbor_id"].to_numpy().astype(np.int64)
+            tile = max(1, (1 << 26) // max(1, len(ids)))
+            us, vs = [], []
+            for s in range(0, len(ids), tile):
+                bi, bj = np.nonzero(m[s : s + tile] @ m.T >= t)
+                uu, vv = ids[s : s + tile][bi], ids[bj]
+                keep = uu < vv
+                us.append(uu[keep])
+                vs.append(vv[keep])
+            return pd.DataFrame(
+                {"u": np.concatenate(us), "v": np.concatenate(vs)}
+            )
+
+        return (
+            bk.groupBy("t", "sig")
+            .applyInPandas(bucket, "u long, v long")
+            .distinct()
+        )
+    blocked, skeleton = _lsh_blocked(bk, bucket_cap, sizes)
     left = (
         blocked.alias("el")
         .join(
