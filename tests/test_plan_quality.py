@@ -501,3 +501,35 @@ def test_phrase_search_reads_two_posting_lists(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     scan = _read_schema(spark, sf_dir, "phrase_search_positions", "documents")
     assert "lang" not in scan and "source" not in scan
+
+
+def test_q12_filter_pushed_and_join_not_cartesian(spark, sf_dir):
+    """Q12 shape: the shipdate window must reach the lineitem scan,
+    both scans must prune to the 2-3 needed columns, and the
+    fact-fact join stays a hash join."""
+    plan = _plan(spark, sf_dir, "q12_ship_latency_priority")
+    assert "(l_shipdate" in plan and "1997-01-01" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    scan_li = _read_schema(
+        spark, sf_dir, "q12_ship_latency_priority", "lineitem"
+    )
+    assert "l_extendedprice" not in scan_li and "l_quantity" not in scan_li
+    scan_o = _read_schema(spark, sf_dir, "q12_ship_latency_priority", "orders")
+    assert "o_totalprice" not in scan_o
+
+
+def test_training_shard_manifest_no_unpartitioned_window(spark, sf_dir):
+    """The shard rank must come from the range-partitioned global_rank,
+    never a single-task global window, and the balance/epoch scalars
+    must enter as broadcast 1-row joins."""
+    plan = _plan(spark, sf_dir, "training_shard_manifest")
+    import re
+
+    for m in re.finditer(r"Window \[", plan):
+        seg = plan[m.start() : m.start() + 300]
+        assert "_pid" in seg  # every window is partitioned by _pid
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # documents scan prunes to the two needed columns
+    scan = _read_schema(spark, sf_dir, "training_shard_manifest", "documents")
+    assert "source" not in scan and "url" not in scan
