@@ -246,47 +246,52 @@ def blocked_cosine_pairs(
     )
 
 
+def _tile_pairs(lm, rm, lids, rids, t: float, diagonal: bool) -> pd.DataFrame:
+    """The ONE tiled over-threshold pair kernel every ε-join verify
+    path shares (normalize happens in the caller): tile the left side
+    so the similarity buffer stays bounded (~512 MB of float64)
+    however large the block pair is — block COUNT controls
+    parallelism, the tile controls task memory. Emits pairs
+    canonicalized as u < v; ``diagonal`` means left set == right set
+    (every pair appears both ways and as a self-pair, keep the u < v
+    half), off-diagonal blocks are disjoint (each unordered pair
+    appears once, min/max-canonicalized)."""
+    tile = max(1, (1 << 26) // max(1, len(rids)))
+    us, vs = [], []
+    for s in range(0, len(lids), tile):
+        bi, bj = np.nonzero(lm[s : s + tile] @ rm.T >= t)
+        uu, vv = lids[s : s + tile][bi], rids[bj]
+        if diagonal:
+            keep = uu < vv
+            uu, vv = uu[keep], vv[keep]
+        else:
+            uu, vv = np.minimum(uu, vv), np.maximum(uu, vv)
+        us.append(uu)
+        vs.append(vv)
+    return pd.DataFrame({"u": np.concatenate(us), "v": np.concatenate(vs)})
+
+
 def _block_pair_cross(t: float, diag_of):
     """The shared sub-block-pair verify closure of the ε-joins: one
-    (|ba|, d) @ (d, |bb|) BLAS matmul per cogroup, tiled so the
-    similarity buffer stays bounded, emitting the over-threshold pairs
-    canonicalized as u < v. ``diag_of(key)`` says whether the cogroup
-    key addresses a DIAGONAL block pair (left set == right set), where
-    every pair appears both ways and as a self-pair."""
+    (|ba|, d) @ (d, |bb|) BLAS matmul per cogroup via
+    :func:`_tile_pairs`. ``diag_of(key)`` says whether the cogroup
+    key addresses a DIAGONAL block pair (left set == right set)."""
 
     def cross(key, l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"u": np.array([], dtype=np.int64), "v": np.array([], dtype=np.int64)}
-        )
         if len(l) == 0 or len(r) == 0:
-            return empty
-        lm = _normalize_rows(_stack(l["v"]))
-        rm = _normalize_rows(_stack(r["v"]))
-        lids = l["id"].to_numpy().astype(np.int64)
-        rids = r["id"].to_numpy().astype(np.int64)
-        diagonal = diag_of(key)
-        # tile the left side so the similarity buffer stays bounded
-        # (~512 MB of float64) however large the block pair is — block
-        # COUNT controls parallelism, the tile controls task memory
-        tile = max(1, (1 << 26) // max(1, len(rids)))
-        us, vs = [], []
-        for s in range(0, len(lids), tile):
-            bi, bj = np.nonzero(lm[s : s + tile] @ rm.T >= t)
-            uu, vv = lids[s : s + tile][bi], rids[bj]
-            if diagonal:
-                # diagonal block: left == right, every pair appears
-                # both ways (and as a self-pair) — keep the u < v half
-                keep = uu < vv
-                uu, vv = uu[keep], vv[keep]
-            else:
-                # off-diagonal: each unordered pair appears exactly
-                # once (blocks are disjoint), but hash-blocking does
-                # not order ids across blocks — canonicalize instead
-                uu, vv = np.minimum(uu, vv), np.maximum(uu, vv)
-            us.append(uu)
-            vs.append(vv)
-        return pd.DataFrame(
-            {"u": np.concatenate(us), "v": np.concatenate(vs)}
+            return pd.DataFrame(
+                {
+                    "u": np.array([], dtype=np.int64),
+                    "v": np.array([], dtype=np.int64),
+                }
+            )
+        return _tile_pairs(
+            _normalize_rows(_stack(l["v"])),
+            _normalize_rows(_stack(r["v"])),
+            l["id"].to_numpy().astype(np.int64),
+            r["id"].to_numpy().astype(np.int64),
+            t,
+            diag_of(key),
         )
 
     return cross
@@ -408,7 +413,11 @@ def lsh_cosine_pairs(
     (measured 9.0 s vs 3.3 s on the 40k-vector epslsh smoke); only a
     corpus with an oversized bucket pays for the sub-split. ``bk`` is
     checkpointed so the sizing pass and the verify pass share one
-    signature computation."""
+    signature computation. NOTE: the measurement makes DataFrame
+    CONSTRUCTION eager (one signing pass + one bounded aggregate run
+    at build time); nothing is duplicated when the result executes —
+    the verify pass reuses the checkpoint — but plan-only inspection
+    pays the sizing job."""
     _, bk = lsh_index(
         emb,
         n_tables=n_tables,
@@ -424,29 +433,20 @@ def lsh_cosine_pairs(
     t = float(threshold)
     if nmax <= 1:
         # every (table, sig) bucket measured <= bucket_cap rows: the
-        # whole-bucket pandas group is bounded by construction
+        # whole-bucket pandas group is bounded by construction — one
+        # diagonal _tile_pairs per bucket (the SAME kernel the
+        # skeleton path runs, so the two paths cannot drift)
         def bucket(key, pdf):
-            empty = pd.DataFrame(
-                {
-                    "u": np.array([], dtype=np.int64),
-                    "v": np.array([], dtype=np.int64),
-                }
-            )
             if len(pdf) < 2:
-                return empty
+                return pd.DataFrame(
+                    {
+                        "u": np.array([], dtype=np.int64),
+                        "v": np.array([], dtype=np.int64),
+                    }
+                )
             m = _normalize_rows(_stack(pdf["nv"]))
             ids = pdf["neighbor_id"].to_numpy().astype(np.int64)
-            tile = max(1, (1 << 26) // max(1, len(ids)))
-            us, vs = [], []
-            for s in range(0, len(ids), tile):
-                bi, bj = np.nonzero(m[s : s + tile] @ m.T >= t)
-                uu, vv = ids[s : s + tile][bi], ids[bj]
-                keep = uu < vv
-                us.append(uu[keep])
-                vs.append(vv[keep])
-            return pd.DataFrame(
-                {"u": np.concatenate(us), "v": np.concatenate(vs)}
-            )
+            return _tile_pairs(m, m, ids, ids, t, diagonal=True)
 
         return (
             bk.groupBy("t", "sig")

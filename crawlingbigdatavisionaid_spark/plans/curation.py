@@ -382,7 +382,10 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread = m.agg(
         (F.max("sum_tokens") - F.min("sum_tokens")).alias("spread")
     )
-    mx = toks.agg(F.max("n_tokens").alias("max_doc"))
+    # max over RANKED (global_rank's offsets pass already materialized
+    # its checkpoint), not over toks — a toks branch would re-run the
+    # corpus tokenization a second time (r12 self-review finding)
+    mx = ranked.agg(F.max("n_tokens").alias("max_doc"))
     return (
         m.crossJoin(F.broadcast(spread))  # 1-row aggregate
         .crossJoin(F.broadcast(mx))  # 1-row aggregate

@@ -169,7 +169,6 @@ def simgraph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EPS_LSH_T = "0.9"
-_EPS_LSH_OFFSET = 100_000
 
 
 @register(
@@ -195,7 +194,12 @@ _EPS_LSH_OFFSET = 100_000
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
         ),
         pert AS (
-            SELECT vec_id + {_EPS_LSH_OFFSET} AS vec_id,
+            -- twin ids offset by max(vec_id)+1, DERIVED from the data
+            -- (r12 self-review: a hard-coded offset silently collides
+            -- with real ids at a large-enough SF / replica count —
+            -- the advice-r11-#3 hazard, fixed here at the registered
+            -- query, not only in the smoke)
+            SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM base) AS vec_id,
                    list_transform(
                        e, (x, i) -> x + 0.05 * e[((i - 1 + 32) % 64) + 1]
                    ) AS e
@@ -246,8 +250,11 @@ def lsh_eps_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("CAST(embedding AS array<double>)").alias("embedding")
     )
-    pert = emb.select(
-        (F.col("vec_id") + F.lit(_EPS_LSH_OFFSET)).alias("vec_id"),
+    # twin-id offset derived from the data (max + 1, broadcast 1-row) —
+    # matches the oracle's scalar subquery, collision-proof at any SF
+    off = emb.agg((F.max("vec_id") + 1).alias("_off"))
+    pert = emb.crossJoin(F.broadcast(off)).select(
+        (F.col("vec_id") + F.col("_off")).alias("vec_id"),
         F.expr(
             "transform(embedding, (x, i) ->"
             " x + 0.05D * element_at(embedding, CAST((i + 32) % 64 AS INT) + 1))"
