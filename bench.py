@@ -144,9 +144,11 @@ FAMILIES: dict[str, list[str]] = {
         "dedup_image_phash",
         "dedup_audio_fingerprint",
         "dedup_phash_clusters",
-        # round 12 additions: the standard 64-bit dHash grain
+        # round 12 additions: the standard 64-bit dHash grain + the
+        # sequency-domain (exact integer WHT) audio fingerprint
         "dedup_image_phash64",
         "dedup_phash64_clusters",
+        "dedup_audio_wht",
     ],
     # embedding similarity + multimodal decode
     "ann": [

@@ -75,16 +75,17 @@ QUERIES: dict[str, QuerySpec] = {}
 # by their oracle-pinned exact twins and excluded from staleness
 # bookkeeping.
 _PRIORITY: tuple[str, ...] = (
-    # --- r12 window, derived by tools/rotation.py: the 5 net-new r12
-    #     registrations (64-bit dHash tier, training_shard_manifest,
-    #     TPC-H q12) seat first-serve, then the stalest-first fill
-    #     drains the r6 tail alongside the OP-coverage repair seats
-    #     (<=10 net-new cap held: 5 this round).
+    # --- r12 window, derived by tools/rotation.py: the 6 net-new r12
+    #     registrations (64-bit dHash tier, WHT audio fingerprint,
+    #     training_shard_manifest, TPC-H q12) seat first-serve, then
+    #     the stalest-first fill drains the r6 tail alongside the
+    #     OP-coverage repair seats (<=10 net-new cap held: 6).
     "dedup_image_phash64",
     "dedup_image_phash64_recall",
     "dedup_phash64_clusters",
     "training_shard_manifest",
     "q12_ship_latency_priority",
+    "dedup_audio_wht",
     "stream_neardup_recall",
     "top_customers",
     "users_without_orders_except",
@@ -129,7 +130,6 @@ _PRIORITY: tuple[str, ...] = (
     "orders_with_returns_semi",
     "party_union_all",
     "priority_year_cube",
-    "profile_documents",
 )
 
 

@@ -189,3 +189,38 @@ def test_dhash64_banded_equals_brute_and_recall(spark):
         .first()["m"]
     )
     assert mx == 1
+
+
+def test_wht_exactness_and_banded_equals_brute(spark):
+    # transform properties: impulse -> flat, constant -> DC-only,
+    # Parseval (integer, exact)
+    assert P._wht8([1, 0, 0, 0, 0, 0, 0, 0]) == [1] * 8
+    assert P._wht8([3] * 8) == [24, 0, 0, 0, 0, 0, 0, 0]
+    e = [5, 1, 4, 1, 5, 9, 2, 6]
+    w = P._wht8(e)
+    assert sum(x * x for x in w) == 8 * sum(x * x for x in e)
+    # constant clip -> all non-DC coefficients 0 -> whash 0
+    import struct
+
+    def wav(samples: bytes) -> bytes:
+        n = len(samples)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+            + b"data" + struct.pack("<I", n) + samples
+        )
+
+    df = spark.createDataFrame(
+        [(0, bytearray(wav(bytes([70]) * 64)))], "doc_id long, payload binary"
+    )
+    [row] = P.audio_wht_fingerprint(df).collect()
+    assert row["whash"] == 0
+    # corpus: banded enumeration == brute force, non-degenerate
+    from crawlingbigdatavisionaid_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    wht = P.audio_wht_fingerprint(attach_wav(docs)).localCheckpoint()
+    b1 = P.hamming_pair_histogram(wht, "whash", 7, 1).collect()
+    b2 = P.hamming_pairs_brute(wht, "whash", 1).collect()
+    assert [tuple(r) for r in b1] == [tuple(r) for r in b2]
+    assert sum(r["n_pairs"] for r in b1) > 0

@@ -752,6 +752,14 @@ def _phash_mode(spark, base: str, k: int, out: str) -> None:
             P.AHASH_BITS,
             1,
         ),
+        (
+            "audiowht",
+            P.audio_wht_fingerprint,
+            MM.attach_wav,
+            "whash",
+            7,
+            1,
+        ),
     ):
         hashed1 = hasher(attach(docs)).localCheckpoint()
         base_hist = {
