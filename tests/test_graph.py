@@ -255,6 +255,17 @@ def test_lsh_eps_join_hot_bucket_is_memory_bounded(spark):
     assert got == exact
     assert len(got) == n * (n - 1) // 2
 
+    # advice r12 #1: the lazy opt-out (no build-time sizing job) takes
+    # the skeleton path unconditionally and must stay pair-exact
+    lazy = sorted(
+        (r["u"], r["v"])
+        for r in lsh_cosine_pairs(
+            emb, 0.9, n_tables=4, n_planes=8, dim=64, bucket_cap=cap,
+            eager_sizing=False,
+        ).collect()
+    )
+    assert lazy == exact
+
     # the bound itself, asserted on the operator's OWN block assignment
     _, bk = lsh_index(emb, n_tables=4, n_planes=8, dim=64)
     blocked, skeleton = _lsh_blocked(bk, cap)

@@ -757,7 +757,7 @@ def _phash_mode(spark, base: str, k: int, out: str) -> None:
             P.audio_wht_fingerprint,
             MM.attach_wav,
             "whash",
-            7,
+            P.WHASH_BITS,
             1,
         ),
     ):
