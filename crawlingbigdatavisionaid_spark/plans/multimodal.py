@@ -831,7 +831,9 @@ _AHASH_SQL = f"""
 # oracle emits a hash for EVERY document — sound only because the
 # synthetic-WAV geometry (rpad to WAV_SAMPLES) guarantees n >= 8 for all
 # rows (advice r12 #3: assert the assumption where the oracle is built)
-assert WAV_SAMPLES >= P.AUDIO_FRAMES_WHT
+from ..operators.perceptual import AUDIO_FRAMES_WHT as _AUDIO_FRAMES_WHT  # noqa: E402
+
+assert MM.WAV_SAMPLES >= _AUDIO_FRAMES_WHT
 _WHT_SQL = f"""
         s AS (
             SELECT doc_id,
