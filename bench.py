@@ -149,6 +149,8 @@ FAMILIES: dict[str, list[str]] = {
         "dedup_image_phash64",
         "dedup_phash64_clusters",
         "dedup_audio_wht",
+        # round 13 addition: the 2-D sequency (WHT) image grain
+        "dedup_image_whash",
     ],
     # embedding similarity + multimodal decode
     "ann": [

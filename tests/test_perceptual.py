@@ -266,6 +266,59 @@ def test_hamming_hot_band_is_memory_bounded(spark):
     assert skeleton.count() == nb * (nb + 1) // 2
 
 
+def test_image_whash_2d_wht_properties_and_banded(spark):
+    """2-D WHT exactness (impulse, constant, Parseval) and the banded
+    == brute twin for the 63-bit sequency image hash."""
+    # impulse at (0,0) -> flat +1 spectrum; at (y0,x0) -> signs
+    # (-1)^(popcount(ky&y0)+popcount(kx&x0))
+    imp = [[0] * 8 for _ in range(8)]
+    imp[0][0] = 3
+    assert P._wht8_2d(imp) == [[3] * 8 for _ in range(8)]
+    imp2 = [[0] * 8 for _ in range(8)]
+    imp2[2][5] = 1
+    w = P._wht8_2d(imp2)
+    for ky in range(8):
+        for kx in range(8):
+            sgn = (-1) ** (bin(ky & 2).count("1") + bin(kx & 5).count("1"))
+            assert w[ky][kx] == sgn
+    # constant matrix -> DC-only
+    w = P._wht8_2d([[7] * 8 for _ in range(8)])
+    assert w[0][0] == 7 * 64 and sum(abs(w[a][b]) for a in range(8) for b in range(8)) == 7 * 64
+    # 2-D Parseval: sum W^2 == 64 * sum S^2
+    import random
+
+    rng = random.Random(3)
+    m = [[rng.randrange(100) for _ in range(8)] for _ in range(8)]
+    w = P._wht8_2d(m)
+    assert sum(x * x for r in w for x in r) == 64 * sum(
+        x * x for r in m for x in r
+    )
+    # uniform image -> hash 0 (every non-DC coefficient vanishes)
+    df = spark.createDataFrame(
+        [(0, bytearray(_p5(8, 8, bytes([90]) * 64)))],
+        "doc_id long, payload binary",
+    )
+    [row] = P.image_whash64(df).collect()
+    assert row["iwhash"] == 0
+    # corpus: banded enumeration == brute force, non-degenerate
+    from crawlingbigdatavisionaid_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    img = P.image_whash64(attach_ppm(docs)).localCheckpoint()
+    b1 = P.hamming_pair_histogram(img, "iwhash", P.IWHASH_BITS, 3).collect()
+    b2 = P.hamming_pairs_brute(img, "iwhash", 3).collect()
+    assert [tuple(r) for r in b1] == [tuple(r) for r in b2]
+    assert sum(r["n_pairs"] for r in b1) > 0
+    # identical grid => one iwhash (hash is a function of cell sums)
+    mx = (
+        img.groupBy("grid_sig")
+        .agg(F.countDistinct("iwhash").alias("nh"))
+        .agg(F.max("nh").alias("m"))
+        .first()["m"]
+    )
+    assert mx == 1
+
+
 def test_wht_exactness_and_banded_equals_brute(spark):
     # transform properties: impulse -> flat, constant -> DC-only,
     # Parseval (integer, exact)
