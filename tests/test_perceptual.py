@@ -266,6 +266,33 @@ def test_hamming_hot_band_is_memory_bounded(spark):
     assert skeleton.count() == nb * (nb + 1) // 2
 
 
+def test_hamming_band_joins_carry_the_band_key(spark):
+    """Plan pin for the r13 lineage fix: the blocked x skeleton joins
+    must be EQUI-joins on (band value, block) — when skeleton and
+    blocked shared a column literally named ``b``, Spark resolved the
+    band-equality predicate to the same attribute and silently dropped
+    it as trivially true, degrading every band bucket join to a
+    cross-match over band values (correct results — banding is a
+    candidate generator — but the scale discipline destroyed). Assert
+    each skeleton join carries BOTH keys and nothing degrades to a
+    cartesian/nested-loop."""
+    import re
+
+    h = spark.createDataFrame([(1, 1), (2, 1)], "h long, cnt long")
+    df = P.hamming_hash_pairs(h, 64, 3, bucket_cap=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    skel = re.findall(
+        r"Join \[([^\]]*)\], \[([^\]]*sb#[^\]]*)\]", plan
+    )
+    # 4 bands x 2 sides (ba tag + bb tag) of the skeleton join
+    assert len(skel) == 8, plan
+    for left, right in skel:
+        assert "b#" in left and "blk#" in left, (left, right)
+        assert re.search(r"\b(ba|bb)#", right), (left, right)
+
+
 def test_image_whash_2d_wht_properties_and_banded(spark):
     """2-D WHT exactness (impulse, constant, Parseval) and the banded
     == brute twin for the 63-bit sequency image hash."""
