@@ -302,7 +302,11 @@ def _band_blocked(
     INSIDE the lazy plan (no build-time measurement) and is broadcast
     while ``width <= 20`` keeps it driver-safe; wider bands are left to
     the planner/AQE. Returns ``(blocked, skeleton)``: blocked =
-    (b, blk, h, cnt), skeleton = (b, ba, bb) with ba <= bb < nb."""
+    (b, blk, nb, h, cnt), skeleton = (sb, ba, bb) with ba <= bb < nb.
+    ``hamming_hash_pairs`` derives its sub-block-pair tags by EXPLODING
+    ranges on ``blocked`` directly (narrow ops — no skeleton join; see
+    its docstring), so the skeleton here serves the tests/smokes that
+    assert the decomposition's shape."""
     sizes = bt.groupBy("b").agg(
         F.ceil(F.count(F.lit(1)) / F.lit(int(cap))).cast("int").alias("nb")
     )
@@ -329,6 +333,7 @@ def _band_blocked(
         F.pmod(F.xxhash64(F.col("h")), F.col("nb").cast("long"))
         .cast("int")
         .alias("blk"),
+        "nb",
         "h",
         "cnt",
     )
@@ -352,11 +357,15 @@ def hamming_hash_pairs(
     long equal-bit runs) would concentrate |bucket|² join work in one
     task. So every (band, value) bucket of n distinct hashes is
     hash-split into ``nb = ceil(n / bucket_cap)`` disjoint sub-blocks
-    (``blk = xxhash64(h) mod nb``) and enumerated as the
-    upper-triangular skeleton of nb(nb+1)/2 sub-block pairs, keyed
+    (``blk = xxhash64(h) mod nb``) and enumerated over the
+    upper-triangular grid of nb(nb+1)/2 sub-block pairs, keyed
     (band value, ba, bb) so BOTH join sides buffer <= bucket_cap rows
     per key — a fully-concentrated band degrades into many bounded
-    tasks, never one executor-OOM task. Unlike ``lsh_cosine_pairs``,
+    tasks, never one executor-OOM task. The (ba, bb) cell tags are
+    produced by EXPLODING ranges on the blocked rows themselves (a
+    block-i row left-serves cells (i, i..nb-1) and right-serves cells
+    (0..i, i)) — narrow generators, so each band pays exactly one
+    shuffling join plus the bounded sizes aggregate. Unlike ``lsh_cosine_pairs``,
     the sizing aggregate needs NO build-time measurement: per band it
     is bounded by ``min(|H|, 2^band_width)`` rows (2^16 for the 64-bit
     grain's 16-bit bands), so the skeleton lives INSIDE the lazy plan —
@@ -368,7 +377,7 @@ def hamming_hash_pairs(
 
     Pair-exactness argument: ``blk`` is a FUNCTION of the hash, so each
     distinct hash lands in exactly one sub-block and each unordered
-    pair {x, y} within a bucket appears in exactly one skeleton cell —
+    pair {x, y} within a bucket appears in exactly one grid cell —
     (blk(x), blk(y)) ordered — once: diagonal cells (ba == bb) keep
     ``hu < hv``, off-diagonal cells keep every cross row and canonical
     (least, greatest) ordering re-labels the counts. The cross-band
@@ -385,32 +394,33 @@ def hamming_hash_pairs(
             "cnt",
             F.expr(f"shiftrightunsigned(h, {off}) & {mask}").alias("b"),
         )
-        blocked, skeleton = _band_blocked(bt, width, cap)
-        a = (
-            blocked.join(
-                skeleton,
-                (F.col("b") == F.col("sb")) & (F.col("blk") == F.col("ba")),
-            )
-            .select(
-                "b",
-                "ba",
-                "bb",
-                F.col("h").alias("hu"),
-                F.col("cnt").alias("cu"),
-            )
+        blocked, _skeleton = _band_blocked(bt, width, cap)
+        # sub-block-pair tagging WITHOUT skeleton joins (the r13 plan
+        # diet): a row in block i serves as the LEFT side of cells
+        # (i, bb) for bb in [i, nb) and as the RIGHT side of cells
+        # (ba, i) for ba in [0, i] — two narrow explodes replace the
+        # three shuffling joins of the skeleton form (PLANS.md showed
+        # ~7 exchanges per band; this shape pays 3: the sizes
+        # aggregate and the one (b, ba, bb)-keyed join), with the
+        # identical per-key memory bound (each side of a cell buffers
+        # one sub-block)
+        a = blocked.select(
+            "b",
+            F.col("blk").alias("ba"),
+            F.explode(
+                F.sequence(F.col("blk"), F.col("nb") - 1)
+            ).alias("bb"),
+            F.col("h").alias("hu"),
+            F.col("cnt").alias("cu"),
         )
-        bside = (
-            blocked.join(
-                skeleton,
-                (F.col("b") == F.col("sb")) & (F.col("blk") == F.col("bb")),
-            )
-            .select(
-                "b",
-                "ba",
-                "bb",
-                F.col("h").alias("hv"),
-                F.col("cnt").alias("cv"),
-            )
+        bside = blocked.select(
+            "b",
+            F.explode(
+                F.sequence(F.lit(0), F.col("blk"))
+            ).alias("ba"),
+            F.col("blk").alias("bb"),
+            F.col("h").alias("hv"),
+            F.col("cnt").alias("cv"),
         )
         part = (
             a.join(bside, ["b", "ba", "bb"])

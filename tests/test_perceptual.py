@@ -283,14 +283,25 @@ def test_hamming_band_joins_carry_the_band_key(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    skel = re.findall(
-        r"Join \[([^\]]*)\], \[([^\]]*sb#[^\]]*)\]", plan
+    # the r13 explode-tagged shape: per band exactly ONE shuffling
+    # pair join, and it must carry ALL THREE keys (band value, ba, bb)
+    # on both sides — dropping the band key is the trivially-true
+    # degradation, dropping a block key un-bounds the per-task buffer
+    cells = re.findall(
+        r"(?:SortMergeJoin|ShuffledHashJoin) "
+        r"\[([^\]]*)\], \[([^\]]*)\], Inner",
+        plan,
     )
-    # 4 bands x 2 sides (ba tag + bb tag) of the skeleton join
-    assert len(skel) == 8, plan
-    for left, right in skel:
-        assert "b#" in left and "blk#" in left, (left, right)
-        assert re.search(r"\b(ba|bb)#", right), (left, right)
+    pair_cells = [
+        (l, r) for l, r in cells if "ba#" in l or "ba#" in r
+    ]
+    assert len(pair_cells) == 4, plan  # one per band
+    for left, right in pair_cells:
+        for side in (left, right):
+            assert "b#" in side and "ba#" in side and "bb#" in side, (
+                left,
+                right,
+            )
 
 
 def test_image_whash_2d_wht_properties_and_banded(spark):
