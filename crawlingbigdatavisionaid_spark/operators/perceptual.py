@@ -340,6 +340,17 @@ def _band_blocked(
     return blocked, skeleton
 
 
+def _pair_join_partitions(df: DataFrame) -> int:
+    """Partition count for the band pair join: the session's shuffle
+    parallelism (explicit, so AQE's input-size coalescing cannot
+    serialize a join whose output, not input, is the work)."""
+    try:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n = 200
+    return max(n, 1)
+
+
 def hamming_hash_pairs(
     h: DataFrame, n_bits: int, radius: int, bucket_cap: int = 4096
 ) -> DataFrame:
@@ -421,6 +432,18 @@ def hamming_hash_pairs(
             F.col("blk").alias("bb"),
             F.col("h").alias("hv"),
             F.col("cnt").alias("cv"),
+        )
+        # the pair join's shuffle INPUT is tiny (the distinct-hash
+        # table times small tag fan-out) while its OUTPUT is the cell
+        # cross-product — AQE coalesces by input size and would collapse
+        # a hot band's 91-cell join to one task (measured: 540 s vs
+        # 17 s on the K=100 hot-band smoke). Pin the cell parallelism
+        # with an explicit repartition-by-num on the join keys (a
+        # user-numbered repartition AQE does not coalesce; the join
+        # reuses it, so no extra exchange)
+        a = a.repartition(_pair_join_partitions(bt), "b", "ba", "bb")
+        bside = bside.repartition(
+            _pair_join_partitions(bt), "b", "ba", "bb"
         )
         part = (
             a.join(bside, ["b", "ba", "bb"])
