@@ -441,6 +441,12 @@ def hamming_hash_pairs(
         # with an explicit repartition-by-num on the join keys (a
         # user-numbered repartition AQE does not coalesce; the join
         # reuses it, so no extra exchange)
+        # BOTH sides are pinned: a single-side pin lets the planner
+        # satisfy the other side with a coalescible exchange and the
+        # hot-band K=100 smoke measured it 1.7x slower (36.7 s vs
+        # 21.2 s); the symmetric pin is the scale-correct shape and its
+        # toy-scale cost is fixed task-launch overhead (~1 s/query at
+        # sf0.1, documented in SURVEY SS6)
         a = a.repartition(_pair_join_partitions(bt), "b", "ba", "bb")
         bside = bside.repartition(
             _pair_join_partitions(bt), "b", "ba", "bb"
