@@ -436,17 +436,14 @@ def hamming_hash_pairs(
         # the pair join's shuffle INPUT is tiny (the distinct-hash
         # table times small tag fan-out) while its OUTPUT is the cell
         # cross-product — AQE coalesces by input size and would collapse
-        # a hot band's 91-cell join to one task (measured: 540 s vs
-        # 17 s on the K=100 hot-band smoke). Pin the cell parallelism
-        # with an explicit repartition-by-num on the join keys (a
-        # user-numbered repartition AQE does not coalesce; the join
-        # reuses it, so no extra exchange)
-        # BOTH sides are pinned: a single-side pin lets the planner
-        # satisfy the other side with a coalescible exchange and the
-        # hot-band K=100 smoke measured it 1.7x slower (36.7 s vs
-        # 21.2 s); the symmetric pin is the scale-correct shape and its
-        # toy-scale cost is fixed task-launch overhead (~1 s/query at
-        # sf0.1, documented in SURVEY SS6)
+        # a hot band's 91-cell join to one task (measured on the K=100
+        # hot-band smoke: 540 s unpinned / 36.7 s one side pinned /
+        # 21.2 s both sides pinned). So BOTH sides get an explicit
+        # repartition-by-num on the join keys — user-numbered
+        # repartitions are exempt from AQE coalescing and the join
+        # reuses them, so no extra exchange; the toy-scale cost is
+        # fixed task-launch overhead (~1 s/query at sf0.1, documented
+        # in SURVEY §6)
         a = a.repartition(_pair_join_partitions(bt), "b", "ba", "bb")
         bside = bside.repartition(
             _pair_join_partitions(bt), "b", "ba", "bb"
@@ -567,7 +564,7 @@ def _wht8(sums: list[int]) -> list[int]:
     SUMS (advice r12 #3: they are raw signed-sample sums, not energies
     — on the 16-bit signed PCM decode path a frame sum, and hence the
     DC coefficient, can be <= 0)
-    (Sylvester/natural order): W[k] = Σ_j (-1)^popcount(k & j) · E[j].
+    (Sylvester/natural order): W[k] = Σ_j (-1)^popcount(k & j) · sums[j].
     Every coefficient is a ±1-weighted integer sum, so Spark and the
     DuckDB oracle compute bit-identical values — the honest exact
     'spectral' transform the sandbox's float-FFT oracle problem ruled
