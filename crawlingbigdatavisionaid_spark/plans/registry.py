@@ -58,10 +58,14 @@ _PRIORITY: tuple[str, ...] = (
     #     the DIFF must be empty).  Staleness basis: union of
     #     CORRECTNESS_r01-r12 keys.  No never-checked registrations
     #     existed at derivation time, so the window is pure staleness
-    #     drain + OP-coverage repair: it empties the r6 tail 16 -> 0 and
-    #     trims r7 35 -> 13 (histogram after landing:
-    #     {7:13, 8:38, 9:42, 10:39, 11:44, 12:48, 13:50}; max staleness
+    #     drain + OP-coverage repair, re-derived after the two net-new
+    #     r13 registrations landed (they seat first-serve, displacing
+    #     the two newest stalest-fill seats q1/q18): it empties the r6
+    #     tail 16 -> 0 and trims r7 35 -> 15 (histogram after landing:
+    #     {7:15, 8:38, 9:42, 10:39, 11:44, 12:48, 13:50}; max staleness
     #     gap keeps shrinking round over round).
+    "dedup_image_whash",
+    "dedup_image_whash_recall",
     "profile_documents",
     "stream_dedup_count",
     "range_join_clicks_before_purchase",
@@ -110,8 +114,6 @@ _PRIORITY: tuple[str, ...] = (
     "pii_redaction",
     "q12_linestatus_priority",
     "q14_promo_revenue_share",
-    "q18_large_volume_orders",
-    "q1_pricing_summary",
 )
 
 
