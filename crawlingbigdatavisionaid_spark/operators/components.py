@@ -41,11 +41,39 @@ def connected_components(
     # huge) upstream pair-generation lineage once per reference — driver
     # analysis time, not executor time, became the bottleneck.  A local
     # checkpoint truncates the plan to the materialized RDD.
+    #
+    # r13 optimization round, two changes with the fixpoint unchanged:
+    # * the symmetric edge table is built by EXPLODING each pair into
+    #   both orientations in ONE pass — the previous two-leg union
+    #   executed the (un-checkpointed, potentially expensive) upstream
+    #   pair pipeline once per leg (guide §2.4 / §1.2);
+    # * every node gets a (node, node) SELF-LOOP edge (from the already
+    #   materialized label table — never from the raw pair pipeline),
+    #   so the per-round neighborhood MIN includes the node's own label
+    #   and the propagate step is ONE join + aggregate instead of the
+    #   old join + aggregate + (labels left-join nmin) second pass.
+    #   MIN is idempotent, so per-round labels are identical and the
+    #   round count does not change.
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(a_col).alias("src"), F.col(a_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("src"), F.col(b_col).alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -57,21 +85,12 @@ def connected_components(
     )
     prev_sum = None
     for i in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
-        )
+        # min label over the self-loop-closed neighborhood == least of
+        # the own label and every neighbor label (the old two-join form)
         propagated = (
-            labels.join(
-                neighbor_min, labels.node == neighbor_min.src, "left"
-            )
-            .select(
-                "node",
-                F.least(
-                    "label", F.coalesce("nmin", F.col("label"))
-                ).alias("label"),
-            )
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("label"))
             .cache()  # referenced twice below (self-join for halving)
         )
         # path-halving: label <- label(label). Every label is itself a

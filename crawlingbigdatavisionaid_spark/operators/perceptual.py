@@ -370,13 +370,14 @@ def hamming_hash_pairs(
     hash-split into ``nb = ceil(n / bucket_cap)`` disjoint sub-blocks
     (``blk = xxhash64(h) mod nb``) and enumerated over the
     upper-triangular grid of nb(nb+1)/2 sub-block pairs, keyed
-    (band value, ba, bb) so BOTH join sides buffer <= bucket_cap rows
-    per key — a fully-concentrated band degrades into many bounded
-    tasks, never one executor-OOM task. The (ba, bb) cell tags are
-    produced by EXPLODING ranges on the blocked rows themselves (a
-    block-i row left-serves cells (i, i..nb-1) and right-serves cells
-    (0..i, i)) — narrow generators, so each band pays exactly one
-    shuffling join plus the bounded sizes aggregate. Unlike ``lsh_cosine_pairs``,
+    (band index, band value, ba, bb) so BOTH join sides buffer <=
+    bucket_cap rows per key — a fully-concentrated band degrades into
+    many bounded tasks, never one executor-OOM task. The (ba, bb) cell
+    tags are produced by EXPLODING ranges on the blocked rows
+    themselves (a block-i row left-serves cells (i, i..nb-1) and
+    right-serves cells (0..i, i)) — narrow generators, so the whole
+    enumeration pays exactly one shuffling join plus the bounded sizes
+    aggregate. Unlike ``lsh_cosine_pairs``,
     the sizing aggregate needs NO build-time measurement: per band it
     is bounded by ``min(|H|, 2^band_width)`` rows (2^16 for the 64-bit
     grain's 16-bit bands), so the skeleton lives INSIDE the lazy plan —
@@ -395,76 +396,103 @@ def hamming_hash_pairs(
     ``distinct`` then collapses multi-band collisions exactly as
     before, so the pair SET is unchanged from the unsplit join —
     pinned by the banded == brute twin and the adversarial
-    concentrated-band test in ``tests/test_perceptual.py``."""
+    concentrated-band test in ``tests/test_perceptual.py``.
+
+    Plan shape (r13 optimization round): all ``radius + 1`` bands ride
+    ONE join. Each distinct hash explodes into its (band index ``g``,
+    band value ``b``) rows up front, the bucket sizing aggregate runs
+    once over (g, b), and the pair join is keyed (g, b, ba, bb) — the
+    per-band union of joins it replaces shuffled the same bytes
+    through ``radius + 1`` separate sizing aggregates, 2(radius+1)
+    pinned repartitions and radius+1 joins (guide §2.4: two operations
+    keyed the same way share one exchange; measured 4 joins -> 1 cut
+    the 64-bit histogram queries ~2x at sf0.1 with the pair set
+    bit-identical). The per-key memory bound is unchanged: a (g, b)
+    bucket splits exactly as its per-band bucket did, so each side of
+    a (g, b, ba, bb) cell still buffers <= ~bucket_cap rows."""
     cap = int(bucket_cap)
-    cand = None
-    for off, width in _bands(n_bits, radius + 1):
-        mask = (1 << width) - 1
-        bt = h.select(
-            "h",
-            "cnt",
-            F.expr(f"shiftrightunsigned(h, {off}) & {mask}").alias("b"),
-        )
-        blocked, _skeleton = _band_blocked(bt, width, cap)
-        # sub-block-pair tagging WITHOUT skeleton joins (the r13 plan
-        # diet): a row in block i serves as the LEFT side of cells
-        # (i, bb) for bb in [i, nb) and as the RIGHT side of cells
-        # (ba, i) for ba in [0, i] — two narrow explodes replace the
-        # three shuffling joins of the skeleton form (PLANS.md showed
-        # ~7 exchanges per band; this shape pays 3: the sizes
-        # aggregate and the one (b, ba, bb)-keyed join), with the
-        # identical per-key memory bound (each side of a cell buffers
-        # one sub-block)
-        a = blocked.select(
-            "b",
-            F.col("blk").alias("ba"),
-            F.explode(
-                F.sequence(F.col("blk"), F.col("nb") - 1)
-            ).alias("bb"),
-            F.col("h").alias("hu"),
-            F.col("cnt").alias("cu"),
-        )
-        bside = blocked.select(
-            "b",
-            F.explode(
-                F.sequence(F.lit(0), F.col("blk"))
-            ).alias("ba"),
-            F.col("blk").alias("bb"),
-            F.col("h").alias("hv"),
-            F.col("cnt").alias("cv"),
-        )
-        # the pair join's shuffle INPUT is tiny (the distinct-hash
-        # table times small tag fan-out) while its OUTPUT is the cell
-        # cross-product — AQE coalesces by input size and would collapse
-        # a hot band's 91-cell join to one task (measured on the K=100
-        # hot-band smoke: 540 s unpinned / 36.7 s one side pinned /
-        # 21.2 s both sides pinned). So BOTH sides get an explicit
-        # repartition-by-num on the join keys — user-numbered
-        # repartitions are exempt from AQE coalescing and the join
-        # reuses them, so no extra exchange; the toy-scale cost is
-        # fixed task-launch overhead (~1 s/query at sf0.1, documented
-        # in SURVEY §6)
-        a = a.repartition(_pair_join_partitions(bt), "b", "ba", "bb")
-        bside = bside.repartition(
-            _pair_join_partitions(bt), "b", "ba", "bb"
-        )
-        part = (
-            a.join(bside, ["b", "ba", "bb"])
-            .where(
-                (F.col("ba") < F.col("bb")) | (F.col("hu") < F.col("hv"))
+    bands = _bands(n_bits, radius + 1)
+    max_width = max(w for _, w in bands)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("g"),
+                F.expr(
+                    f"shiftrightunsigned(h, {off}) & {(1 << w) - 1}"
+                ).alias("b"),
             )
-            .select(
-                F.least("hu", "hv").alias("hu"),
-                F.when(F.col("hu") < F.col("hv"), F.col("cu"))
-                .otherwise(F.col("cv"))
-                .alias("cu"),
-                F.greatest("hu", "hv").alias("hv"),
-                F.when(F.col("hu") < F.col("hv"), F.col("cv"))
-                .otherwise(F.col("cu"))
-                .alias("cv"),
-            )
+            for i, (off, w) in enumerate(bands)
+        ]
+    )
+    bt = h.select(
+        "h", "cnt", F.explode(band_structs).alias("gb")
+    ).select("h", "cnt", F.col("gb.g").alias("g"), F.col("gb.b").alias("b"))
+    # bucket sizing across ALL bands at once: bounded by
+    # Σ_g min(|H|, 2^width_g) rows — broadcast under the same
+    # driver-safety rule as the per-band form (width <= 20)
+    sizes = bt.groupBy("g", "b").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(cap)).cast("int").alias("nb")
+    )
+    sized = F.broadcast(sizes) if max_width <= 20 else sizes
+    blocked = bt.join(sized, ["g", "b"]).select(
+        "g",
+        "b",
+        F.pmod(F.xxhash64(F.col("h")), F.col("nb").cast("long"))
+        .cast("int")
+        .alias("blk"),
+        "nb",
+        "h",
+        "cnt",
+    )
+    # sub-block-pair tagging WITHOUT skeleton joins (the r13 plan
+    # diet): a row in block i serves as the LEFT side of cells
+    # (i, bb) for bb in [i, nb) and as the RIGHT side of cells
+    # (ba, i) for ba in [0, i] — two narrow explodes replace the
+    # three shuffling joins of the skeleton form, with the identical
+    # per-key memory bound (each side of a cell buffers one sub-block)
+    a = blocked.select(
+        "g",
+        "b",
+        F.col("blk").alias("ba"),
+        F.explode(F.sequence(F.col("blk"), F.col("nb") - 1)).alias("bb"),
+        F.col("h").alias("hu"),
+        F.col("cnt").alias("cu"),
+    )
+    bside = blocked.select(
+        "g",
+        "b",
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("ba"),
+        F.col("blk").alias("bb"),
+        F.col("h").alias("hv"),
+        F.col("cnt").alias("cv"),
+    )
+    # the pair join's shuffle INPUT is tiny (the distinct-hash
+    # table times small tag fan-out) while its OUTPUT is the cell
+    # cross-product — AQE coalesces by input size and would collapse
+    # a hot band's 91-cell join to one task (measured on the K=100
+    # hot-band smoke: 540 s unpinned / 36.7 s one side pinned /
+    # 21.2 s both sides pinned). So BOTH sides get an explicit
+    # repartition-by-num on the join keys — user-numbered
+    # repartitions are exempt from AQE coalescing and the join
+    # reuses them, so no extra exchange; the toy-scale cost is
+    # fixed task-launch overhead, paid ONCE now instead of per band
+    n_parts = _pair_join_partitions(bt)
+    a = a.repartition(n_parts, "g", "b", "ba", "bb")
+    bside = bside.repartition(n_parts, "g", "b", "ba", "bb")
+    cand = (
+        a.join(bside, ["g", "b", "ba", "bb"])
+        .where((F.col("ba") < F.col("bb")) | (F.col("hu") < F.col("hv")))
+        .select(
+            F.least("hu", "hv").alias("hu"),
+            F.when(F.col("hu") < F.col("hv"), F.col("cu"))
+            .otherwise(F.col("cv"))
+            .alias("cu"),
+            F.greatest("hu", "hv").alias("hv"),
+            F.when(F.col("hu") < F.col("hv"), F.col("cv"))
+            .otherwise(F.col("cu"))
+            .alias("cv"),
         )
-        cand = part if cand is None else cand.unionByName(part)
+    )
     return (
         cand.distinct()  # a pair can collide on several bands
         .withColumn("hamming_distance", F.expr("bit_count(hu ^ hv)"))

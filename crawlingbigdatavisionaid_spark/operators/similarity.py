@@ -156,19 +156,25 @@ def brute_force_topk(
     Returns integer-only (query_id, rank, neighbor_id) — deterministic
     under any partitioning because ranking ties break on neighbor id.
     """
+    # r13 optimization round: row norms hoisted out of the scoring
+    # expression — bit-identical double (same fold on the same array),
+    # computed once per row instead of once per (query, neighbor) pair
     q = queries.select(
         F.col(id_col).alias("query_id"), V.as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("nq", V.norm(F.col("qv")))
     c = emb.select(
         F.col(id_col).alias("neighbor_id"), V.as_double(F.col(vec_col)).alias("nv")
-    )
+    ).withColumn("nn", V.norm(F.col("nv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            V.cosine(F.col("qv"), F.col("nv")).alias("cos"),
+            (
+                V.dot(F.col("qv"), F.col("nv"))
+                / (F.col("nq") * F.col("nn"))
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

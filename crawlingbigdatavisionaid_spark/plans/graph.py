@@ -413,7 +413,12 @@ def trade_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # each round's frontier is materialized once: it feeds BOTH the
         # next join and the visited union, and without the checkpoint
-        # the anti-join re-derives every prior round per iteration
+        # the anti-join re-derives every prior round per iteration.
+        # (r13 optimization round: a lazy-union ``visited`` was tried
+        # and REVERTED — the per-round anti-join then reads k
+        # checkpointed legs x 32 partitions, and the partition-count
+        # blowup cost more than the union re-copy saves: 6.1 -> 9.0 s
+        # warm min at sf0.1.)
         frontier = discovered.localCheckpoint(eager=False)
         visited = visited.unionByName(frontier).localCheckpoint(eager=False)
     return (

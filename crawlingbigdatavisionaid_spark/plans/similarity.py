@@ -197,17 +197,24 @@ def ann_ivf_persisted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent_df, inv = built
         cent_df.write.parquet(f"{root}/centroids")
         inv.write.partitionBy("cell").parquet(f"{root}/inv")
+        # each search result feeds 2-3 consumers (counts + equality
+        # joins) — materialize each once instead of re-probing per
+        # consumer (guide §5; deterministic, results identical)
         persisted = S.ivf_probe_index(
             queries,
             spark.read.parquet(f"{root}/centroids"),
             spark.read.parquet(f"{root}/inv"),
             k=10,
             nprobe=4,
-        ).select("query_id", "rank", "neighbor_id")
+        ).select("query_id", "rank", "neighbor_id").localCheckpoint(
+            eager=False
+        )
         inflight = S.ivf_topk(emb, queries, k=10, n_cells=10, nprobe=4).select(
             "query_id", "rank", "neighbor_id"
+        ).localCheckpoint(eager=False)
+        exact = S.brute_force_topk_np(emb, queries, k=10).localCheckpoint(
+            eager=False
         )
-        exact = S.brute_force_topk_np(emb, queries, k=10)
         n_p = persisted.count()
         n_i = inflight.count()
         n_common = persisted.join(
@@ -260,16 +267,21 @@ def ann_lsh_persisted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         planes_df, bk = S.lsh_index(emb)
         planes_df.write.parquet(f"{root}/planes")
         bk.write.parquet(f"{root}/bk")
+        # materialize each search once — 2-3 consumers each (guide §5)
         persisted = S.lsh_probe_index(
             queries,
             spark.read.parquet(f"{root}/planes"),
             spark.read.parquet(f"{root}/bk"),
             k=10,
-        ).select("query_id", "rank", "neighbor_id")
+        ).select("query_id", "rank", "neighbor_id").localCheckpoint(
+            eager=False
+        )
         inflight = S.lsh_topk(emb, queries, k=10).select(
             "query_id", "rank", "neighbor_id"
+        ).localCheckpoint(eager=False)
+        exact = S.brute_force_topk_np(emb, queries, k=10).localCheckpoint(
+            eager=False
         )
-        exact = S.brute_force_topk_np(emb, queries, k=10)
         n_p = persisted.count()
         n_i = inflight.count()
         n_common = persisted.join(
@@ -306,11 +318,26 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     test scale; the LSH bucketing above is the same operator's scale
     path. Integer-only output."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), V.as_double("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), V.as_double("embedding").alias("vb"))
+    # r13 optimization round: the row NORM is hoisted out of the pair
+    # predicate — cosine(va, vb) = dot/(norm(va)*norm(vb)) recomputed
+    # norm(va) and norm(vb) once per PAIR (two extra 64-term folds on
+    # every join row); computing each side's norm once per ROW before
+    # the join yields the bit-identical double (same fold, same order,
+    # same input) at 1/3 the per-pair fold work (guide §1.2)
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        V.as_double("embedding").alias("va"),
+    ).withColumn("na", V.norm(F.col("va")))
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        V.as_double("embedding").alias("vb"),
+    ).withColumn("nb", V.norm(F.col("vb")))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .where(V.cosine(F.col("va"), F.col("vb")) >= 0.45)
+        .where(
+            V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            >= 0.45
+        )
         .select("vec_a", "vec_b")
     )
 
@@ -494,6 +521,9 @@ def ann_pq_persisted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "persisted_matches boolean, recall_ok boolean",
             )
         books_df, codes_df = built
+        # the code table feeds the write, the in-flight probe and the
+        # refined search — materialize the encode mapInPandas once
+        codes_df = codes_df.localCheckpoint(eager=False)
         books_df.write.parquet(f"{root}/codebooks")
         codes_df.write.parquet(f"{root}/codes")
         persisted = S.pq_probe_index(
@@ -501,15 +531,19 @@ def ann_pq_persisted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.read.parquet(f"{root}/codebooks"),
             spark.read.parquet(f"{root}/codes"),
             k=10,
-        ).select("query_id", "rank", "neighbor_id")
+        ).select("query_id", "rank", "neighbor_id").localCheckpoint(
+            eager=False
+        )
         # the one explicit build serves all three searches (pq_topk is
         # exactly pq_index + pq_probe_index with the same seed, so
         # probing the in-memory pair IS the in-flight result — no
         # second or third k-means training)
         inflight = S.pq_probe_index(queries, books_df, codes_df, k=10).select(
             "query_id", "rank", "neighbor_id"
+        ).localCheckpoint(eager=False)
+        exact = S.brute_force_topk_np(emb, queries, k=10).localCheckpoint(
+            eager=False
         )
-        exact = S.brute_force_topk_np(emb, queries, k=10)
         refined = S.pq_refined_topk(
             emb, queries, k=10, m=16, ksub=16, built=(books_df, codes_df)
         )
@@ -641,23 +675,31 @@ def semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     this corpus's 10 labels); at 100 TB the cluster column comes from
     the quantizer and this sweep is unchanged downstream of it."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # r13 optimization round: row norms hoisted out of the pair
+    # predicate (bit-identical double — same fold on the same array,
+    # computed once per row instead of once per pair; guide §1.2).
+    # The sweep's pair pass is the documented deliberate quadratic
+    # (Σ cluster²); this cuts its per-pair fold work to 1/3.
     a = emb.select(
         "label",
         F.col("vec_id").alias("vec_a"),
         V.as_double("embedding").alias("va"),
-    )
+    ).withColumn("na", V.norm(F.col("va")))
     b = emb.select(
         "label",
         F.col("vec_id").alias("vec_b"),
         V.as_double("embedding").alias("vb"),
-    )
+    ).withColumn("nb", V.norm(F.col("vb")))
     pairs = (
         a.join(b, ["label"])
         .where(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            V.cosine(F.col("va"), F.col("vb")).alias("cos"),
+            (
+                V.dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("cos"),
         )
         .where(F.col("cos") >= 0.40)
     )
@@ -720,20 +762,34 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "scan_bounded boolean",
             )
         cent_df, books_df, coded = built
+        # the in-memory code table feeds FOUR consumers (the parquet
+        # write, the in-flight probe, the shortlist probe and the
+        # cell-size audit) — materialize its PQ-encode lineage once
+        # instead of re-running the encode mapInPandas per consumer
+        # (guide §5: reuse-driven materialization; results identical,
+        # the encode is deterministic)
+        coded = coded.localCheckpoint(eager=False)
         cent_df.write.parquet(f"{root}/centroids")
         books_df.write.parquet(f"{root}/codebooks")
         coded.write.partitionBy("cell").parquet(f"{root}/coded")
         args = dict(k=k, nprobe=nprobe)
+        # each probe result is consumed twice (its count + the
+        # equality join) — one materialization halves the probe
+        # executions (guide §5); brute force below gets the same
         persisted = S.ivfpq_probe_index(
             queries,
             spark.read.parquet(f"{root}/centroids"),
             spark.read.parquet(f"{root}/codebooks"),
             spark.read.parquet(f"{root}/coded"),
             **args,
-        ).select("query_id", "rank", "neighbor_id")
+        ).select("query_id", "rank", "neighbor_id").localCheckpoint(
+            eager=False
+        )
         inflight = S.ivfpq_probe_index(
             queries, cent_df, books_df, coded, **args
-        ).select("query_id", "rank", "neighbor_id")
+        ).select("query_id", "rank", "neighbor_id").localCheckpoint(
+            eager=False
+        )
         n_p, n_i = persisted.count(), inflight.count()
         n_common = persisted.join(
             inflight, ["query_id", "rank", "neighbor_id"]
@@ -770,7 +826,9 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
         )
-        exact = S.brute_force_topk_np(emb, queries, k=k)
+        exact = S.brute_force_topk_np(emb, queries, k=k).localCheckpoint(
+            eager=False
+        )
         hit = (
             refined.select("query_id", "neighbor_id")
             .join(

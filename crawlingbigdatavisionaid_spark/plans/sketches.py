@@ -560,11 +560,29 @@ def winnow_doc_fps(
     # the size guard matters: Spark's sequence(1, 0) is the DESCENDING
     # [1, 0] (operators/bpe.py precedent) — without the CASE a doc
     # shorter than the k-gram emits phantom fingerprints the DuckDB
-    # oracle (empty generate_series) does not
+    # oracle (empty generate_series) does not.
+    #
+    # r13 optimization round: the char codes are materialized ONCE per
+    # doc and each k-gram hash folds over a SLICE of that bigint array
+    # — the previous per-position ``substring -> split -> ascii`` chain
+    # allocated k single-char strings per position (O(len*k) string
+    # churn; guide §1.2 per-task work). The char array is bound as a
+    # LAMBDA VARIABLE (``transform(array(<cs>), cs0 -> ...)``), not a
+    # projected column: CollapseProject inlines a projected column into
+    # its single syntactic reference, and that reference sits inside
+    # the per-position lambda — re-deriving the whole array per
+    # position, O(len²) (measured 5.6 -> 42.6 s warm before the lambda
+    # binding pinned it to one evaluation per row). The fold
+    # arithmetic, order and mod are IDENTICAL — slice(cs0, i, k) holds
+    # exactly the codes of substring(s, i, k) — so fingerprints are
+    # bit-equal (oracle unchanged, hash-checked).
     hs = F.expr(
         f"CASE WHEN length(s) < {kgram} THEN cast(array() as array<bigint>) "
-        f"ELSE transform(sequence(1, length(s) - {kgram - 1}), "
-        f"i -> {_poly_fold_sql(f'substring(s, i, {kgram})')}) END"
+        f"ELSE transform(array(transform(split(s, ''), "
+        f"c -> cast(ascii(c) as bigint))), "
+        f"cs0 -> transform(sequence(1, length(s) - {kgram - 1}), "
+        f"i -> aggregate(slice(cs0, i, {kgram}), cast(0 as bigint), "
+        f"(a, b) -> (a*31 + b) % {_P})))[0] END"
     )
     mins = F.expr(
         f"CASE WHEN size(h) = 0 THEN cast(array() as array<bigint>) "

@@ -267,15 +267,18 @@ def test_hamming_hot_band_is_memory_bounded(spark):
 
 
 def test_hamming_band_joins_carry_the_band_key(spark):
-    """Plan pin for the r13 lineage fix: the blocked x skeleton joins
-    must be EQUI-joins on (band value, block) — when skeleton and
-    blocked shared a column literally named ``b``, Spark resolved the
-    band-equality predicate to the same attribute and silently dropped
-    it as trivially true, degrading every band bucket join to a
-    cross-match over band values (correct results — banding is a
-    candidate generator — but the scale discipline destroyed). Assert
-    each skeleton join carries BOTH keys and nothing degrades to a
-    cartesian/nested-loop."""
+    """Plan pin for the r13 lineage fix (updated for the fused
+    single-join shape of the optimization round): the pair join must
+    be an EQUI-join carrying the band index, the band value AND both
+    block keys — when skeleton and blocked shared a column literally
+    named ``b``, Spark once resolved the band-equality predicate to
+    the same attribute and silently dropped it as trivially true,
+    degrading every band bucket join to a cross-match over band values
+    (correct results — banding is a candidate generator — but the
+    scale discipline destroyed). Assert the join carries ALL FOUR keys
+    on both sides, that all bands ride exactly ONE shuffling join (the
+    fused shape replaced the per-band union of radius+1 joins), and
+    nothing degrades to a cartesian/nested-loop."""
     import re
 
     h = spark.createDataFrame([(1, 1), (2, 1)], "h long, cnt long")
@@ -283,9 +286,9 @@ def test_hamming_band_joins_carry_the_band_key(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # the r13 explode-tagged shape: per band exactly ONE shuffling
-    # pair join, and it must carry ALL THREE keys (band value, ba, bb)
-    # on both sides — dropping the band key is the trivially-true
+    # the fused explode-tagged shape: ONE shuffling pair join for all
+    # bands, carrying ALL FOUR keys (band index, band value, ba, bb)
+    # on both sides — dropping the band keys is the trivially-true
     # degradation, dropping a block key un-bounds the per-task buffer
     cells = re.findall(
         r"(?:SortMergeJoin|ShuffledHashJoin) "
@@ -295,13 +298,15 @@ def test_hamming_band_joins_carry_the_band_key(spark):
     pair_cells = [
         (l, r) for l, r in cells if "ba#" in l or "ba#" in r
     ]
-    assert len(pair_cells) == 4, plan  # one per band
+    assert len(pair_cells) == 1, plan  # all bands share one join
     for left, right in pair_cells:
         for side in (left, right):
-            assert "b#" in side and "ba#" in side and "bb#" in side, (
-                left,
-                right,
-            )
+            assert (
+                "g#" in side
+                and "b#" in side
+                and "ba#" in side
+                and "bb#" in side
+            ), (left, right)
 
 
 def test_image_whash_2d_wht_properties_and_banded(spark):
