@@ -1349,11 +1349,13 @@ def pq_refined_topk(
     shortlist = pq_probe_index(
         queries, books_df, codes_df, k * shortlist_mult, id_col, vec_col
     ).select("query_id", "neighbor_id")
+    # row norms hoisted out of the per-pair projection (guide §1.2;
+    # dot/(qn*nn) is cosine()'s own expression tree — bit-identical)
     cand = shortlist.join(
         emb.select(
             F.col(id_col).alias("neighbor_id"),
             V.as_double(F.col(vec_col)).alias("nv"),
-        ),
+        ).withColumn("nn", V.norm(F.col("nv"))),
         "neighbor_id",
     )
     scored = cand.join(
@@ -1361,13 +1363,15 @@ def pq_refined_topk(
             queries.select(
                 F.col(id_col).alias("query_id"),
                 V.as_double(F.col(vec_col)).alias("qv"),
-            )
+            ).withColumn("qn", V.norm(F.col("qv")))
         ),
         "query_id",
     ).select(
         "query_id",
         "neighbor_id",
-        V.cosine(F.col("qv"), F.col("nv")).alias("cos"),
+        (
+            V.dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
+        ).alias("cos"),
     )
     return _rank_topk(scored, k)
 

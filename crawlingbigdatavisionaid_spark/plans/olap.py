@@ -656,7 +656,22 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators/rank.global_rank`` (range-repartitioned sort +
     per-partition row_number + broadcast offsets) + ``ntile_expr``,
     checked against DuckDB's real NTILE; money stays DECIMAL(18,2)
-    until the final cast (bit-identical under any partitioning)."""
+    until the final cast (bit-identical under any partitioning).
+
+    Plan shape (r13 optimization round, guide §2.6 + §2.3): the three
+    rank passes are INDEPENDENT orderings of the same customer table —
+    the old sequential chain range-shuffled the full-width row three
+    times and serialized three construct-time jobs (each
+    ``global_rank`` runs a range-partitioner sample and an offsets
+    collect). Now the RFM aggregate is checkpointed once and each cut
+    ranks a narrow (custkey, metric) projection, the three passes
+    submitted from driver threads so their sample/offsets jobs
+    overlap; quartiles re-attach by custkey equi-joins (1:1 — custkey
+    is the aggregate's group key). Each customer's (r_q, f_q, m_q) is
+    unchanged: ranking ignores the projected-away columns, and the
+    final DECIMAL sum is order-insensitive."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..operators.rank import global_rank, ntile_expr
 
     orders = load_table(spark, sf_dir, "orders")
@@ -664,14 +679,32 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("freq"),
         F.sum(F.col("o_totalprice").cast(_DEC)).alias("monetary"),
-    )
-    cur = rfm
-    for col, q in (("last_order", "r_q"), ("freq", "f_q"), ("monetary", "m_q")):
-        cur = global_rank(
-            cur, [col, "custkey"], alias="_rk", total_alias="_n"
-        ).withColumn(q, ntile_expr(F.col("_rk"), F.col("_n"), 4)).drop(
-            "_rk", "_n"
+    ).localCheckpoint(eager=True)
+    # eager: the checkpoint must be FINALIZED before the three rank
+    # threads race their first actions over it (concurrent first
+    # materialization of a lazy checkpoint is the one thread-unsafe
+    # step; the materialization itself is work every pass needs anyway)
+
+    def quartile(col: str, q: str) -> DataFrame:
+        ranked = global_rank(
+            rfm.select("custkey", col), [col, "custkey"],
+            alias="_rk", total_alias="_n",
         )
+        return ranked.select(
+            "custkey", ntile_expr(F.col("_rk"), F.col("_n"), 4).alias(q)
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        r_q, f_q, m_q = pool.map(
+            lambda a: quartile(*a),
+            [("last_order", "r_q"), ("freq", "f_q"), ("monetary", "m_q")],
+        )
+    cur = (
+        rfm.select("custkey", "monetary")
+        .join(r_q, "custkey")
+        .join(f_q, "custkey")
+        .join(m_q, "custkey")
+    )
     return cur.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("monetary").cast("double").alias("total_monetary"),

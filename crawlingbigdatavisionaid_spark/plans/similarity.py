@@ -604,16 +604,20 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     label inequality composes unchanged with the IVF/LSH/PQ candidate
     generators (probe, then mask by the rider label)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # row norms hoisted OUT of the pair projection (r13 optimization
+    # round, guide §1.2): each side's 64-term norm fold runs once per
+    # ROW instead of once per (corpus x query) pair; dot/(qn*nn) is the
+    # same expression tree cosine() builds, so floats are bit-identical
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         V.as_double(F.col("embedding")).alias("qv"),
         F.col("label").alias("qlabel"),
-    )
+    ).withColumn("qn", V.norm(F.col("qv")))
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         V.as_double(F.col("embedding")).alias("nv"),
         F.col("label").alias("neg_label"),
-    )
+    ).withColumn("nn", V.norm(F.col("nv")))
     scored = (
         c.join(
             F.broadcast(q),
@@ -624,7 +628,10 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "neg_label",
-            V.cosine(F.col("qv"), F.col("nv")).alias("cos"),
+            (
+                V.dot(F.col("qv"), F.col("nv"))
+                / (F.col("qn") * F.col("nn"))
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -785,10 +792,19 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("query_id", "rank", "neighbor_id").localCheckpoint(
             eager=False
         )
-        inflight = S.ivfpq_probe_index(
-            queries, cent_df, books_df, coded, **args
-        ).select("query_id", "rank", "neighbor_id").localCheckpoint(
-            eager=False
+        # ONE in-memory ADC pass serves both the k-deep in-flight
+        # result and the 8k-deep refine shortlist (r13 optimization
+        # round, guide §1.2): the probe ranks by the TOTAL order
+        # (-cos, neighbor_id) with tie-aware per-partition partials,
+        # so probe(k) is EXACTLY the rank <= k prefix of probe(8k) —
+        # same rows, same ranks (pinned by tests/test_neardup_similarity
+        # .py::test_ivfpq_probe_prefix_property).
+        # The old shape ran the ADC mapInPandas + collects twice.
+        shortlist_full = S.ivfpq_probe_index(
+            queries, cent_df, books_df, coded, k=k * 8, nprobe=nprobe
+        ).localCheckpoint(eager=False)
+        inflight = shortlist_full.where(F.col("rank") <= k).select(
+            "query_id", "rank", "neighbor_id"
         )
         n_p, n_i = persisted.count(), inflight.count()
         n_common = persisted.join(
@@ -796,21 +812,21 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).count()
 
         # refined: cell-restricted ADC shortlist -> exact cosine re-rank
-        shortlist = S.ivfpq_probe_index(
-            queries, cent_df, books_df, coded, k=k * 8, nprobe=nprobe
-        ).select("query_id", "neighbor_id")
+        shortlist = shortlist_full.select("query_id", "neighbor_id")
+        # row norms hoisted out of the per-pair projection (guide §1.2;
+        # dot/(qn*nn) is cosine()'s own expression tree — bit-identical)
         cand = shortlist.join(
             emb.select(
                 F.col("vec_id").alias("neighbor_id"),
                 V.as_double(F.col("embedding")).alias("nv"),
-            ),
+            ).withColumn("nn", V.norm(F.col("nv"))),
             "neighbor_id",
         ).join(
             F.broadcast(
                 queries.select(
                     F.col("vec_id").alias("query_id"),
                     V.as_double(F.col("embedding")).alias("qv"),
-                )
+                ).withColumn("qn", V.norm(F.col("qv")))
             ),
             "query_id",
         )
@@ -821,7 +837,10 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             cand.select(
                 "query_id",
                 "neighbor_id",
-                V.cosine(F.col("qv"), F.col("nv")).alias("cos"),
+                (
+                    V.dot(F.col("qv"), F.col("nv"))
+                    / (F.col("qn") * F.col("nn"))
+                ).alias("cos"),
             )
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)

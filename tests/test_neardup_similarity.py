@@ -551,6 +551,36 @@ def test_ivfpq_full_probe_equals_plain_pq(spark, sf_dir):
     assert a == b and len(a) == 5 * 10
 
 
+def test_ivfpq_probe_prefix_property(spark, sf_dir):
+    """probe(k) must be EXACTLY the rank <= k prefix of probe(8k): the
+    probe ranks by the total order (-cos, neighbor_id) with tie-aware
+    per-partition partials, so a deeper k only extends the ranking —
+    the property ``ann_ivfpq_recall`` relies on to serve its in-flight
+    result and its refine shortlist from ONE ADC pass (r13
+    optimization round)."""
+    from crawlingbigdatavisionaid_spark.operators import similarity as S
+    from crawlingbigdatavisionaid_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(emb.vec_id < 5)
+    built = S.ivfpq_index(emb, n_cells=8, m=16, ksub=16)
+    assert built is not None
+    cent_df, books_df, coded = built
+    k = 10
+    deep = S.ivfpq_probe_index(
+        queries, cent_df, books_df, coded, k=k * 8, nprobe=4
+    )
+    shallow = S.ivfpq_probe_index(
+        queries, cent_df, books_df, coded, k=k, nprobe=4
+    )
+    a = {
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in deep.where(deep.rank <= k).collect()
+    }
+    b = {(r.query_id, r.rank, r.neighbor_id) for r in shallow.collect()}
+    assert a == b and len(b) == 5 * k
+
+
 def test_prefix_dim_degenerate_equals_brute_force(spark):
     """prefix_dim_topk with shortlist >= corpus must return EXACTLY the
     brute-force top-k pair set (stage 1 filters nothing, stage 2 is the
