@@ -493,6 +493,16 @@ def hamming_hash_pairs(
             .alias("cv"),
         )
     )
+    # NOTE (r13 optimization round): the radius predicate below LOOKS
+    # like it runs after the cross-band distinct, but Catalyst inlines
+    # bit_count(hu ^ hv) into the filter, pushes it below the distinct
+    # (its references are grouping keys) and all the way INTO the pair
+    # join's condition — the physical plan filters candidates as the
+    # join generates them, so the distinct's exchange already carries
+    # only true <= radius pairs (verified in plans/r13/
+    # dedup_image_phash64_after.txt op (47); an explicit
+    # filter-before-distinct rewrite produced the identical plan and
+    # identical K=100 hot-band smoke time).
     return (
         cand.distinct()  # a pair can collide on several bands
         .withColumn("hamming_distance", F.expr("bit_count(hu ^ hv)"))
