@@ -391,3 +391,42 @@ def test_ewma_spike_matches_python_replica(spark):
             for s in range(1, 17)
         )
     }
+
+
+def test_char_bigram_stream_matches_positional_definition(spark):
+    """The MG demo stream's regex bigram extraction (``(?=(..)).`` —
+    r13 optimization round) must emit EXACTLY the per-position
+    ``substring(t, i, 2)`` multiset the oracle's generate_series form
+    counts, including the degenerate shapes: 0/1-char tokens emit
+    nothing, repeated chars emit repeated bigrams (multiset, not set),
+    and overlapping windows all appear."""
+    from collections import Counter
+
+    from crawlingbigdatavisionaid_spark.plans.sketches import (
+        _char_bigram_stream,
+    )
+
+    texts = [
+        "a",  # 1-char token: no bigram
+        "ab",  # exactly one
+        "aaaa bb c",  # repeats: aa x3 (multiset), bb x1
+        "abcabc xyz",  # overlaps: ab bc ca ab bc / xy yz
+        None,  # null text row is filtered by the caller contract
+        "",  # tokenless
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).where(F.col("text").isNotNull())
+    got = Counter(
+        r["w"] for r in _char_bigram_stream(docs).collect()
+    )
+    want: Counter = Counter()
+    import re
+
+    for t in texts:
+        if t is None:
+            continue
+        for tok in re.findall("[a-z]+", t.lower()):
+            for i in range(len(tok) - 1):
+                want[tok[i : i + 2]] += 1
+    assert got == want and got["aa"] == 3 and got["ab"] == 3
