@@ -42,7 +42,14 @@ def global_rank(
     ``total_alias``: also attach N as a literal column — the offsets
     pass already sums the per-partition counts, so rank-derived
     statistics (NTILE, percentile cuts) get their denominator for free
-    instead of re-executing the input plan for a separate count."""
+    instead of re-executing the input plan for a separate count.
+
+    Thread-safety contract: this function is called from concurrent
+    driver threads (``customer_rfm_segments`` overlaps its three rank
+    passes per guide §2.6), so it must stay free of session-scoped
+    mutable state — no ``setJobGroup``/``setJobDescription``, no conf
+    writes, no temp views. Each call may only touch its own DataFrame
+    lineage and its own (already-materialized) checkpoint inputs."""
     spark = df.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
     parts = df.repartitionByRange(n_parts, *order_cols).withColumn(

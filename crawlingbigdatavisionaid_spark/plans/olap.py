@@ -683,7 +683,15 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eager: the checkpoint must be FINALIZED before the three rank
     # threads race their first actions over it (concurrent first
     # materialization of a lazy checkpoint is the one thread-unsafe
-    # step; the materialization itself is work every pass needs anyway)
+    # step; the materialization itself is work every pass needs anyway).
+    # The checkpoint blocks (|customers| rows x 4 narrow columns) are
+    # retained for the session lifetime BY DESIGN, consistent with every
+    # other checkpoint site in the repo (similarity/lsh sizing, CC
+    # labels): the returned DataFrame's lineage references them lazily,
+    # so unpersisting inside this function would re-execute the
+    # aggregate per consumer — exactly what the checkpoint exists to
+    # prevent. Construction executing the aggregate eagerly is the same
+    # documented eager-at-build tradeoff as lsh_cosine_pairs sizing.
 
     def quartile(col: str, q: str) -> DataFrame:
         ranked = global_rank(

@@ -750,7 +750,15 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     read back, probe, compare against the in-memory probe (exact set
     equality), refine the ADC shortlist by exact cosine and check
     recall >= 1/2 vs brute force, and bound the scanned-code fraction —
-    the property that distinguishes IVF-PQ from plain PQ at 100 TB."""
+    the property that distinguishes IVF-PQ from plain PQ at 100 TB.
+
+    Triage note: the in-memory side of ``persisted_matches`` is the
+    ``rank <= k`` PREFIX of one k*8-deep probe (r13 single-ADC-pass
+    optimization), valid because the probe ranks by a total order with
+    tie-aware partials — that invariant is pinned separately by
+    ``tests/test_neardup_similarity.py::test_ivfpq_probe_prefix_property``.
+    If this verdict ever fails, run that test first: it cleanly splits
+    a prefix-invariant regression from a persistence/read-back bug."""
     import shutil
     import tempfile
 
