@@ -557,47 +557,74 @@ def winnow_doc_fps(
     per-doc kept-fingerprint totals (its duplication invariant needs
     D = #docs with >= shared_min kept fps)."""
     s = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
-    # the size guard matters: Spark's sequence(1, 0) is the DESCENDING
-    # [1, 0] (operators/bpe.py precedent) — without the CASE a doc
-    # shorter than the k-gram emits phantom fingerprints the DuckDB
-    # oracle (empty generate_series) does not.
+    # r13 optimization round bound the per-position char fold to one
+    # char-code array per doc (O(len*k) slice folds, measured 2.2x).
+    # r14 optimization round: the fold moves to Arrow-batched numpy
+    # (guide §4.2 — bulk integer math belongs in vectorized native
+    # code, the ``brute_force_topk_np`` rule applied to hashing): per
+    # batch, each doc's normalized bytes become ONE int64 vector and
+    # the k-gram hashes are k vectorized passes
+    # ``h = (h*31 + codes[j : j+m]) % P`` — the identical left fold in
+    # the identical order with the identical mod (codes <= 122 and
+    # h < P keep every intermediate < 2^35, no int64 overflow), so
+    # fingerprints are BIT-EQUAL to the JVM HOF form (oracle unchanged,
+    # hash-checked; pinned by the positional-recount test). Window
+    # minima are a sliding-window view, per-doc dedup is np.unique —
+    # both pure re-expressions of array_min(slice(...)) and
+    # array_distinct. The r13 decomposition measured the JVM fold at
+    # 100% of winnow's sf1 wall (5.91 of 5.98 s); its only further cut
+    # (an O(len) rolling hash) has no bit-identical HOF form, but the
+    # numpy form keeps the O(len*k) arithmetic and removes the
+    # per-element interpreted-lambda cost instead.
     #
-    # r13 optimization round: the char codes are materialized ONCE per
-    # doc and each k-gram hash folds over a SLICE of that bigint array
-    # — the previous per-position ``substring -> split -> ascii`` chain
-    # allocated k single-char strings per position (O(len*k) string
-    # churn; guide §1.2 per-task work). The char array is bound as a
-    # LAMBDA VARIABLE (``transform(array(<cs>), cs0 -> ...)``), not a
-    # projected column: CollapseProject inlines a projected column into
-    # its single syntactic reference, and that reference sits inside
-    # the per-position lambda — re-deriving the whole array per
-    # position, O(len²) (measured 5.6 -> 42.6 s warm before the lambda
-    # binding pinned it to one evaluation per row). The fold
-    # arithmetic, order and mod are IDENTICAL — slice(cs0, i, k) holds
-    # exactly the codes of substring(s, i, k) — so fingerprints are
-    # bit-equal (oracle unchanged, hash-checked).
-    hs = F.expr(
-        f"CASE WHEN length(s) < {kgram} THEN cast(array() as array<bigint>) "
-        f"ELSE transform(array(transform(split(s, ''), "
-        f"c -> cast(ascii(c) as bigint))), "
-        f"cs0 -> transform(sequence(1, length(s) - {kgram - 1}), "
-        f"i -> aggregate(slice(cs0, i, {kgram}), cast(0 as bigint), "
-        f"(a, b) -> (a*31 + b) % {_P})))[0] END"
-    )
-    mins = F.expr(
-        f"CASE WHEN size(h) = 0 THEN cast(array() as array<bigint>) "
-        f"WHEN size(h) <= {win - 1} THEN array(array_min(h)) "
-        f"ELSE transform(sequence(1, size(h) - {win - 1}), "
-        f"j -> array_min(slice(h, j, {win}))) END"
-    )
-    # checkpointed: the O(len*k) char-fold fingerprinting feeds the
-    # df-cap aggregate, the probe side, and (via winnow_pairs) both
-    # self-join aliases — one materialization instead of four passes
-    # (the dedup.py shingle_rows precedent)
-    fp = (
-        docs.select("doc_id", s.alias("s"))
-        .select("doc_id", hs.alias("h"))
-        .select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
+    # Semantics preserved from the HOF CASE ladder: len(s) < k emits
+    # NOTHING (the phantom-fingerprint guard — DuckDB's empty
+    # generate_series twin); 0 < #hashes <= w-1 emits the single
+    # global min; otherwise every width-w window's min. The normalized
+    # string is pure [a-z0-9] by construction, so bytes == the old
+    # ascii() codepoints.
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    k_, w_, p_ = int(kgram), int(win), int(_P)
+
+    def _fps(it):
+        for pdf in it:
+            ids, fps = [], []
+            for doc_id, txt in zip(pdf["doc_id"], pdf["s"]):
+                codes = np.frombuffer(
+                    txt.encode("ascii"), dtype=np.uint8
+                ).astype(np.int64)
+                n = codes.shape[0]
+                if n < k_:
+                    continue
+                m = n - (k_ - 1)
+                h = np.zeros(m, dtype=np.int64)
+                for j in range(k_):
+                    h = (h * 31 + codes[j : j + m]) % p_
+                if m <= w_ - 1:
+                    u = h.min(keepdims=True)
+                else:
+                    u = np.unique(sliding_window_view(h, w_).min(axis=1))
+                ids.append(np.full(u.shape[0], doc_id, dtype=np.int64))
+                fps.append(u)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids) if ids else
+                    np.array([], dtype=np.int64),
+                    "fp": np.concatenate(fps) if fps else
+                    np.array([], dtype=np.int64),
+                }
+            )
+
+    # checkpointed: the fingerprinting pass feeds the df-cap aggregate,
+    # the probe side, and (via winnow_pairs) both self-join aliases —
+    # one materialization instead of four passes (the dedup.py
+    # shingle_rows precedent). The explicit 2-column select before the
+    # Python boundary keeps scan pruning intact (guide §4.1).
+    fp = docs.select("doc_id", s.alias("s")).mapInPandas(
+        _fps, "doc_id long, fp long"
     )
     if materialize:  # False only for plan inspection in tests
         fp = fp.localCheckpoint(eager=False)

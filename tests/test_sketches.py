@@ -223,6 +223,63 @@ def test_winnow_short_doc_emits_no_fingerprints(spark):
     assert 2 in got and 3 in got
 
 
+def test_winnow_numpy_fold_matches_positional_definition(spark):
+    """Pin for the r14 Arrow-numpy fingerprint path: the vectorized
+    k-gram fold / window min / per-doc dedup must reproduce the
+    positional definition (the old HOF form and the DuckDB oracle)
+    EXACTLY, on adversarial shapes — sub-k docs, exactly-k docs, the
+    0 < #hashes <= w-1 single-min branch, repeated chars (dedup), and
+    mixed-case/punctuation normalization."""
+    from crawlingbigdatavisionaid_spark.plans.sketches import (
+        _P,
+        _WIN_DF,
+        _WIN_K,
+        _WIN_W,
+        winnow_doc_fps,
+    )
+
+    texts = [
+        (0, "ab"),                      # < k after normalization
+        (1, "Exactly8"),                # exactly k -> one hash, one fp
+        (2, "nine ch4rs"),              # k < n <= k + w - 2 -> min(h)
+        (3, "aaaaaaaaaaaaaaaa"),        # repeats -> heavy dedup
+        (4, "The quick brown fox; jumps OVER 13 lazy dogs!!"),
+        (5, "the quick brown fox, jumps over 13 lazy dogs??"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+
+    import re
+    from collections import Counter
+
+    def positional(txt: str) -> set[int]:
+        s = re.sub(r"[^a-z0-9]", "", txt.lower())
+        if len(s) < _WIN_K:
+            return set()
+        h = []
+        for i in range(len(s) - _WIN_K + 1):
+            acc = 0
+            for ch in s[i : i + _WIN_K]:
+                acc = (acc * 31 + ord(ch)) % _P
+            h.append(acc)
+        if len(h) <= _WIN_W - 1:
+            return {min(h)}
+        return {
+            min(h[j : j + _WIN_W]) for j in range(len(h) - _WIN_W + 1)
+        }
+
+    per_doc = {d: positional(t) for d, t in texts}
+    dfc = Counter(fp for fps in per_doc.values() for fp in fps)
+    expected = {
+        (d, fp)
+        for d, fps in per_doc.items()
+        for fp in fps
+        if dfc[fp] <= _WIN_DF
+    }
+    got = {(r.doc_id, r.fp) for r in winnow_doc_fps(df).collect()}
+    assert got == expected
+    assert any(d == 4 for d, _ in got)  # normalization really ran
+
+
 def test_kmv_accuracy_and_mergeability(spark, sf_dir):
     """KMV estimate within ~3/sqrt(k) of exact when full (exact when
     not full), and merging per-batch sketches (k smallest of the
